@@ -1,0 +1,175 @@
+"""Binned empirical-CDF tables (`_first_match.hist`, `_match_markov_model`).
+
+File format (written by the reference's besthit_to_histogram.py:424-486 and
+parsed by simulator.py:194-231 `read_ecdf`):
+
+    bins\t<lo>-<hi>\t<lo>-<hi>...          # one column ("lane") per bin
+    0-1\t<cumprob lane0>\t<cumprob lane1>...
+    1-2\t...
+
+Each lane is a cumulative distribution over integer values; a value is sampled
+by inverting the piecewise-linear CDF.  The reference keeps only rows where the
+cumulative probability *changed* and stores, per kept row j:
+
+    prob interval  (p_lo, p_hi]  ->  value interval (v_lo, v_hi)
+
+with v_lo = previous kept row's hi value (for the first kept row:
+``max(0, hi - 10*(hi-lo))``), v_hi = the row's hi value, and the LAST kept
+row's v_hi patched to the final row's hi value (simulator.py:210-229).
+
+Sampling draws p ~ U(0,1), finds j with p_lo[j] < p <= p_hi[j], and returns
+
+    floor((p - p_lo)/(p_hi - p_lo) * (v_hi - v_lo) + v_lo)
+
+(simulator.py:1843-1849, 1891-1903).  This module reproduces that structure
+exactly but as dense, padded numpy arrays so the inversion becomes a batched
+``searchsorted`` + gather on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Padding value for probability columns beyond a lane's entry count. Must be
+# > 1 so that any p in (0, 1] lands before the padding under searchsorted.
+_PAD_P = 2.0
+
+
+@dataclasses.dataclass
+class EcdfTable:
+    """Dense array form of a binned ECDF profile.
+
+    Attributes:
+      bin_lo, bin_hi: [n_bins] int64 — the conditioning-variable range of each
+        lane (for `_match_markov_model` this is the previous-match-length bin;
+        for `_first_match.hist` there is a single 0-50000 bin).
+      p_lo, p_hi:     [n_bins, max_entries] float64 probability intervals.
+      v_lo, v_hi:     [n_bins, max_entries] float64 value intervals.
+      n_entries:      [n_bins] int64 number of valid entries per lane.
+    """
+
+    bin_lo: np.ndarray
+    bin_hi: np.ndarray
+    p_lo: np.ndarray
+    p_hi: np.ndarray
+    v_lo: np.ndarray
+    v_hi: np.ndarray
+    n_entries: np.ndarray
+
+    @property
+    def n_bins(self) -> int:
+        return len(self.bin_lo)
+
+    def select_bin(self, value: int) -> int:
+        """Lane index for a conditioning value (match-markov bin selection).
+
+        Mirrors simulator.py:1891-1893: first bin with lo <= value < hi; if the
+        value is beyond the last bin, the reference's loop falls through with
+        the last bin selected.
+        """
+        idx = int(np.searchsorted(self.bin_lo, value, side="right")) - 1
+        return int(np.clip(idx, 0, self.n_bins - 1))
+
+    def invert(self, lane: int, p: float) -> int:
+        """Scalar reference inversion (used by tests; device path in ops/)."""
+        n = self.n_entries[lane]
+        j = int(np.searchsorted(self.p_hi[lane, :n], p, side="left"))
+        j = min(j, n - 1)
+        plo, phi = self.p_lo[lane, j], self.p_hi[lane, j]
+        vlo, vhi = self.v_lo[lane, j], self.v_hi[lane, j]
+        return int(np.floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo))
+
+
+def parse_ecdf_lines(lines) -> EcdfTable:
+    """Parse the text format into an :class:`EcdfTable`.
+
+    Reproduces simulator.py:194-231 (`read_ecdf`) including its first-entry
+    value-floor rule and the last-interval hi-value patch.
+    """
+    lines = iter(lines)
+    header = next(lines).strip().split()
+    bin_bounds = []
+    for tok in header[1:]:
+        lo, hi = tok.split("-")
+        bin_bounds.append((int(lo), int(hi)))
+    # The reference maps columns to *sorted* bin keys (simulator.py:206); the
+    # writer emits them ascending so this is normally the identity.
+    order = np.argsort([b[0] for b in bin_bounds], kind="stable")
+    n_lanes = len(bin_bounds)
+
+    entries = [[] for _ in range(n_lanes)]  # per lane: (p_lo, p_hi, v_lo, v_hi)
+    l_prob = [0.0] * n_lanes
+    l_ratio = [0.0] * n_lanes
+    last_row_hi = 0.0
+    for line in lines:
+        parts = line.strip().split("\t")
+        if not parts or parts == [""]:
+            continue
+        row_lo, row_hi = (float(x) for x in parts[0].split("-"))
+        last_row_hi = row_hi
+        probs = [float(x) for x in parts[1:]]
+        for i in range(n_lanes):
+            if probs[i] == l_prob[i]:
+                continue
+            if l_prob[i] != 0:
+                entries[i].append((l_prob[i], probs[i], l_ratio[i], row_hi))
+            else:
+                vlo = max(l_ratio[i], row_hi - 10.0 * (row_hi - row_lo))
+                entries[i].append((l_prob[i], probs[i], vlo, row_hi))
+            l_ratio[i] = row_hi
+            l_prob[i] = probs[i]
+
+    for i in range(n_lanes):
+        if entries[i]:
+            plo, phi, vlo, _ = entries[i][-1]
+            entries[i][-1] = (plo, phi, vlo, last_row_hi)
+
+    max_e = max(1, max(len(e) for e in entries))
+    p_lo = np.zeros((n_lanes, max_e))
+    p_hi = np.full((n_lanes, max_e), _PAD_P)
+    v_lo = np.zeros((n_lanes, max_e))
+    v_hi = np.zeros((n_lanes, max_e))
+    n_entries = np.zeros(n_lanes, dtype=np.int64)
+    for out_lane, col in enumerate(order):
+        lane_entries = entries[col]
+        n_entries[out_lane] = len(lane_entries)
+        for j, (plo, phi, vlo, vhi) in enumerate(lane_entries):
+            p_lo[out_lane, j] = plo
+            p_hi[out_lane, j] = phi
+            v_lo[out_lane, j] = vlo
+            v_hi[out_lane, j] = vhi
+
+    sorted_bounds = [bin_bounds[c] for c in order]
+    return EcdfTable(
+        bin_lo=np.array([b[0] for b in sorted_bounds], dtype=np.int64),
+        bin_hi=np.array([b[1] for b in sorted_bounds], dtype=np.int64),
+        p_lo=p_lo,
+        p_hi=p_hi,
+        v_lo=v_lo,
+        v_hi=v_hi,
+        n_entries=n_entries,
+    )
+
+
+def read_ecdf_file(path: str) -> EcdfTable:
+    with open(path) as f:
+        return parse_ecdf_lines(f)
+
+
+def write_ecdf_file(path: str, bin_bounds, cum_probs: np.ndarray, first_token: str = "bins") -> None:
+    """Write the text format from dense cumulative probabilities.
+
+    Args:
+      bin_bounds: sequence of (lo, hi) per lane.
+      cum_probs: [n_rows, n_lanes] cumulative probabilities; row r covers the
+        value interval r-(r+1).
+    """
+    cum_probs = np.atleast_2d(np.asarray(cum_probs, dtype=np.float64))
+    if cum_probs.shape[1] != len(bin_bounds):
+        raise ValueError("cum_probs lanes != bin_bounds")
+    with open(path, "w") as f:
+        f.write(first_token + "\t" + "\t".join(f"{lo}-{hi}" for lo, hi in bin_bounds) + "\n")
+        for r in range(cum_probs.shape[0]):
+            f.write(f"{r}-{r + 1}\t" + "\t".join(repr(float(x)) for x in cum_probs[r]) + "\n")
