@@ -1,0 +1,87 @@
+"""Counter-based RNG streams: the fixed seed mapping.
+
+The reference's randomness is a tangle of `random` and `np.random` global
+state, re-seeded from OS entropy before every worker fork
+(simulator.py:1590-1592) — multi-process runs are not reproducible at all.
+This module *defines* the seed mapping for the TPU build:
+
+    slot_key  = fold_in(fold_in(threefry(seed), STREAM), slot_id)
+    draw_key  = fold_in(slot_key, site_id)          # one site per draw kind
+    retry     = fold_in(draw_key, round)            # rejection-retry rounds
+
+Every random decision for a read is keyed only by its global *slot id* (a
+monotonically increasing counter over candidate reads) and a static *site id*
+enumerated below.  Consequences:
+
+* identical output for a fixed (seed, batch size) regardless of device count
+  or host count — slots are sharded, not re-randomized;
+* replaying any single read requires only its slot id;
+* rejected slots perturb nothing: accepted reads keep their draws.
+
+Site ids are part of the on-disk reproducibility contract — append, never
+renumber.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# --- Site enumeration (append-only) ---------------------------------------
+SITE_REF_LENGTH = 0  # aligned-region / total length KDE draw
+SITE_REMAINDER = 1  # head+tail length KDE draw
+SITE_HT_RATIO = 2  # head/(head+tail) ratio KDE draw
+SITE_STRAND = 3  # reverse-complement decision
+SITE_WALK = 4  # error-state Markov walk (fold in step index)
+SITE_POSITION = 5  # reference start position (fold in retry round)
+SITE_IUPAC = 6  # ambiguity-code base resolution
+SITE_MIS_BASE = 7  # substituted base choice
+SITE_INS_BASE = 8  # inserted base choice
+SITE_QUAL = 9  # per-base quality draw
+SITE_HEAD_TAIL = 10  # head/tail random bases
+SITE_HOMOPOLYMER = 11  # homopolymer resize + in-run mismatches
+SITE_SEGMENTS = 12  # chimeric segment count (geometric)
+SITE_GAP = 13  # chimeric gap length + gap error walk
+SITE_SPECIES = 14  # metagenome species/chromosome choice
+SITE_POLYA = 15  # polyA tail length
+SITE_IR = 16  # intron-retention Markov walk
+SITE_TRANSCRIPT = 17  # weighted transcript choice
+SITE_LOGNORMAL_LEN = 18  # median/sd lognormal length mode
+SITE_UNALIGNED_WALK = 19  # unaligned-read error walk
+SITE_ALIGNED_2D = 20  # conditional 2D-KDE aligned-length draw
+SITE_HP_QUAL = 21  # homopolymer patched qualities
+
+# Distinct top-level streams so aligned/unaligned/gap slot counters never
+# collide.
+STREAM_ALIGNED = 0
+STREAM_UNALIGNED = 1
+STREAM_GAP = 2
+
+
+def base_key(seed: int, stream: int = STREAM_ALIGNED) -> jax.Array:
+    return jax.random.fold_in(jax.random.PRNGKey(seed), stream)
+
+
+def slot_keys(base: jax.Array, slot_ids: jax.Array) -> jax.Array:
+    """[B] slot ids -> [B, 2] per-slot keys (vmapped fold_in)."""
+    return jax.vmap(lambda s: jax.random.fold_in(base, s))(slot_ids)
+
+
+def site_keys(slot_keys_arr: jax.Array, site: int) -> jax.Array:
+    return jax.vmap(lambda k: jax.random.fold_in(k, site))(slot_keys_arr)
+
+
+def uniform_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
+    """Per-slot uniform(0,1) draws of `shape` per lane -> [B, *shape]."""
+    ks = site_keys(slot_keys_arr, site)
+    return jax.vmap(lambda k: jax.random.uniform(k, shape))(ks)
+
+
+def normal_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
+    ks = site_keys(slot_keys_arr, site)
+    return jax.vmap(lambda k: jax.random.normal(k, shape))(ks)
+
+
+def bits_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
+    ks = site_keys(slot_keys_arr, site)
+    return jax.vmap(lambda k: jax.random.bits(k, shape, dtype=jnp.uint32))(ks)
