@@ -56,7 +56,7 @@ def build_gather_map(
 ) -> GatherMap:
     B, _ = events_pos2x.shape
     L = l_read
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], events_pos2x.shape)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], events_pos2x.shape)
 
     is_mis = events_valid & (events_type == 0)
     is_ins = events_valid & (events_type == 1)
@@ -86,7 +86,7 @@ def build_gather_map(
     deli = del_mask.astype(jnp.int32)
     cumdel_excl = jnp.cumsum(deli, axis=1) - deli
 
-    i_idx = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+    i_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     read_pos = i_idx - cumdel_excl + cumins
 
     in_ref = i_idx < middle_ref[:, None]
@@ -94,11 +94,11 @@ def build_gather_map(
     target = jnp.where(kept & (read_pos < L), read_pos, L)
 
     src = jnp.full((B, L + 1), -1, jnp.int32)
-    src = src.at[jnp.broadcast_to(jnp.arange(B)[:, None], (B, L)), target].set(i_idx)
+    src = src.at[jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L)), target].set(i_idx)
     src = src[:, :L]
 
     cls = jnp.full((B, L + 1), CLASS_INS, jnp.int32)
-    cls = cls.at[jnp.broadcast_to(jnp.arange(B)[:, None], (B, L)), target].set(
+    cls = cls.at[jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L)), target].set(
         jnp.where(mis_mask, CLASS_MIS, CLASS_MATCH)
     )
     cls = cls[:, :L]
@@ -108,7 +108,7 @@ def build_gather_map(
     n_ins = jnp.sum(jnp.where(is_ins & (ins_before <= middle_ref[:, None]), events_len, 0), axis=1)
     read_len = (n_kept + n_ins).astype(jnp.int32)
 
-    j_idx = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+    j_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     valid = j_idx < read_len[:, None]
     return GatherMap(src=src, qclass=cls, valid=valid, read_len=read_len)
 

@@ -73,7 +73,7 @@ def error_walk(
     walk_keys = rng.site_keys(slot_keys, rng.SITE_WALK)
 
     # --- first match (simulator.py:1843-1856) ---
-    u0 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0)))(walk_keys)
+    u0 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0), dtype=jnp.float32))(walk_keys)
     fm = first_match.invert(jnp.zeros(B, jnp.int32), u0)
     prev_match = jnp.maximum(fm, 2)
     pos = prev_match
@@ -85,7 +85,7 @@ def error_walk(
         (pos, middle_ref, l_new, prev_state, prev_match, n_events, ecnt_mis, ecnt_ins, ecnt_match) = carry
         active = pos < middle_ref
 
-        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (3,)))(walk_keys)
+        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (3,), dtype=jnp.float32))(walk_keys)
         u_err, u_len, u_match = us[:, 0], us[:, 1], us[:, 2]
 
         etype = trans.sample(prev_state, u_err)
@@ -183,7 +183,7 @@ def unaligned_walk(
         pos, middle_ref, l_new, n_events, last_is_ins = carry
         active = pos < middle_ref
 
-        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (2,)))(walk_keys)
+        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (2,), dtype=jnp.float32))(walk_keys)
         u_type, u_len = us[:, 0], us[:, 1]
 
         # match < 0.4 <= mis < 0.7 <= ins < 0.85 <= del

@@ -71,15 +71,15 @@ def site_keys(slot_keys_arr: jax.Array, site: int) -> jax.Array:
     return jax.vmap(lambda k: jax.random.fold_in(k, site))(slot_keys_arr)
 
 
-def uniform_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
+def uniform_per_slot(slot_keys_arr: jax.Array, site: int, shape=(), dtype=jnp.float32) -> jax.Array:
     """Per-slot uniform(0,1) draws of `shape` per lane -> [B, *shape]."""
     ks = site_keys(slot_keys_arr, site)
-    return jax.vmap(lambda k: jax.random.uniform(k, shape))(ks)
+    return jax.vmap(lambda k: jax.random.uniform(k, shape, dtype=dtype))(ks)
 
 
-def normal_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
+def normal_per_slot(slot_keys_arr: jax.Array, site: int, shape=(), dtype=jnp.float32) -> jax.Array:
     ks = site_keys(slot_keys_arr, site)
-    return jax.vmap(lambda k: jax.random.normal(k, shape))(ks)
+    return jax.vmap(lambda k: jax.random.normal(k, shape, dtype=dtype))(ks)
 
 
 def bits_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:

@@ -1,0 +1,96 @@
+"""ReadProfile -> device table bundle, and capacity planning."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tables import EcdfDevice, KdeDevice, MixtureDevice, QualDevice, TransErrorDevice
+from ..profiles.profile import ReadProfile
+
+
+class SimTables(NamedTuple):
+    """Device-side sampling state shared by all modes."""
+
+    first_match: Optional[EcdfDevice]
+    match_markov: Optional[EcdfDevice]
+    mixtures: Optional[MixtureDevice]
+    trans: Optional[TransErrorDevice]
+    kde_aligned: Optional[KdeDevice]
+    kde_aligned_2d: Optional[KdeDevice]
+    kde_ht: Optional[KdeDevice]
+    kde_ht_ratio: Optional[KdeDevice]
+    kde_unaligned: Optional[KdeDevice]
+    kde_gap: Optional[KdeDevice]
+    qual: Optional[QualDevice]
+    strandness_rate: jnp.ndarray  # scalar f32
+
+
+def build_tables(p: ReadProfile) -> SimTables:
+    opt = lambda f, x: None if x is None else f(x)
+    return SimTables(
+        first_match=opt(EcdfDevice.from_table, p.first_match),
+        match_markov=opt(EcdfDevice.from_table, p.match_markov),
+        mixtures=opt(MixtureDevice.from_params, p.mix_params),
+        trans=opt(TransErrorDevice.from_probs, p.trans_error),
+        kde_aligned=opt(KdeDevice.from_model, p.kde_aligned),
+        kde_aligned_2d=opt(KdeDevice.from_model, p.kde_aligned_2d),
+        kde_ht=opt(KdeDevice.from_model, p.kde_ht),
+        kde_ht_ratio=opt(KdeDevice.from_model, p.kde_ht_ratio),
+        kde_unaligned=opt(KdeDevice.from_model, p.kde_unaligned),
+        kde_gap=opt(KdeDevice.from_model, p.kde_gap),
+        qual=opt(QualDevice.from_params, p.base_quals),
+        strandness_rate=jnp.float32(p.strandness_rate),
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return int(-(-x // m) * m)
+
+
+def plan_ref_capacity(p: ReadProfile, max_len: float, max_chrom: int, margin: float = 1.45) -> int:
+    """Static reference-segment buffer length.
+
+    Upper-bounds the sampled aligned length (KDE support = max fitted point +
+    6 bandwidths) inflated by `margin` for error-walk overshoot; clipped by
+    the user max_len and the longest chromosome.  Lanes exceeding the cap are
+    rejected and counted (they are far in the model's tail).
+    """
+    kde = p.kde_aligned if p.kde_aligned is not None else p.kde_aligned_2d
+    if kde is not None:
+        col = kde.data[:, -1] if kde.data.shape[1] > 1 else kde.data[:, 0]
+        support = float(np.max(col)) + 6.0 * kde.bandwidth
+    else:
+        support = 100000.0
+    cap = support * margin + 64
+    cap = min(cap, float(max_len) * margin + 64 if np.isfinite(max_len) else cap, float(max_chrom))
+    return max(256, _round_up(int(cap), 256))
+
+
+def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
+    """Static walk-event budget: l_cap / E[match + error advance] * slack."""
+    if p.match_markov is None:
+        return 64
+    # crude per-bin mean of the match ECDF value ranges, averaged
+    means = []
+    for lane in range(p.match_markov.n_bins):
+        n = p.match_markov.n_entries[lane]
+        if n == 0:
+            continue
+        v = 0.5 * (p.match_markov.v_lo[lane, :n] + p.match_markov.v_hi[lane, :n])
+        pw = np.diff(np.concatenate([[0.0], p.match_markov.p_hi[lane, :n]]))
+        denom = pw.sum() or 1.0
+        means.append(float((v * pw).sum() / denom))
+    mean_match = max(2.0, float(np.mean(means)) if means else 10.0)
+    budget = int(l_cap / (mean_match + 1.0) * slack) + 64
+    return min(budget, l_cap)
+
+
+def plan_ht_capacity(p: ReadProfile, margin: float = 1.3) -> int:
+    """Static head+tail buffer length from the ht KDE's support (log10 space)."""
+    if p.kde_ht is None:
+        return 512
+    support = 10.0 ** (float(np.max(p.kde_ht.data)) + 6.0 * p.kde_ht.bandwidth) - 1.0
+    return max(128, _round_up(int(support * margin) + 16, 128))

@@ -1,0 +1,218 @@
+"""Batched reference extraction: position sampling + gathers.
+
+Replaces the reference's per-read string slicing (`extract_read`,
+simulator.py:1694-1781).  The genome lives in HBM as one flat uint8 array;
+start positions are sampled per lane with the reference's semantics
+(uniform over the concatenated genome, rejecting reads that span a
+chromosome boundary; circular chromosomes wrap), and the read becomes a
+[B, L] gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.genome import MetagenomeSet, PackedGenome
+from ..ops import rng
+
+
+@dataclasses.dataclass
+class GenomeDevice:
+    """Device-resident packed genome."""
+
+    flat: jax.Array  # [total] uint8
+    offsets: jax.Array  # [n_chrom + 1] int64
+    lengths: jax.Array  # [n_chrom] int64
+    circular: jax.Array  # [n_chrom] bool
+    genome_len: int  # static
+    # metagenome extras (empty for plain genomes)
+    species_of_chrom: jax.Array  # [n_chrom] int32
+    chrom_start_of_species: jax.Array  # [n_species + 1] int32
+
+    @classmethod
+    def from_packed(cls, g: PackedGenome) -> "GenomeDevice":
+        n = g.n_chrom
+        return cls(
+            flat=jnp.asarray(g.flat),
+            offsets=jnp.asarray(g.offsets, jnp.int64),
+            lengths=jnp.asarray(g.lengths, jnp.int64),
+            circular=jnp.asarray(g.circular),
+            genome_len=g.total_len,
+            species_of_chrom=jnp.zeros(n, jnp.int32),
+            chrom_start_of_species=jnp.asarray([0, n], jnp.int32),
+        )
+
+    @classmethod
+    def from_metagenome(cls, m: MetagenomeSet) -> "GenomeDevice":
+        g = m.packed
+        return cls(
+            flat=jnp.asarray(g.flat),
+            offsets=jnp.asarray(g.offsets, jnp.int64),
+            lengths=jnp.asarray(g.lengths, jnp.int64),
+            circular=jnp.asarray(g.circular),
+            genome_len=g.total_len,
+            species_of_chrom=jnp.asarray(m.species_of_chrom, jnp.int32),
+            chrom_start_of_species=jnp.asarray(m.chrom_start_of_species, jnp.int32),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    GenomeDevice,
+    lambda g: (
+        (g.flat, g.offsets, g.lengths, g.circular, g.species_of_chrom, g.chrom_start_of_species),
+        (g.genome_len,),
+    ),
+    lambda static, data: GenomeDevice(
+        flat=data[0],
+        offsets=data[1],
+        lengths=data[2],
+        circular=data[3],
+        genome_len=static[0],
+        species_of_chrom=data[4],
+        chrom_start_of_species=data[5],
+    ),
+)
+
+
+def sample_genome_positions(
+    slot_keys: jax.Array,  # [B, 2]
+    lengths: jax.Array,  # [B] int32 middle_ref per lane
+    genome: GenomeDevice,
+    dna_type_circular: bool,
+    n_retries: int = 8,
+    site: int = rng.SITE_POSITION,
+):
+    """Sample start positions, genome mode (simulator.py:1750-1781).
+
+    Linear: uniform global position over the concatenated genome, rejected
+    unless the read fits inside one chromosome; up to `n_retries` fresh draws
+    per lane (the reference retries unboundedly; failures here surface in
+    `ok` and the slot is rejected upstream).
+
+    Circular (single chromosome): any position, wraps.
+
+    Returns (chrom [B] i32, local_pos [B] i64, ok [B] bool).
+    """
+    B = slot_keys.shape[0]
+    pos_keys = rng.site_keys(slot_keys, site)
+    glen = genome.genome_len
+
+    def draw(r):
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, r))(pos_keys)
+        u = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float64))(ks)
+        # random.randint(0, genome_len) is inclusive on both ends
+        return jnp.minimum((u * (glen + 1)).astype(jnp.int64), glen)
+
+    if dna_type_circular:
+        g = draw(0)
+        # single chromosome; wrap handled at gather time
+        return jnp.zeros(B, jnp.int32), g, jnp.ones(B, bool)
+
+    chrom = jnp.zeros(B, jnp.int32)
+    local = jnp.zeros(B, jnp.int64)
+    ok = jnp.zeros(B, bool)
+    for r in range(n_retries):
+        g = draw(r)
+        c = jnp.clip(jnp.searchsorted(genome.offsets, g, side="right") - 1, 0, genome.lengths.shape[0] - 1)
+        lp = g - genome.offsets[c]
+        fits = lp + lengths <= genome.lengths[c]
+        take = (~ok) & fits
+        chrom = jnp.where(take, c.astype(jnp.int32), chrom)
+        local = jnp.where(take, lp, local)
+        ok = ok | fits
+    return chrom, local, ok
+
+
+def sample_transcript_positions(
+    slot_keys: jax.Array,
+    trx_idx: jax.Array,  # [B] int32 transcript per lane
+    lengths: jax.Array,  # [B] int32
+    genome: GenomeDevice,
+    site: int = rng.SITE_POSITION,
+):
+    """extract_read_trx (simulator.py:1683-1691): uniform start in
+    [0, seq_len - length], inclusive.  Returns (local_pos [B] i64, ok)."""
+    pos_keys = rng.site_keys(slot_keys, site)
+    u = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float64))(pos_keys)
+    span = genome.lengths[trx_idx] - lengths.astype(jnp.int64)
+    ok = span >= 0
+    hi = jnp.maximum(span, 0) + 1
+    pos = jnp.minimum((u * hi).astype(jnp.int64), jnp.maximum(span, 0))
+    return pos, ok
+
+
+def sample_metagenome_positions(
+    slot_keys: jax.Array,
+    species: jax.Array,  # [B] int32
+    lengths: jax.Array,  # [B] int32
+    genome: GenomeDevice,
+    n_chrom: int,
+    site: int = rng.SITE_SPECIES,
+):
+    """Metagenome extraction (simulator.py:1704-1747).
+
+    Choose a uniform chromosome of the species; if too short, fall back to a
+    uniform choice among longer chromosomes of the same species, else among
+    longer chromosomes anywhere.  Circular chromosomes start anywhere and
+    wrap; linear ones start in [0, len - length].
+
+    Returns (chrom [B] i32, local_pos [B] i64, ok [B] bool).
+    """
+    keys = rng.site_keys(slot_keys, site)
+    us = jax.vmap(lambda k: jax.random.uniform(k, (3,), dtype=jnp.float64))(keys)
+    u_chrom, u_fallback, u_pos = us[:, 0], us[:, 1], us[:, 2]
+
+    cs = genome.chrom_start_of_species
+    lo = cs[species]
+    n_of_sp = cs[species + 1] - lo
+    chrom = lo + jnp.minimum((u_chrom * n_of_sp).astype(jnp.int32), n_of_sp - 1)
+
+    fits = lengths.astype(jnp.int64) <= genome.lengths[chrom]
+
+    # Fallback: uniform among longer chromosomes, preferring the same species.
+    chrom_ids = jnp.arange(n_chrom)
+    longer = lengths.astype(jnp.int64)[:, None] < genome.lengths[None, :]  # [B, C]
+    same_sp = genome.species_of_chrom[None, :] == species[:, None]
+    cand_same = longer & same_sp
+    cand_any = longer & ~same_sp
+    n_same = jnp.sum(cand_same, axis=1)
+    n_any = jnp.sum(cand_any, axis=1)
+    use_same = n_same > 0
+    cand = jnp.where(use_same[:, None], cand_same, cand_any)
+    n_cand = jnp.where(use_same, n_same, n_any)
+    kth = jnp.minimum((u_fallback * n_cand).astype(jnp.int32), jnp.maximum(n_cand - 1, 0))
+    cum = jnp.cumsum(cand.astype(jnp.int32), axis=1)
+    fb_chrom = jnp.argmax(cum > kth[:, None], axis=1).astype(jnp.int32)
+    ok = fits | (n_cand > 0)
+    chrom = jnp.where(fits, chrom, fb_chrom)
+
+    clen = genome.lengths[chrom]
+    circ = genome.circular[chrom]
+    # circular: randint(0, len) inclusive; linear: randint(0, len - length)
+    span = jnp.where(circ, clen, clen - lengths.astype(jnp.int64))
+    pos = jnp.minimum((u_pos * (span + 1)).astype(jnp.int64), span)
+    return chrom, pos, ok
+
+
+@functools.partial(jax.jit, static_argnames=("l_cap",))
+def gather_segments(
+    genome: GenomeDevice,
+    chrom: jax.Array,  # [B] int32
+    local_pos: jax.Array,  # [B] int64
+    seg_len: jax.Array,  # [B] int32
+    l_cap: int,
+) -> jax.Array:
+    """[B, l_cap] uint8 reference slices with circular wrap."""
+    B = chrom.shape[0]
+    i = jnp.arange(l_cap, dtype=jnp.int64)[None, :]
+    clen = genome.lengths[chrom][:, None]
+    raw = local_pos[:, None] + i
+    wrapped = jnp.where(genome.circular[chrom][:, None], raw % clen, raw)
+    idx = genome.offsets[chrom][:, None] + jnp.minimum(wrapped, clen - 1)
+    seg = jnp.take(genome.flat, idx, mode="clip")
+    return jnp.where(i < seg_len[:, None], seg, jnp.uint8(0))

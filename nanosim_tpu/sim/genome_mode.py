@@ -1,0 +1,346 @@
+"""Genome-mode simulation: batched device step + host driver.
+
+The reference's per-read rejection loop (`simulation_aligned_genome`,
+simulator.py:1266-1454) becomes a fixed-shape batch pipeline:
+
+  slot ids -> per-slot RNG -> KDE length draws -> error walk (lax.scan) ->
+  position sampling + boundary rejection -> HBM gather -> IUPAC resolve ->
+  gather-map mutation -> head/tail append -> strand flip -> qualities
+
+Rejected lanes (length filters, boundary rejection, capacity overflow) are
+simply invalid slots; the host driver keeps consuming fresh slot ranges until
+the read quota is met.  Sequence numbering is by accepted-slot order, which
+makes output independent of batch scheduling and device count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import apply_errors, error_walk, rng, seqops
+from ..profiles.profile import ReadProfile
+from . import extract
+from .bundles import SimTables, build_tables, plan_event_budget, plan_ht_capacity, plan_ref_capacity
+
+QCLASS_HT = 3
+QCLASS_UNMAPPED = 4
+
+
+class BatchOut(NamedTuple):
+    read: jax.Array  # [B, L_out] uint8 ASCII, final orientation
+    quals: jax.Array  # [B, L_out] uint8 phred+33 (zeros when not fastq)
+    valid: jax.Array  # [B] bool
+    total_len: jax.Array  # [B] int32
+    head: jax.Array  # [B] int32
+    tail: jax.Array  # [B] int32
+    middle_ref: jax.Array  # [B] int32
+    l_new: jax.Array  # [B] int32
+    chrom: jax.Array  # [B] int32
+    local_pos: jax.Array  # [B] int64
+    is_reversed: jax.Array  # [B] bool
+    ev_pos2x: jax.Array  # [B, E] int32
+    ev_type: jax.Array  # [B, E] int32
+    ev_len: jax.Array  # [B, E] int32
+    ev_valid: jax.Array  # [B, E] bool
+
+
+def _ndtri(q):
+    return jnp.sqrt(jnp.float32(2.0)) * jax.scipy.special.erfinv(2.0 * q - 1.0)
+
+
+def _kde_draw(sk, site, kde, n_cand=1):
+    """Per-slot KDE draws: [B, n_cand] samples."""
+    u = rng.uniform_per_slot(sk, site, (n_cand, 2))
+    comp = u[..., 0].reshape(-1)
+    z = _ndtri(jnp.clip(u[..., 1].reshape(-1), 1e-7, 1 - 1e-7))
+    out = kde.sample(comp, z)
+    return out.reshape(u.shape[0], n_cand)
+
+
+def _first_valid(cands, valid):
+    """Pick the first valid candidate per lane; (value, any_valid)."""
+    idx = jnp.argmax(valid, axis=1)
+    return jnp.take_along_axis(cands, idx[:, None], axis=1)[:, 0], valid.any(axis=1)
+
+
+def draw_ht(sk, tables: SimTables, ht_cap: int):
+    """Head/tail remainder + ratio draws with the reference's filters
+    (remainder >= 0, 0 <= ratio <= 1; simulator.py:1456-1479).
+
+    Returns (remainder i32, head i32, tail i32, ok bool).
+    """
+    rem_c = _kde_draw(sk, rng.SITE_REMAINDER, tables.kde_ht, 4)
+    rem, rem_ok = _first_valid(rem_c, rem_c >= 0)
+    ratio_c = _kde_draw(sk, rng.SITE_HT_RATIO, tables.kde_ht_ratio, 4)
+    ratio, ratio_ok = _first_valid(ratio_c, (ratio_c >= 0) & (ratio_c <= 1))
+    remainder = rem.astype(jnp.int32)  # int() truncation
+    head = jnp.round(remainder * ratio).astype(jnp.int32)
+    head = jnp.where(remainder == 0, 0, head)
+    tail = remainder - head
+    ok = rem_ok & ratio_ok & (remainder <= ht_cap)
+    return remainder, head, tail, ok
+
+
+def assemble_read(
+    read_mid: jax.Array,  # [B, l_cap] uint8 mutated middle
+    qclass_mid: jax.Array,  # [B, l_cap] int32
+    l_new: jax.Array,
+    head: jax.Array,
+    tail: jax.Array,
+    sk: jax.Array,
+    tables: SimTables,
+    l_out: int,
+    ht_cap: int,
+    fastq: bool,
+):
+    """Head bases + middle + tail bases; per-base classes; strand flip; quals.
+
+    Mirrors simulator.py:1421-1443: head/tail random bases, ht-class
+    qualities at both flanks, reverse complement at 1 - strandness.
+    """
+    B = read_mid.shape[0]
+    j = jnp.arange(l_out, dtype=jnp.int32)[None, :]
+    headc = head[:, None]
+    l_newc = l_new[:, None]
+    total = head + l_new + tail
+    totalc = total[:, None]
+
+    u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
+    in_head = j < headc
+    in_mid = (j >= headc) & (j < headc + l_newc)
+    in_tail = (j >= headc + l_newc) & (j < totalc)
+
+    mid_idx = jnp.clip(j - headc, 0, read_mid.shape[1] - 1)
+    mid_bases = jnp.take_along_axis(read_mid, mid_idx, axis=1)
+    ht_idx = jnp.where(in_tail, j - l_newc, j)
+    ht_bases = seqops.random_bases(
+        jnp.take_along_axis(u_ht, jnp.clip(ht_idx, 0, ht_cap - 1), axis=1)
+    )
+    base = jnp.where(in_mid, mid_bases, jnp.where(in_head | in_tail, ht_bases, jnp.uint8(0)))
+
+    u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+    is_rev = u_strand > tables.strandness_rate
+    rc = seqops.reverse_complement(base, total)
+    read = jnp.where(is_rev[:, None], rc, base)
+
+    quals = jnp.zeros((B, l_out), jnp.uint8)
+    if fastq:
+        cls_mid = jnp.take_along_axis(qclass_mid, mid_idx, axis=1)
+        cls = jnp.where(in_mid, cls_mid, QCLASS_HT)
+        u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
+        q = tables.qual.sample(cls, u_q)
+        q = jnp.where(j < totalc, q, 0)
+        q = jnp.where(is_rev[:, None], seqops.reverse_quals(q, total), q)
+        quals = jnp.where(j < totalc, (q + 33).astype(jnp.uint8), jnp.uint8(0))
+
+    return read, quals, total, is_rev
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l_cap",
+        "l_out",
+        "ht_cap",
+        "e_max",
+        "fastq",
+        "perfect",
+        "circular_dna",
+        "min_len",
+        "max_len",
+        "median_len",
+        "sd_len",
+    ),
+)
+def genome_batch(
+    base_key: jax.Array,
+    slots: jax.Array,  # [B] int64 global slot ids
+    genome: extract.GenomeDevice,
+    tables: SimTables,
+    *,
+    l_cap: int,
+    l_out: int,
+    ht_cap: int,
+    e_max: int,
+    fastq: bool,
+    perfect: bool,
+    circular_dna: bool,
+    min_len: int,
+    max_len: float,
+    median_len: Optional[float],
+    sd_len: Optional[float],
+) -> BatchOut:
+    B = slots.shape[0]
+    sk = rng.slot_keys(base_key, slots)
+    E = 1 if perfect else e_max
+
+    # --- aligned-region length (simulator.py:1284-1296) ---
+    if median_len is not None:
+        z = rng.normal_per_slot(sk, rng.SITE_LOGNORMAL_LEN)
+        if perfect:
+            ref_len_f = jnp.exp(z * sd_len + jnp.log(median_len))
+        else:
+            ref_len_f = jnp.exp(z * sd_len + jnp.log(median_len + sd_len**2 / 2.0))
+    else:
+        ref_len_f = _kde_draw(sk, rng.SITE_REF_LENGTH, tables.kde_aligned, 1)[:, 0]
+
+    if perfect:
+        valid = (ref_len_f >= min_len) & (ref_len_f <= max_len)
+        m_ref = jnp.clip(ref_len_f.astype(jnp.int32), 0, l_cap)
+        middle_ref = m_ref
+        l_new = m_ref
+        head = jnp.zeros(B, jnp.int32)
+        tail = jnp.zeros(B, jnp.int32)
+        ev_pos2x = jnp.zeros((B, E), jnp.int32)
+        ev_type = jnp.zeros((B, E), jnp.int32)
+        ev_len = jnp.zeros((B, E), jnp.int32)
+        ev_valid = jnp.zeros((B, E), bool)
+        valid &= ref_len_f <= l_cap
+    else:
+        if median_len is not None:
+            remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
+            ref_len_f = ref_len_f - remainder  # total - remainder
+        else:
+            remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
+        valid = ht_ok & (ref_len_f > 0) & (ref_len_f <= max_len) & (ref_len_f <= l_cap)
+        m_ref = jnp.clip(ref_len_f.astype(jnp.int32), 0, l_cap)
+
+        walk = error_walk.error_walk(
+            sk, m_ref, tables.first_match, tables.match_markov, tables.mixtures, tables.trans, e_max
+        )
+        middle_ref, l_new = walk.middle_ref, walk.l_new
+        ev_pos2x, ev_type, ev_len, ev_valid = (
+            walk.events_pos2x,
+            walk.events_type,
+            walk.events_len,
+            walk.events_valid,
+        )
+        valid &= ~walk.overflow & (middle_ref <= l_cap) & (l_new <= l_cap)
+        total0 = remainder + l_new
+        valid &= (total0 >= min_len) & (total0 <= max_len) & (total0 <= l_out)
+
+    # --- extraction (simulator.py:1694-1781) ---
+    chrom, local_pos, pos_ok = extract.sample_genome_positions(
+        sk, middle_ref, genome, circular_dna
+    )
+    valid &= pos_ok
+    ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
+    u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+    ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+
+    if perfect:
+        read_mid = ref_seg
+        qclass_mid = jnp.zeros((B, l_cap), jnp.int32)  # match
+    else:
+        gm = apply_errors.build_gather_map(
+            ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
+        )
+        u_mis = rng.uniform_per_slot(sk, rng.SITE_MIS_BASE, (l_cap,))
+        u_ins = rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
+        read_mid = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
+        qclass_mid = gm.qclass
+
+    read, quals, total, is_rev = assemble_read(
+        read_mid, qclass_mid, l_new, head, tail, sk, tables, l_out, ht_cap, fastq
+    )
+    # final length filter (simulator.py:1429-1430 / 897 for perfect)
+    valid &= (total >= min_len) & (total <= max_len)
+
+    return BatchOut(
+        read=read,
+        quals=quals,
+        valid=valid,
+        total_len=total,
+        head=head,
+        tail=tail,
+        middle_ref=middle_ref,
+        l_new=l_new,
+        chrom=chrom,
+        local_pos=local_pos,
+        is_reversed=is_rev,
+        ev_pos2x=ev_pos2x,
+        ev_type=ev_type,
+        ev_len=ev_len,
+        ev_valid=ev_valid,
+    )
+
+
+class GenomeSimulator:
+    """Host driver: batches, slot accounting, acceptance, output."""
+
+    def __init__(
+        self,
+        genome,
+        profile: ReadProfile,
+        *,
+        fastq: bool = False,
+        perfect: bool = False,
+        circular_dna: bool = False,
+        min_len: int = 50,
+        max_len: float = float("inf"),
+        median_len: Optional[float] = None,
+        sd_len: Optional[float] = None,
+        batch: int = 256,
+        l_cap: Optional[int] = None,
+        kmer_bias: Optional[int] = None,
+    ):
+        self.genome_host = genome
+        self.profile = profile
+        max_len = min(max_len, genome.max_chrom)
+        self.max_len = max_len
+        self.min_len = min_len
+        self.fastq = fastq
+        self.perfect = perfect
+        self.circular_dna = circular_dna
+        self.median_len = median_len
+        self.sd_len = sd_len
+        self.batch = batch
+        self.kmer_bias = kmer_bias
+
+        self.l_cap = l_cap or plan_ref_capacity(profile, max_len, genome.max_chrom)
+        self.ht_cap = plan_ht_capacity(profile)
+        self.l_out = self.l_cap + self.ht_cap
+        self.e_max = plan_event_budget(profile, self.l_cap)
+
+        self.tables = build_tables(profile)
+        self.genome_dev = extract.GenomeDevice.from_packed(genome)
+
+    def batch_fn(self):
+        return functools.partial(
+            genome_batch,
+            genome=self.genome_dev,
+            tables=self.tables,
+            l_cap=self.l_cap,
+            l_out=self.l_out,
+            ht_cap=self.ht_cap,
+            e_max=self.e_max,
+            fastq=self.fastq,
+            perfect=self.perfect,
+            circular_dna=self.circular_dna,
+            min_len=self.min_len,
+            max_len=self.max_len,
+            median_len=self.median_len,
+            sd_len=self.sd_len,
+        )
+
+    def run(self, n_reads: int, writer, seed: int = 0, max_batches: Optional[int] = None):
+        """Simulate n_reads aligned reads into `writer`."""
+        fn = self.batch_fn()
+        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        accepted = 0
+        slot_start = 0
+        batches = 0
+        while accepted < n_reads:
+            slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
+            out = fn(base, slots)
+            accepted += writer.write_batch(self, out, accepted, n_reads)
+            slot_start += self.batch
+            batches += 1
+            if max_batches is not None and batches >= max_batches:
+                break
+        return accepted
