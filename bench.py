@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark: genome-mode simulated reads/sec/chip.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+All progress goes to stderr.  The workload mirrors the driver metric
+(BASELINE.json): genome-mode simulation with an ONT-like read-length model
+(mean ~8 kb), FASTA output plus the ground-truth error log, measured end to
+end on the accepted-read stream (device compute + host encode + disk).
+
+vs_baseline is measured against the reference NanoSim running the same model
+directory on this machine's CPU (marginal per-read cost, startup excluded).
+The baseline is cached in BENCH_BASELINE.json; delete that file to re-measure.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_READS = int(os.environ.get("BENCH_READS", "20000"))
+MEAN_LEN = float(os.environ.get("BENCH_MEAN_LEN", "8000"))
+SD_LEN = float(os.environ.get("BENCH_SD_LEN", "2200"))
+GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "48"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_fixture(d):
+    from nanosim_tpu.profiles import fixtures
+
+    prefix = os.path.join(d, "training")
+    fixtures.make_model_dir(
+        prefix, mean_read_len=MEAN_LEN, sd_read_len=SD_LEN, n_kde_points=2000
+    )
+    ref_fa = os.path.join(d, "ref.fa")
+    n_chrom = 4
+    per = int(GENOME_MB * 1e6 / n_chrom)
+    fixtures.make_reference_fasta(ref_fa, [per] * n_chrom, seed=11)
+    return prefix, ref_fa
+
+
+def run_ours(prefix, ref_fa, d):
+    import jax
+
+    from nanosim_tpu.io import PackedGenome
+    from nanosim_tpu.profiles import profile
+    from nanosim_tpu.sim import output as out_mod
+    from nanosim_tpu.sim.genome_mode import GenomeSimulator
+
+    log("devices:", jax.devices())
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+    sim = GenomeSimulator(genome, prof, batch=BATCH)
+    log(f"l_cap={sim.l_cap} e_max={sim.e_max} ht_cap={sim.ht_cap} batch={sim.batch}")
+
+    # warmup (compile)
+    fw = out_mod.FastxWriter(os.path.join(d, "warm.fasta"), False)
+    el = out_mod.ErrorLogWriter(os.path.join(d, "warm_err"))
+    t0 = time.time()
+    sim.run(1, out_mod.GenomeBatchWriter(fw, el), seed=1, max_batches=1)
+    fw.close()
+    el.close()
+    log(f"warmup (compile) {time.time() - t0:.1f}s")
+
+    fw = out_mod.FastxWriter(os.path.join(d, "out_aligned_reads.fasta"), False)
+    el = out_mod.ErrorLogWriter(os.path.join(d, "out_err"))
+    w = out_mod.GenomeBatchWriter(fw, el)
+    t0 = time.time()
+    got = sim.run(N_READS, w, seed=0)
+    fw.close()
+    el.close()
+    dt = time.time() - t0
+    bases = os.path.getsize(os.path.join(d, "out_aligned_reads.fasta"))
+    log(f"ours: {got} reads in {dt:.2f}s -> {got / dt:.1f} reads/s, ~{bases / dt / 1e6:.1f} MB/s output")
+    return got / dt
+
+
+def measure_baseline(prefix, ref_fa, d):
+    """Marginal per-read cost of the reference on this CPU (two runs)."""
+    sys.path.insert(0, os.path.join(REPO, "refshim"))
+    from refshim.oracle import run_reference_cli
+
+    def one(n):
+        t0 = time.time()
+        res = run_reference_cli(
+            ["genome", "-rg", ref_fa, "-c", prefix, "-o", os.path.join(d, f"ref{n}"),
+             "-n", str(n), "--seed", "1", "-t", "1"],
+            timeout=3600,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(res.stderr[-2000:])
+        return time.time() - t0
+
+    n1, n2 = 10, 260
+    t1 = one(n1)
+    log(f"reference n={n1}: {t1:.1f}s")
+    t2 = one(n2)
+    log(f"reference n={n2}: {t2:.1f}s")
+    rps = (n2 - n1) / max(t2 - t1, 1e-9)
+    log(f"reference marginal: {rps:.2f} reads/s")
+    return rps
+
+
+def get_baseline(prefix, ref_fa, d):
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if (
+            cached.get("mean_len") == MEAN_LEN
+            and cached.get("genome_mb") == GENOME_MB
+            and cached.get("reads_per_sec", 0) > 0
+        ):
+            log(f"baseline (cached): {cached['reads_per_sec']:.2f} reads/s")
+            return cached["reads_per_sec"]
+    try:
+        rps = measure_baseline(prefix, ref_fa, d)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {"reads_per_sec": rps, "mean_len": MEAN_LEN, "genome_mb": GENOME_MB,
+                 "note": "reference NanoSim v3.2.2, single process, this machine's CPU"},
+                f,
+                indent=1,
+            )
+        return rps
+    except Exception as e:  # reference unavailable: report ratio vs nothing
+        log("baseline measurement failed:", e)
+        return None
+
+
+def main():
+    d = tempfile.mkdtemp(prefix="nanosim_bench_")
+    prefix, ref_fa = build_fixture(d)
+    ours = run_ours(prefix, ref_fa, d)
+    base = get_baseline(prefix, ref_fa, d)
+    vs = (ours / base) if base else None
+    print(
+        json.dumps(
+            {
+                "metric": "genome_sim_reads_per_sec_per_chip",
+                "value": round(ours, 2),
+                "unit": "reads/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""ctypes bridge to the C++ output formatter (native/fastwriter.cpp).
+
+Compiled lazily with g++ on first use and cached next to the source; falls
+back to None (callers keep the pure-Python path) if compilation fails.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastwriter.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libfastwriter.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return True
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB + ".tmp"]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            print("fastwriter build failed:", res.stderr[-500:], file=sys.stderr)
+            return False
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception as e:
+        print("fastwriter build error:", e, file=sys.stderr)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is None and not _tried:
+        _tried = True
+        if _build():
+            lib = ctypes.CDLL(_LIB)
+            lib.emit_batch.restype = ctypes.c_int64
+            _lib = lib
+    return _lib
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeEmitter:
+    """Batch formatter: accepted reads -> FASTA/FASTQ bytes + error-log bytes."""
+
+    def __init__(self):
+        self.lib = get_lib()
+        self._fastx_buf = np.empty(8 << 20, np.uint8)
+        self._err_buf = np.empty(8 << 20, np.uint8)
+        self._mid_buf = np.empty(1 << 20, np.uint8)
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def emit(
+        self,
+        reads: np.ndarray,  # [B, L] uint8 (C-contiguous)
+        quals,  # [B, L] uint8 or None
+        lanes: np.ndarray,  # [k] int64 lane indices, emission order
+        names: list,  # k strings
+        total_len: np.ndarray,  # [k]
+        head: np.ndarray,  # [k]
+        l_new: np.ndarray,  # [k]
+        rev: np.ndarray,  # [k] bool
+        ev_pos2x,  # [B, E] int32 or None
+        ev_type,
+        ev_len,
+        n_events,  # [k] int64 (0 if no error log)
+        g_off: np.ndarray,  # [k] genome flat offset of the read's chromosome
+        g_len: np.ndarray,  # [k] chromosome length
+        g_circ: np.ndarray,  # [k] uint8
+        start_pos: np.ndarray,  # [k] local start position
+        genome_flat: np.ndarray,
+        fastq: bool,
+        write_errors: bool,
+    ):
+        k = len(lanes)
+        packed_off = np.zeros(k + 1, np.int64)
+        pos = 0
+        chunks = []
+        for i, nm in enumerate(names):
+            b = nm.encode()
+            packed_off[i] = pos
+            chunks.append(b)
+            pos += len(b)
+        packed_off[k] = pos
+        names_packed = (
+            np.frombuffer(b"".join(chunks), np.uint8) if chunks else np.zeros(1, np.uint8)
+        )
+
+        need_fastx = int(total_len.sum()) * (2 if fastq else 1) + pos * 2 + 16 * k + 64
+        if self._fastx_buf.size < need_fastx:
+            self._fastx_buf = np.empty(int(need_fastx * 1.3), np.uint8)
+        max_total = int(total_len.max()) if k else 1
+        if self._mid_buf.size < max_total:
+            self._mid_buf = np.empty(max_total * 2, np.uint8)
+
+        if write_errors:
+            ev_len_np = ev_len
+            # generous bound: per event name+48 + 2*len
+            tot_ev_len = int(ev_len_np[lanes, :].sum()) if k else 0
+            max_name = max((len(nm) for nm in names), default=0)
+            need_err = int(n_events.sum()) * (max_name + 48) + 2 * tot_ev_len + 64
+        else:
+            need_err = 64
+        if self._err_buf.size < need_err:
+            self._err_buf = np.empty(int(need_err * 1.3), np.uint8)
+
+        fw = ctypes.c_int64(0)
+        ew = ctypes.c_int64(0)
+        B, L = reads.shape
+        if ev_pos2x is None:
+            ev_pos2x = np.zeros((B, 1), np.int32)
+            ev_type = np.zeros((B, 1), np.int32)
+            ev_len = np.zeros((B, 1), np.int32)
+        e_stride = ev_pos2x.shape[1]
+
+        args = [
+            _ptr(reads, ctypes.c_uint8),
+            ctypes.c_int64(L),
+            _ptr(quals if quals is not None else reads, ctypes.c_uint8),
+            ctypes.c_int64(k),
+            _ptr(np.ascontiguousarray(lanes, np.int64), ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(packed_off, ctypes.c_int64),
+            _ptr(np.ascontiguousarray(total_len, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(head, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(l_new, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(rev, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(ev_pos2x, np.int32), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(ev_type, np.int32), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(ev_len, np.int32), ctypes.c_int32),
+            ctypes.c_int64(e_stride),
+            _ptr(np.ascontiguousarray(n_events, np.int64), ctypes.c_int64),
+            _ptr(genome_flat, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(g_off, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(g_len, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(g_circ, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(start_pos, np.int64), ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.c_int64(self._fastx_buf.size),
+            ctypes.byref(fw),
+            _ptr(self._err_buf, ctypes.c_char),
+            ctypes.c_int64(self._err_buf.size),
+            ctypes.byref(ew),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int32(1 if write_errors else 0),
+            _ptr(self._mid_buf, ctypes.c_char),
+            ctypes.c_int64(self._mid_buf.size),
+        ]
+        rc = self.lib.emit_batch(*args)
+        if rc != 0:
+            # grow the overflowing buffer and retry once
+            if rc == 1:
+                self._fastx_buf = np.empty(self._fastx_buf.size * 2, np.uint8)
+            else:
+                self._err_buf = np.empty(self._err_buf.size * 2, np.uint8)
+                self._mid_buf = np.empty(self._mid_buf.size * 2, np.uint8)
+            return self.emit(
+                reads, quals, lanes, names, total_len, head, l_new, rev,
+                ev_pos2x, ev_type, ev_len, n_events, g_off, g_len, g_circ,
+                start_pos, genome_flat, fastq, write_errors,
+            )
+        return (
+            self._fastx_buf[: fw.value].tobytes(),
+            self._err_buf[: ew.value].tobytes(),
+        )

@@ -4,6 +4,19 @@ x64 is enabled so reference-genome coordinates (> 2^31 for mammalian genomes)
 fit in int64; all hot-path arrays remain explicitly int32/uint8/float32.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the batch pipelines are large programs and
+# remote-TPU compiles are expensive; cache survives across runs.
+_cache_dir = os.environ.get("NANOSIM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/nanosim_tpu_xla"))
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -87,30 +87,50 @@ def build_gather_map(
     cumdel_excl = jnp.cumsum(deli, axis=1) - deli
 
     i_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    read_pos = i_idx - cumdel_excl + cumins
+    read_pos = i_idx - cumdel_excl + cumins  # monotone nondecreasing per row
 
     in_ref = i_idx < middle_ref[:, None]
     kept = in_ref & ~del_mask
-    target = jnp.where(kept & (read_pos < L), read_pos, L)
 
-    src = jnp.full((B, L + 1), -1, jnp.int32)
-    src = src.at[jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L)), target].set(i_idx)
-    src = src[:, :L]
-
-    cls = jnp.full((B, L + 1), CLASS_INS, jnp.int32)
-    cls = cls.at[jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, L)), target].set(
-        jnp.where(mis_mask, CLASS_MIS, CLASS_MATCH)
-    )
-    cls = cls[:, :L]
+    # Invert the monotone ref->read map by batched binary search: for output
+    # position j, the source ref base is the LAST i with read_pos(i) == j
+    # (within an equal-read_pos run, deleted bases precede the kept one).
+    # Gathers instead of [B, L] scatters — scatters serialize on TPU.
+    j_idx = i_idx
+    i1 = _batched_searchsorted_right(read_pos, j_idx) - 1
+    i1c = jnp.clip(i1, 0, L - 1)
+    rp_at = jnp.take_along_axis(read_pos, i1c, axis=1)
+    kept_at = jnp.take_along_axis(kept, i1c, axis=1)
+    hit = (i1 >= 0) & (rp_at == j_idx) & kept_at
+    src = jnp.where(hit, i1c, -1)
+    mis_at = jnp.take_along_axis(mis_mask, i1c, axis=1)
+    cls = jnp.where(hit, jnp.where(mis_at, CLASS_MIS, CLASS_MATCH), CLASS_INS)
 
     # Read length: kept ref bases + all insertions.
     n_kept = jnp.sum(kept, axis=1)
     n_ins = jnp.sum(jnp.where(is_ins & (ins_before <= middle_ref[:, None]), events_len, 0), axis=1)
     read_len = (n_kept + n_ins).astype(jnp.int32)
 
-    j_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     valid = j_idx < read_len[:, None]
     return GatherMap(src=src, qclass=cls, valid=valid, read_len=read_len)
+
+
+def _batched_searchsorted_right(a: jax.Array, v: jax.Array) -> jax.Array:
+    """Row-wise searchsorted(side='right') for sorted [B, L] rows.
+
+    Fixed log2(L) rounds of take_along_axis — all gathers, no scatters.
+    """
+    B, L = a.shape
+    lo = jnp.zeros_like(v)
+    hi = jnp.full_like(v, L)
+    # the answer lies in [0, L]: L + 1 candidates
+    for _ in range(max(1, L.bit_length())):
+        mid = (lo + hi) // 2
+        amid = jnp.take_along_axis(a, jnp.clip(mid, 0, L - 1), axis=1)
+        go_right = amid <= v
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
 
 
 # --- Base construction -----------------------------------------------------

@@ -1,8 +1,7 @@
 """Batched error-state Markov walk.
 
 Re-implements the reference's per-read `error_list` loop
-(simulator.py:1833-1916) as a `lax.scan` over a fixed event budget with every
-read in the batch as a vector lane:
+(simulator.py:1833-1916) with every read in the batch as a vector lane:
 
   - first match length from the `first_match` ECDF (floor-clamped to >= 2);
   - then alternating draws of error type (7-state Markov chain over
@@ -13,13 +12,19 @@ read in the batch as a vector lane:
   - del/mis overshoot extends `middle_ref` (the reference span) and `l_new`
     (the read length) exactly as the reference does.
 
+Execution shape: a `lax.while_loop` that stops as soon as every lane has
+consumed its reference span (typical reads need ~L/30 events, far less than
+the worst-case budget), with `UNROLL` events processed per iteration to
+amortize loop overhead, writing events into carried [B, E] buffers that XLA
+updates in place.  Events form a per-lane prefix (one per active step), so
+validity is just `step < n_events`.
+
 Also the unaligned-read variant (`unaligned_error_list`,
-simulator.py:1784-1830) with fixed type probabilities and merged consecutive
-insertions.
+simulator.py:1784-1830) with fixed type probabilities.
 
 Event coordinates are emitted in half-position fixed point (`pos2x`): mis/del
 at 2*pos, ins at 2*pos - 1 — the integer form of the reference's `pos - 0.5`
-insertion keys.
+insertion keys (`pos + 0.1` -> 2*pos + 1 for the unaligned walk).
 """
 
 from __future__ import annotations
@@ -33,30 +38,32 @@ import jax.numpy as jnp
 from . import rng
 from .tables import EcdfDevice, MixtureDevice, TransErrorDevice
 
-# Error-state indices (profiles.error_model.ERROR_STATES order)
 STATE_START = 0
-# error types: 0=mis, 1=ins, 2=del; state = type + 1 (+3 if zero-match)
-
 E_MIS, E_INS, E_DEL = 0, 1, 2
+
+UNROLL = 8
 
 
 class WalkResult(NamedTuple):
-    """Batched walk outputs.
+    """Batched walk outputs; events_* are [B, E] with per-lane prefix validity."""
 
-    events_*: [B, E] arrays (padded; `events_valid` marks real events).
-    """
-
-    events_pos2x: jax.Array  # int32, mis/del at 2*pos, ins at 2*pos-1
-    events_type: jax.Array  # int32 0/1/2
-    events_len: jax.Array  # int32
-    events_valid: jax.Array  # bool
-    middle_ref: jax.Array  # [B] int32 reference span consumed
-    l_new: jax.Array  # [B] int32 resulting read length
-    overflow: jax.Array  # [B] bool — event budget exhausted before the end
+    events_pos2x: jax.Array
+    events_type: jax.Array
+    events_len: jax.Array
+    events_valid: jax.Array
+    middle_ref: jax.Array  # [B] int32
+    l_new: jax.Array  # [B] int32
+    overflow: jax.Array  # [B] bool
     n_events: jax.Array  # [B] int32
-    ecnt_mis: jax.Array  # [B] int32 (fastq bookkeeping)
-    ecnt_ins: jax.Array  # [B] int32
-    ecnt_match: jax.Array  # [B] int32
+    ecnt_mis: jax.Array
+    ecnt_ins: jax.Array
+    ecnt_match: jax.Array
+
+
+def _uniforms(walk_keys, t, n):
+    return jax.vmap(
+        lambda k: jax.random.uniform(jax.random.fold_in(k, t), (n,), dtype=jnp.float32)
+    )(walk_keys)
 
 
 @functools.partial(jax.jit, static_argnames=("max_events",))
@@ -70,22 +77,20 @@ def error_walk(
     max_events: int,
 ) -> WalkResult:
     B = m_ref.shape[0]
+    E = max_events
     walk_keys = rng.site_keys(slot_keys, rng.SITE_WALK)
 
     # --- first match (simulator.py:1843-1856) ---
-    u0 = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, 0), dtype=jnp.float32))(walk_keys)
+    u0 = _uniforms(walk_keys, 0, 1)[:, 0]
     fm = first_match.invert(jnp.zeros(B, jnp.int32), u0)
     prev_match = jnp.maximum(fm, 2)
-    pos = prev_match
-    middle_ref = m_ref
-    l_new = m_ref
-    ecnt_match = jnp.minimum(prev_match, middle_ref)
 
-    def step(carry, t):
-        (pos, middle_ref, l_new, prev_state, prev_match, n_events, ecnt_mis, ecnt_ins, ecnt_match) = carry
+    def sub_step(t, st):
+        (pos, middle_ref, l_new, prev_state, prev_match, n_events,
+         ecnt_mis, ecnt_ins, ecnt_match, ev_pos2x, ev_type, ev_len) = st
         active = pos < middle_ref
 
-        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (3,), dtype=jnp.float32))(walk_keys)
+        us = _uniforms(walk_keys, t, 3)
         u_err, u_len, u_match = us[:, 0], us[:, 1], us[:, 2]
 
         etype = trans.sample(prev_state, u_err)
@@ -93,58 +98,76 @@ def error_walk(
         is_ins = etype == E_INS
         is_del = etype == E_DEL
 
-        ev_pos2x = jnp.where(is_ins, 2 * pos - 1, 2 * pos)
+        e_pos2x = jnp.where(is_ins, 2 * pos - 1, 2 * pos)
         pos_after = pos + jnp.where(is_ins, 0, elen)
 
         # del/mis overshoot extends the reference span (simulator.py:1875-1880)
         over1 = jnp.maximum(pos_after - middle_ref, 0)
-        l_new_new = l_new + jnp.where(is_ins, elen, jnp.where(is_del, -elen, 0)) + over1
-        middle_ref_new = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
-
-        ecnt_mis_new = ecnt_mis + jnp.where(etype == E_MIS, elen, 0)
-        ecnt_ins_new = ecnt_ins + jnp.where(is_ins, elen, 0)
+        l_new_n = l_new + jnp.where(is_ins, elen, jnp.where(is_del, -elen, 0)) + over1
+        middle_ref_n = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
 
         # match draw (simulator.py:1891-1906)
         bins = match_markov.select_bin(prev_match)
         mstep = match_markov.invert(bins, u_match)
         mstep = jnp.where((prev_match == 0) & (mstep == 0), 1, mstep)
-        over2 = jnp.maximum(pos_after + mstep - middle_ref_new, 0)
-        l_new_new = l_new_new + over2
-        middle_ref_new = jnp.maximum(middle_ref_new, pos_after + mstep)
-        pos_new = pos_after + mstep
-        ecnt_match_new = ecnt_match + mstep
+        over2 = jnp.maximum(pos_after + mstep - middle_ref_n, 0)
+        l_new_n = l_new_n + over2
+        middle_ref_n = jnp.maximum(middle_ref_n, pos_after + mstep)
         new_state = etype + 1 + jnp.where(mstep == 0, 3, 0)
 
+        # write the event at this lane's current event index (= t - 1 for
+        # every active lane, a prefix per lane); inactive-lane columns hold
+        # garbage masked out by the prefix validity
+        col = t - 1
+        ev_pos2x = jax.lax.dynamic_update_slice(ev_pos2x, e_pos2x[:, None], (jnp.int32(0), col))
+        ev_type = jax.lax.dynamic_update_slice(ev_type, etype[:, None], (jnp.int32(0), col))
+        ev_len = jax.lax.dynamic_update_slice(ev_len, elen[:, None], (jnp.int32(0), col))
+
         upd = lambda new, old: jnp.where(active, new, old)
-        carry = (
-            upd(pos_new, pos),
-            upd(middle_ref_new, middle_ref),
-            upd(l_new_new, l_new),
+        return (
+            upd(pos_after + mstep, pos),
+            upd(middle_ref_n, middle_ref),
+            upd(l_new_n, l_new),
             upd(new_state, prev_state),
             upd(mstep, prev_match),
             upd(n_events + 1, n_events),
-            upd(ecnt_mis_new, ecnt_mis),
-            upd(ecnt_ins_new, ecnt_ins),
-            upd(ecnt_match_new, ecnt_match),
-        )
-        ys = (ev_pos2x, etype, elen, active)
-        return carry, ys
+            upd(ecnt_mis + jnp.where(etype == E_MIS, elen, 0), ecnt_mis),
+            upd(ecnt_ins + jnp.where(is_ins, elen, 0), ecnt_ins),
+            upd(ecnt_match + mstep, ecnt_match),
+        ) + (ev_pos2x, ev_type, ev_len)
 
-    init = (
-        pos,
-        middle_ref,
-        l_new,
+    def cond(carry):
+        i, st = carry
+        pos, middle_ref = st[0], st[1]
+        return (i < E) & jnp.any(pos < middle_ref)
+
+    def body(carry):
+        i, st = carry
+        for k in range(UNROLL):
+            st = sub_step(i + k + 1, st)
+        return (i + UNROLL, st)
+
+    zero = jnp.zeros(B, jnp.int32)
+    init_st = (
+        prev_match,  # pos
+        m_ref,  # middle_ref
+        m_ref,  # l_new
         jnp.full(B, STATE_START, jnp.int32),
         prev_match,
-        jnp.zeros(B, jnp.int32),
-        jnp.zeros(B, jnp.int32),
-        jnp.zeros(B, jnp.int32),
-        ecnt_match,
+        zero,  # n_events
+        zero,
+        zero,
+        jnp.minimum(prev_match, m_ref),  # ecnt_match (first match)
+        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.int32),
     )
-    carry, ys = jax.lax.scan(step, init, jnp.arange(1, max_events + 1))
-    (pos, middle_ref, l_new, _, _, n_events, ecnt_mis, ecnt_ins, ecnt_match) = carry
-    ev_pos2x, ev_type, ev_len, ev_valid = (jnp.swapaxes(y, 0, 1) for y in ys)
+    assert E % UNROLL == 0, "max_events must be a multiple of the unroll factor"
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init_st))
+    (pos, middle_ref, l_new, _, _, n_events, ecnt_mis, ecnt_ins, ecnt_match,
+     ev_pos2x, ev_type, ev_len) = st
 
+    ev_valid = jnp.arange(E, dtype=jnp.int32)[None, :] < n_events[:, None]
     return WalkResult(
         events_pos2x=ev_pos2x,
         events_type=ev_type,
@@ -160,33 +183,32 @@ def error_walk(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_events",))
+@functools.partial(jax.jit, static_argnames=("max_steps",))
 def unaligned_walk(
     slot_keys: jax.Array,  # [B, 2]
     m_ref: jax.Array,  # [B] int32
     mixtures: MixtureDevice,
-    max_events: int,
+    max_steps: int,
 ) -> WalkResult:
     """Unaligned/gap error synthesis (simulator.py:1784-1830).
 
     Fixed per-step type probabilities match/mis/ins/del = 0.4/0.3/0.15/0.15;
     each step advances pos by 1 (match), the error length (mis/del), or stays
-    (ins; consecutive insertions share a key and merge downstream).  A mis/del
-    overshoot extends middle_ref each iteration (simulator.py:1826-1828).
-    Insertion keys are pos + 0.1 -> insert before ref index pos + 1
-    (pos2x = 2*pos + 1).
+    (ins; consecutive insertions share key pos + 0.1 and merge downstream).
+    Event slots are allocated per *step*, so validity is the per-lane step
+    prefix with match steps masked by type < 3 encoding: we store kind-1 and
+    mark matches with length 0.
     """
     B = m_ref.shape[0]
+    E = max_steps
     walk_keys = rng.site_keys(slot_keys, rng.SITE_UNALIGNED_WALK)
 
-    def step(carry, t):
-        pos, middle_ref, l_new, n_events, last_is_ins = carry
+    def sub_step(t, st):
+        (pos, middle_ref, l_new, n_steps, ev_pos2x, ev_type, ev_len) = st
         active = pos < middle_ref
 
-        us = jax.vmap(lambda k: jax.random.uniform(jax.random.fold_in(k, t), (2,), dtype=jnp.float32))(walk_keys)
+        us = _uniforms(walk_keys, t, 2)
         u_type, u_len = us[:, 0], us[:, 1]
-
-        # match < 0.4 <= mis < 0.7 <= ins < 0.85 <= del
         kind = (
             (u_type >= 0.4).astype(jnp.int32)
             + (u_type >= 0.7).astype(jnp.int32)
@@ -198,31 +220,56 @@ def unaligned_walk(
         is_ins = kind == 2
         is_del = kind == 3
 
-        # event list: ins merge handled downstream (same pos2x accumulates)
-        ev_pos2x = jnp.where(is_ins, 2 * pos + 1, 2 * pos)  # ins key pos + 0.1
-        emit = active & is_err
+        e_pos2x = jnp.where(is_ins, 2 * pos + 1, 2 * pos)
+        e_len_store = jnp.where(is_err, elen, 0)  # matches -> length-0 events
 
-        l_new_new = l_new + jnp.where(is_ins, elen, jnp.where(is_del, -elen, 0))
         pos_after = pos + jnp.where(is_ins, 0, elen)
         over = jnp.maximum(pos_after - middle_ref, 0)
-        l_new_new = l_new_new + jnp.where(is_ins, 0, over)
-        middle_ref_new = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
+        l_new_n = l_new + jnp.where(is_ins, elen, jnp.where(is_del, -elen, 0))
+        l_new_n = l_new_n + jnp.where(is_ins, 0, over)
+        middle_ref_n = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
+
+        col = t
+        ev_pos2x = jax.lax.dynamic_update_slice(ev_pos2x, e_pos2x[:, None], (jnp.int32(0), col))
+        ev_type = jax.lax.dynamic_update_slice(ev_type, etype[:, None], (jnp.int32(0), col))
+        ev_len = jax.lax.dynamic_update_slice(ev_len, e_len_store[:, None], (jnp.int32(0), col))
 
         upd = lambda new, old: jnp.where(active, new, old)
-        carry = (
+        return (
             upd(pos_after, pos),
-            upd(middle_ref_new, middle_ref),
-            upd(l_new_new, l_new),
-            upd(n_events + emit.astype(jnp.int32), n_events),
-            upd(is_ins, last_is_ins),
+            upd(middle_ref_n, middle_ref),
+            upd(l_new_n, l_new),
+            upd(n_steps + 1, n_steps),
+            ev_pos2x,
+            ev_type,
+            ev_len,
         )
-        return carry, (ev_pos2x, etype, elen, emit)
+
+    def cond(carry):
+        i, st = carry
+        return (i < E) & jnp.any(st[0] < st[1])
+
+    def body(carry):
+        i, st = carry
+        for k in range(UNROLL):
+            st = sub_step(i + k, st)
+        return (i + UNROLL, st)
 
     zero = jnp.zeros(B, jnp.int32)
-    init = (zero, m_ref, m_ref, zero, jnp.zeros(B, bool))
-    carry, ys = jax.lax.scan(step, init, jnp.arange(max_events))
-    pos, middle_ref, l_new, n_events, _ = carry
-    ev_pos2x, ev_type, ev_len, ev_valid = (jnp.swapaxes(y, 0, 1) for y in ys)
+    init = (
+        zero,
+        m_ref,
+        m_ref,
+        zero,
+        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.int32),
+    )
+    assert E % UNROLL == 0, "max_steps must be a multiple of the unroll factor"
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    pos, middle_ref, l_new, n_steps, ev_pos2x, ev_type, ev_len = st
+
+    ev_valid = (jnp.arange(E, dtype=jnp.int32)[None, :] < n_steps[:, None]) & (ev_len > 0)
     return WalkResult(
         events_pos2x=ev_pos2x,
         events_type=ev_type,
@@ -231,7 +278,7 @@ def unaligned_walk(
         middle_ref=middle_ref,
         l_new=l_new,
         overflow=pos < middle_ref,
-        n_events=n_events,
+        n_events=n_steps,
         ecnt_mis=zero,
         ecnt_ins=zero,
         ecnt_match=zero,

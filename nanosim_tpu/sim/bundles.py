@@ -85,7 +85,7 @@ def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
         means.append(float((v * pw).sum() / denom))
     mean_match = max(2.0, float(np.mean(means)) if means else 10.0)
     budget = int(l_cap / (mean_match + 1.0) * slack) + 64
-    return min(budget, l_cap)
+    return _round_up(min(budget, l_cap), 8)  # unroll-factor aligned
 
 
 def plan_ht_capacity(p: ReadProfile, margin: float = 1.3) -> int:

@@ -207,12 +207,16 @@ def gather_segments(
     seg_len: jax.Array,  # [B] int32
     l_cap: int,
 ) -> jax.Array:
-    """[B, l_cap] uint8 reference slices with circular wrap."""
-    B = chrom.shape[0]
-    i = jnp.arange(l_cap, dtype=jnp.int64)[None, :]
-    clen = genome.lengths[chrom][:, None]
-    raw = local_pos[:, None] + i
+    """[B, l_cap] uint8 reference slices with circular wrap.
+
+    Index math stays in int32 when the genome fits (int64 gathers are
+    emulated on TPU); genomes beyond 2^31 bases use the int64 path.
+    """
+    dt = jnp.int32 if genome.genome_len + l_cap < 2**31 else jnp.int64
+    i = jnp.arange(l_cap, dtype=dt)[None, :]
+    clen = genome.lengths[chrom].astype(dt)[:, None]
+    raw = local_pos.astype(dt)[:, None] + i
     wrapped = jnp.where(genome.circular[chrom][:, None], raw % clen, raw)
-    idx = genome.offsets[chrom][:, None] + jnp.minimum(wrapped, clen - 1)
+    idx = genome.offsets[chrom].astype(dt)[:, None] + jnp.minimum(wrapped, clen - 1)
     seg = jnp.take(genome.flat, idx, mode="clip")
     return jnp.where(i < seg_len[:, None], seg, jnp.uint8(0))

@@ -47,6 +47,7 @@ class BatchOut(NamedTuple):
     ev_type: jax.Array  # [B, E] int32
     ev_len: jax.Array  # [B, E] int32
     ev_valid: jax.Array  # [B, E] bool
+    n_events: jax.Array  # [B] int32
 
 
 def _ndtri(q):
@@ -200,6 +201,7 @@ def genome_batch(
         ev_type = jnp.zeros((B, E), jnp.int32)
         ev_len = jnp.zeros((B, E), jnp.int32)
         ev_valid = jnp.zeros((B, E), bool)
+        n_events = jnp.zeros(B, jnp.int32)
         valid &= ref_len_f <= l_cap
     else:
         if median_len is not None:
@@ -220,6 +222,7 @@ def genome_batch(
             walk.events_len,
             walk.events_valid,
         )
+        n_events = walk.n_events
         valid &= ~walk.overflow & (middle_ref <= l_cap) & (l_new <= l_cap)
         total0 = remainder + l_new
         valid &= (total0 >= min_len) & (total0 <= max_len) & (total0 <= l_out)
@@ -267,6 +270,7 @@ def genome_batch(
         ev_type=ev_type,
         ev_len=ev_len,
         ev_valid=ev_valid,
+        n_events=n_events,
     )
 
 

@@ -62,17 +62,20 @@ class ErrorLogWriter:
     HEADER = "Seq_name\tSeq_pos\terror_type\terror_length\tref_base\tseq_base\n"
 
     def __init__(self, path: str, header: bool = False):
-        self.f = open(path, "w", buffering=1 << 20)
+        self.f = open(path, "wb", buffering=1 << 20)
         if header:
-            self.f.write(self.HEADER)
+            self.f.write(self.HEADER.encode())
 
     def write_read_events(self, name, keys, types, lens, refs, seqs):
         # reverse position order, as mutate_read logs them
         out = self.f
         for i in range(len(keys) - 1, -1, -1):
             out.write(
-                f"{name}\t{keys[i]}\t{types[i]}\t{lens[i]}\t{refs[i]}\t{seqs[i]}\n"
+                f"{name}\t{keys[i]}\t{types[i]}\t{lens[i]}\t{refs[i]}\t{seqs[i]}\n".encode()
             )
+
+    def write_bytes(self, data: bytes):
+        self.f.write(data)
 
     def close(self):
         self.f.close()
@@ -96,6 +99,97 @@ def event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid):
     return key, ref_start - prior_del + prior_ins
 
 
+def _pow2_at_least(x: int, lo: int, hi: int) -> int:
+    k = lo
+    while k < min(x, hi):
+        k *= 2
+    return min(k, hi)
+
+
+class _DeviceFetch:
+    """Batched device->host transfer helpers.
+
+    Each np.asarray round-trip costs fixed latency (large on remote-TPU
+    tunnels), so per-lane scalars are packed into one array and the big
+    [B, E]/[B, L] buffers are sliced to their used width (quantized to powers
+    of two to bound recompiles) before a single stacked transfer each.
+    """
+
+    def __init__(self):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack_meta(valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events):
+            cols = [valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events]
+            return jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)
+
+        @functools.lru_cache(maxsize=32)
+        def slice3(k):
+            @jax.jit
+            def f(a, b, c):
+                return jnp.stack([a[:, :k], b[:, :k], c[:, :k]])
+
+            return f
+
+        @functools.lru_cache(maxsize=32)
+        def slice1(k):
+            @jax.jit
+            def f(a):
+                return a[:, :k]
+
+            return f
+
+        self.pack_meta = pack_meta
+        self.slice3 = slice3
+        self.slice1 = slice1
+
+
+_FETCH = None
+
+
+def fetch_batch(out, fastq: bool, with_events: bool):
+    """Transfer a BatchOut with minimal round trips; returns a dict of np
+    arrays (reads/quals sliced to the used width, events to max n_events)."""
+    global _FETCH
+    if _FETCH is None:
+        _FETCH = _DeviceFetch()
+    meta = np.asarray(
+        _FETCH.pack_meta(
+            out.valid, out.total_len, out.head, out.tail, out.middle_ref,
+            out.l_new, out.chrom, out.local_pos, out.is_reversed, out.n_events,
+        )
+    )
+    d = {
+        "valid": meta[:, 0].astype(bool),
+        "total": meta[:, 1].astype(np.int64),
+        "head": meta[:, 2].astype(np.int64),
+        "tail": meta[:, 3].astype(np.int64),
+        "middle_ref": meta[:, 4].astype(np.int64),
+        "l_new": meta[:, 5].astype(np.int64),
+        "chrom": meta[:, 6].astype(np.int64),
+        "pos": meta[:, 7].astype(np.int64),
+        "rev": meta[:, 8].astype(bool),
+        "n_events": meta[:, 9].astype(np.int64),
+    }
+    l_out = out.read.shape[1]
+    lt = _pow2_at_least(int(d["total"][d["valid"]].max(initial=1)), 256, l_out)
+    d["read"] = np.asarray(_FETCH.slice1(lt)(out.read))
+    if fastq:
+        d["quals"] = np.asarray(_FETCH.slice1(lt)(out.quals))
+    if with_events:
+        e_cap = out.ev_pos2x.shape[1]
+        k = _pow2_at_least(int(d["n_events"][d["valid"]].max(initial=1)), 64, e_cap)
+        ev = np.asarray(_FETCH.slice3(k)(out.ev_pos2x, out.ev_type, out.ev_len))
+        d["ev_pos2x"], d["ev_type"], d["ev_len"] = ev[0], ev[1], ev[2]
+        d["ev_valid"] = (
+            np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
+        )
+    return d
+
+
 class GenomeBatchWriter:
     """Accept/number/emit a genome-mode batch (aligned reads)."""
 
@@ -103,32 +197,40 @@ class GenomeBatchWriter:
         self.fastx = fastx
         self.error_log = error_log
         self.perfect = perfect
+        from ..io.native import NativeEmitter
+
+        self._emitter = NativeEmitter()
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
-        valid = np.asarray(out.valid)
+        with_events = self.error_log is not None and not self.perfect
+        d = fetch_batch(out, sim.fastq, with_events)
+        valid = d["valid"]
         lanes = np.nonzero(valid)[0]
         remaining = quota - accepted_so_far
         lanes = lanes[:remaining]
         if len(lanes) == 0:
             return 0
 
-        reads = np.asarray(out.read)
-        quals = np.asarray(out.quals) if sim.fastq else None
-        total = np.asarray(out.total_len)
-        head = np.asarray(out.head)
-        tail = np.asarray(out.tail)
-        middle_ref = np.asarray(out.middle_ref)
-        l_new = np.asarray(out.l_new)
-        chrom = np.asarray(out.chrom)
-        pos = np.asarray(out.local_pos)
-        rev = np.asarray(out.is_reversed)
+        if self._emitter.available:
+            return self._write_native(sim, d, lanes, accepted_so_far, with_events)
+
+        reads = d["read"]
+        quals = d.get("quals")
+        total = d["total"]
+        head = d["head"]
+        tail = d["tail"]
+        middle_ref = d["middle_ref"]
+        l_new = d["l_new"]
+        chrom = d["chrom"]
+        pos = d["pos"]
+        rev = d["rev"]
         names = sim.genome_host.names
 
-        if self.error_log is not None and not self.perfect:
-            ev_pos2x = np.asarray(out.ev_pos2x)
-            ev_type = np.asarray(out.ev_type)
-            ev_len = np.asarray(out.ev_len)
-            ev_valid = np.asarray(out.ev_valid)
+        if with_events:
+            ev_pos2x = d["ev_pos2x"]
+            ev_type = d["ev_type"]
+            ev_len = d["ev_len"]
+            ev_valid = d["ev_valid"]
             keys_all, rpos_all = event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid)
 
         for rank, b in enumerate(lanes):
@@ -142,12 +244,61 @@ class GenomeBatchWriter:
             seq = reads[b, : total[b]]
             self.fastx.write(name, seq, quals[b, : total[b]] if sim.fastq else None)
 
-            if self.error_log is not None and not self.perfect:
+            if with_events:
                 self._log_lane(
                     sim, name, b, head[b], total[b], l_new[b], rev[b],
                     chrom[b], pos[b], reads[b],
                     ev_valid[b], ev_type[b], ev_len[b], keys_all[b], rpos_all[b],
                 )
+        return len(lanes)
+
+    def _write_native(self, sim, d, lanes, accepted_so_far: int, with_events: bool) -> int:
+        """Format the whole accepted batch through the C++ emitter."""
+        g = sim.genome_host
+        chrom = d["chrom"][lanes]
+        pos = d["pos"][lanes]
+        rev = d["rev"][lanes]
+        head = d["head"][lanes]
+        middle_ref = d["middle_ref"][lanes]
+        tail = d["tail"][lanes]
+        names = []
+        kind = "perfect" if self.perfect else "aligned"
+        gnames = g.names
+        for rank in range(len(lanes)):
+            idx = accepted_so_far + rank
+            strand = "R" if rev[rank] else "F"
+            names.append(
+                f"{gnames[chrom[rank]]}_{pos[rank]}_{kind}_{idx}_{strand}"
+                f"_{head[rank]}_{middle_ref[rank]}_{tail[rank]}"
+            )
+        n_events = (
+            d["n_events"][lanes] if with_events else np.zeros(len(lanes), np.int64)
+        )
+        fastx_bytes, err_bytes = self._emitter.emit(
+            reads=d["read"],
+            quals=d.get("quals"),
+            lanes=lanes.astype(np.int64),
+            names=names,
+            total_len=d["total"][lanes],
+            head=head,
+            l_new=d["l_new"][lanes],
+            rev=rev,
+            ev_pos2x=d.get("ev_pos2x"),
+            ev_type=d.get("ev_type"),
+            ev_len=d.get("ev_len"),
+            n_events=n_events,
+            g_off=g.offsets[chrom],
+            g_len=g.lengths[chrom],
+            g_circ=np.ascontiguousarray(g.circular[chrom], np.uint8),
+            start_pos=pos,
+            genome_flat=g.flat,
+            fastq=sim.fastq,
+            write_errors=with_events,
+        )
+        self.fastx.flush()
+        self.fastx.f.write(fastx_bytes)
+        if with_events and self.error_log is not None:
+            self.error_log.write_bytes(err_bytes)
         return len(lanes)
 
     def _log_lane(

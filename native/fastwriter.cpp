@@ -1,0 +1,208 @@
+// Host-side output formatting for nanosim_tpu.
+//
+// The device produces packed uint8 read rows and integer event lists; this
+// translation unit turns a whole accepted batch into FASTA/FASTQ records and
+// reference-format ground-truth error-log lines in one call, replacing the
+// per-read/per-event Python formatting loop (the dominant host cost at high
+// read rates).
+//
+// Build: g++ -O3 -march=native -shared -fPIC fastwriter.cpp -o libfastwriter.so
+// Interface: plain C, consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline char* put_bytes(char* p, const void* src, int64_t n) {
+  std::memcpy(p, src, static_cast<size_t>(n));
+  return p + n;
+}
+
+inline char* put_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + v % 10);
+    v /= 10;
+  } while (v);
+  for (int i = n - 1; i >= 0; --i) *p++ = tmp[i];
+  return p;
+}
+
+inline char* put_i64(char* p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    return put_u64(p, static_cast<uint64_t>(-v));
+  }
+  return put_u64(p, static_cast<uint64_t>(v));
+}
+
+const char kCompLut[256] = {};  // initialized in init_comp()
+
+char g_comp[256];
+bool g_comp_init = false;
+
+void init_comp() {
+  if (g_comp_init) return;
+  for (int i = 0; i < 256; ++i) g_comp[i] = static_cast<char>(i);
+  g_comp['A'] = 'T';
+  g_comp['T'] = 'A';
+  g_comp['C'] = 'G';
+  g_comp['G'] = 'C';
+  g_comp['a'] = 't';
+  g_comp['t'] = 'a';
+  g_comp['c'] = 'g';
+  g_comp['g'] = 'c';
+  g_comp_init = true;
+}
+
+const char* kTypeNames[3] = {"mis", "ins", "del"};
+const int kTypeLens[3] = {3, 3, 3};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if fastx_out overflowed, 2 if err_out overflowed.
+// All per-read arrays (names, totals, ...) are indexed 0..k-1 in emission
+// order; reads/quals/events rows are selected through lane_idx.
+int64_t emit_batch(
+    const uint8_t* reads, int64_t read_stride, const uint8_t* quals,
+    int64_t k, const int64_t* lane_idx, const char* names_buf,
+    const int64_t* name_off, const int64_t* total_len, const int64_t* head,
+    const int64_t* l_new, const uint8_t* rev,
+    const int32_t* ev_pos2x, const int32_t* ev_type, const int32_t* ev_len,
+    int64_t e_stride, const int64_t* n_events,
+    const uint8_t* genome_flat, const int64_t* g_off, const int64_t* g_len,
+    const uint8_t* g_circ, const int64_t* start_pos,
+    char* fastx_out, int64_t fastx_cap, int64_t* fastx_written,
+    char* err_out, int64_t err_cap, int64_t* err_written,
+    int32_t fastq, int32_t write_errors,
+    // scratch for un-reversing the middle (caller supplies >= max total_len)
+    char* mid_scratch, int64_t mid_scratch_cap) {
+  init_comp();
+  (void)kCompLut;
+  char* fp = fastx_out;
+  char* ep = err_out;
+  char* const f_end = fastx_out + fastx_cap;
+  char* const e_end = err_out + err_cap;
+
+  for (int64_t r = 0; r < k; ++r) {
+    const int64_t lane = lane_idx[r];
+    const uint8_t* row = reads + lane * read_stride;
+    const int64_t total = total_len[r];
+    const char* name = names_buf + name_off[r];
+    const int64_t name_len = name_off[r + 1] - name_off[r];
+
+    // ---- FASTA/FASTQ record ----
+    const int64_t rec_max = 2 * name_len + (fastq ? 2 * total : total) + 8;
+    if (f_end - fp < rec_max) return 1;
+    *fp++ = fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    fp = put_bytes(fp, row, total);
+    *fp++ = '\n';
+    if (fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      fp = put_bytes(fp, quals + lane * read_stride, total);
+      *fp++ = '\n';
+    }
+
+    // ---- error-log lines ----
+    if (!write_errors) continue;
+    const int64_t ne = n_events[r];
+    if (ne == 0) continue;
+    if (total > mid_scratch_cap) return 2;
+
+    // middle segment in pre-reverse orientation
+    const char* mid;
+    if (rev[r]) {
+      for (int64_t j = 0; j < total; ++j)
+        mid_scratch[j] = g_comp[row[total - 1 - j]];
+      mid = mid_scratch + head[r];
+    } else {
+      mid = reinterpret_cast<const char*>(row) + head[r];
+    }
+
+    const int32_t* epx = ev_pos2x + lane * e_stride;
+    const int32_t* ety = ev_type + lane * e_stride;
+    const int32_t* eln = ev_len + lane * e_stride;
+    const int64_t goff = g_off[r];
+    const int64_t glen = g_len[r];
+    const bool circ = g_circ[r] != 0;
+    const int64_t spos = start_pos[r];
+
+    // read-coordinate start per event (prefix sums, ascending order), then
+    // emit in reverse order as mutate_read does (simulator.py:1957-2008)
+    // First pass forward to compute read positions into a small stack buffer.
+    // ne can reach a few thousand; allocate on the heap only when large.
+    constexpr int64_t kStackEv = 1024;
+    int64_t rpos_stack[kStackEv];
+    int64_t* rpos = rpos_stack;
+    int64_t* rpos_heap = nullptr;
+    if (ne > kStackEv) {
+      rpos_heap = new int64_t[ne];
+      rpos = rpos_heap;
+    }
+    {
+      int64_t cum_del = 0, cum_ins = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const int32_t t = ety[e];
+        const int64_t key = (epx[e] + 1) / 2;
+        const int64_t ref_start = (t == 1) ? key : epx[e] / 2;
+        rpos[e] = ref_start - cum_del + cum_ins;
+        if (t == 1) cum_ins += eln[e];
+        if (t == 2) cum_del += eln[e];
+      }
+    }
+
+    for (int64_t e = ne - 1; e >= 0; --e) {
+      const int32_t t = ety[e];
+      const int64_t len = eln[e];
+      if (len == 0) continue;  // match placeholder (unaligned walk)
+      const int64_t key = (epx[e] + 1) / 2;
+      const int64_t line_max = name_len + 64 + 2 * len;
+      if (e_end - ep < line_max) {
+        if (rpos_heap) delete[] rpos_heap;
+        return 2;
+      }
+      ep = put_bytes(ep, name, name_len);
+      *ep++ = '\t';
+      ep = put_i64(ep, key);
+      *ep++ = '\t';
+      ep = put_bytes(ep, kTypeNames[t], kTypeLens[t]);
+      *ep++ = '\t';
+      ep = put_i64(ep, len);
+      *ep++ = '\t';
+      // ref_base
+      if (t == 1) {
+        for (int64_t j = 0; j < len; ++j) *ep++ = '-';
+      } else {
+        const int64_t s = spos + key;
+        if (circ) {
+          for (int64_t j = 0; j < len; ++j)
+            *ep++ = static_cast<char>(genome_flat[goff + (s + j) % glen]);
+        } else {
+          ep = put_bytes(ep, genome_flat + goff + s, len);
+        }
+      }
+      *ep++ = '\t';
+      // seq_base
+      if (t == 2) {
+        for (int64_t j = 0; j < len; ++j) *ep++ = '-';
+      } else {
+        ep = put_bytes(ep, mid + rpos[e], len);
+      }
+      *ep++ = '\n';
+    }
+    if (rpos_heap) delete[] rpos_heap;
+  }
+
+  *fastx_written = fp - fastx_out;
+  *err_written = ep - err_out;
+  return 0;
+}
+
+}  // extern "C"
