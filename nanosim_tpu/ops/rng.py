@@ -58,8 +58,20 @@ STREAM_UNALIGNED = 1
 STREAM_GAP = 2
 
 
+# Chimeric reads consume several independent draw streams per slot (one per
+# segment and one per gap); parts get pseudo-slot keys offset into a
+# reserved range so their site draws never collide with the read-level ones.
+PART_SEGMENT_BASE = 0x50000
+PART_GAP_BASE = 0x60000
+
+
 def base_key(seed: int, stream: int = STREAM_ALIGNED) -> jax.Array:
     return jax.random.fold_in(jax.random.PRNGKey(seed), stream)
+
+
+def part_slot_keys(slot_keys_arr: jax.Array, part_base: int, part_idx: int) -> jax.Array:
+    """Per-(slot, part) keys for chimeric segments/gaps."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, part_base + part_idx))(slot_keys_arr)
 
 
 def slot_keys(base: jax.Array, slot_ids: jax.Array) -> jax.Array:

@@ -1,0 +1,371 @@
+"""Chimeric-read simulation (genome + metagenome aligned passes).
+
+The reference draws a Geometric segment count per read, synthesizes each
+aligned segment with the full error pipeline, joins segments with
+unaligned-error "gap" sequences, and applies one head/tail + strand decision
+to the whole read (simulator.py:1266-1454 genome, :814-1040 metagenome).
+
+TPU mapping: segments are extra lanes — the walk/extraction/mutation pipeline
+runs once over a flattened [B * S] batch (inactive segments are dead lanes
+that exit the walk immediately), gaps over [B * (S-1)] with the unaligned
+walk, and a parts table (head, seg0, gap0, seg1, ..., tail) is assembled into
+the final read by a row-wise searchsorted over part offsets.
+
+Segment counts are capped at `s_max` (default 8); with the typical
+segment_mean ~1.3 the clamp probability is < 1e-5 (the reference has no cap;
+clamped draws are counted).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import apply_errors, error_walk, rng, seqops
+from . import extract
+from .bundles import SimTables, build_tables, plan_event_budget, plan_ht_capacity, plan_ref_capacity
+from .genome_mode import QCLASS_HT, QCLASS_UNMAPPED, _kde_draw, draw_ht
+
+
+class ChimericBatchOut(NamedTuple):
+    read: jax.Array  # [B, L_out] uint8, final orientation
+    quals: jax.Array  # [B, L_out] uint8 phred+33
+    valid: jax.Array  # [B]
+    total_len: jax.Array  # [B]
+    head: jax.Array  # [B]
+    tail: jax.Array  # [B]
+    n_seg: jax.Array  # [B] int32
+    seg_middle_ref: jax.Array  # [B, S] int32
+    seg_l_new: jax.Array  # [B, S] int32
+    seg_offset: jax.Array  # [B, S] int32 — read-coordinate start of each seg (pre-reverse)
+    gap_len: jax.Array  # [B, S-1] int32 mutated gap lengths
+    chrom: jax.Array  # [B, S] int32
+    local_pos: jax.Array  # [B, S] int64
+    is_reversed: jax.Array  # [B]
+    ev_pos2x: jax.Array  # [B*S, E]
+    ev_type: jax.Array  # [B*S, E]
+    ev_len: jax.Array  # [B*S, E]
+    n_events: jax.Array  # [B, S]
+
+
+def _geometric(u, p):
+    """np.random.geometric semantics: support 1.., P(k) = p (1-p)^(k-1)."""
+    return jnp.ceil(jnp.log1p(-u) / jnp.log1p(-p)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l_cap", "l_out", "ht_cap", "e_max", "gap_cap", "gap_steps", "s_max",
+        "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
+        "metagenome", "n_chrom", "count_gap_in_total",
+    ),
+)
+def chimeric_batch(
+    base_key: jax.Array,
+    slots: jax.Array,  # [B]
+    species: jax.Array,  # [B, S] int32 (metagenome; zeros for genome)
+    genome: extract.GenomeDevice,
+    tables: SimTables,
+    *,
+    l_cap: int,
+    l_out: int,
+    ht_cap: int,
+    e_max: int,
+    gap_cap: int,
+    gap_steps: int,
+    s_max: int,
+    fastq: bool,
+    circular_dna: bool,
+    min_len: int,
+    max_len: float,
+    segment_mean: float,
+    metagenome: bool,
+    n_chrom: int,
+    count_gap_in_total: bool,
+) -> ChimericBatchOut:
+    B = slots.shape[0]
+    S = s_max
+    sk = rng.slot_keys(base_key, slots)
+
+    # --- segment counts (simulator.py:1276-1279) ---
+    u_seg = rng.uniform_per_slot(sk, rng.SITE_SEGMENTS)
+    n_seg = jnp.minimum(_geometric(u_seg, 1.0 / segment_mean), S)
+
+    # per-(slot, segment) keys
+    seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
+    gap_keys = [rng.part_slot_keys(sk, rng.PART_GAP_BASE, s) for s in range(S - 1)]
+    sk_seg = jnp.concatenate(seg_keys, axis=0)  # [S*B, 2] (segment-major)
+    sk_gap = jnp.concatenate(gap_keys, axis=0)  # [(S-1)*B, 2]
+
+    # --- per-segment aligned lengths (iid conditional on (0, max_len]) ---
+    ref_c = _kde_draw(sk_seg, rng.SITE_REF_LENGTH, tables.kde_aligned, 2)
+    from .genome_mode import _first_valid
+
+    ref_f, ref_ok = _first_valid(ref_c, (ref_c > 0) & (ref_c <= max_len))
+    seg_active = (
+        jnp.repeat(jnp.arange(S, dtype=jnp.int32), B) < jnp.tile(n_seg, S)
+    )  # [S*B] segment-major
+    m_ref_flat = jnp.where(seg_active, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap), 0)
+    seg_len_ok = jnp.where(seg_active, ref_ok & (ref_f <= l_cap), True)
+
+    # --- head/tail ---
+    remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
+
+    # --- segment error walks on the flattened batch ---
+    walk = error_walk.error_walk(
+        sk_seg, m_ref_flat, tables.first_match, tables.match_markov,
+        tables.mixtures, tables.trans, e_max,
+    )
+    seg_mref = walk.middle_ref.reshape(S, B).T  # [B, S]
+    seg_lnew = jnp.where(seg_active, walk.l_new, 0).reshape(S, B).T
+    walk_ok = jnp.where(
+        seg_active, ~walk.overflow & (walk.middle_ref <= l_cap) & (walk.l_new <= l_cap), True
+    ).reshape(S, B).T.all(axis=1)
+
+    # --- gap lengths + gap synthesis (simulator.py:1298-1299, 1552-1568) ---
+    gap_active = (
+        jnp.repeat(jnp.arange(S - 1, dtype=jnp.int32), B) < jnp.tile(n_seg - 1, S - 1)
+    )
+    gap_f = _kde_draw(sk_gap, rng.SITE_GAP, tables.kde_gap, 1)[:, 0]
+    gap_ref = jnp.where(gap_active, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
+    gap_ref = jnp.minimum(gap_ref, gap_cap)
+    gwalk = error_walk.unaligned_walk(sk_gap, gap_ref, tables.mixtures, gap_steps)
+    gap_ok = jnp.where(gap_active, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True).reshape(
+        S - 1, B
+    ).T.all(axis=1)
+
+    # gap extraction + mutation
+    if metagenome:
+        g_sp = jnp.concatenate([species[:, s] for s in range(S - 1)], axis=0)
+        g_chrom, g_pos, g_pos_ok = extract.sample_metagenome_positions(
+            sk_gap, g_sp, gwalk.middle_ref, genome, n_chrom
+        )
+    else:
+        g_chrom, g_pos, g_pos_ok = extract.sample_genome_positions(
+            sk_gap, gwalk.middle_ref, genome, circular_dna
+        )
+    gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
+    gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
+    gap_seg = seqops.resolve_iupac(
+        gap_seg, rng.uniform_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
+    )
+    ggm = apply_errors.build_gather_map(
+        gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
+        gwalk.middle_ref, gap_cap,
+    )
+    gap_read = apply_errors.materialize_read(
+        ggm.src, ggm.qclass, ggm.valid, gap_seg,
+        rng.uniform_per_slot(sk_gap, rng.SITE_MIS_BASE, (gap_cap,)),
+        rng.uniform_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,)),
+    )  # [(S-1)*B, gap_cap]
+    gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
+
+    # --- total-length filter (simulator.py:1354-1368; metagenome includes
+    # gaps at :935-946, genome does not) ---
+    total0 = remainder + seg_lnew.sum(axis=1)
+    if count_gap_in_total:
+        total0 = total0 + gap_lens.sum(axis=1)
+    valid = (
+        ht_ok
+        & walk_ok
+        & gap_ok
+        & seg_len_ok.reshape(S, B).T.all(axis=1)
+        & (total0 >= min_len)
+        & (total0 <= max_len)
+    )
+
+    # --- segment extraction ---
+    if metagenome:
+        s_sp = jnp.concatenate([species[:, s] for s in range(S)], axis=0)
+        chrom_f, pos_f, pos_ok = extract.sample_metagenome_positions(
+            sk_seg, s_sp, walk.middle_ref, genome, n_chrom
+        )
+    else:
+        chrom_f, pos_f, pos_ok = extract.sample_genome_positions(
+            sk_seg, walk.middle_ref, genome, circular_dna
+        )
+    valid &= jnp.where(seg_active, pos_ok, True).reshape(S, B).T.all(axis=1)
+    ref_seg = extract.gather_segments(genome, chrom_f, pos_f, walk.middle_ref, l_cap)
+    ref_seg = seqops.resolve_iupac(
+        ref_seg, rng.uniform_per_slot(sk_seg, rng.SITE_IUPAC, (l_cap,))
+    )
+    gm = apply_errors.build_gather_map(
+        walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
+        walk.middle_ref, l_cap,
+    )
+    seg_read = apply_errors.materialize_read(
+        gm.src, gm.qclass, gm.valid, ref_seg,
+        rng.uniform_per_slot(sk_seg, rng.SITE_MIS_BASE, (l_cap,)),
+        rng.uniform_per_slot(sk_seg, rng.SITE_INS_BASE, (l_cap,)),
+    )  # [S*B, l_cap]
+
+    # --- parts assembly ---
+    # parts per read: head, (seg s, gap s)*, tail  -> 2S+1 part slots
+    n_parts = 2 * S + 1
+    part_len = jnp.zeros((B, n_parts), jnp.int32)
+    part_len = part_len.at[:, 0].set(head)
+    for s in range(S):
+        part_len = part_len.at[:, 1 + 2 * s].set(seg_lnew[:, s])
+        if s < S - 1:
+            part_len = part_len.at[:, 2 + 2 * s].set(gap_lens[:, s])
+    part_len = part_len.at[:, n_parts - 1].set(tail)
+    part_off = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(part_len, axis=1)], axis=1
+    )  # [B, n_parts+1]
+    total = part_off[:, -1]
+    valid &= (total >= min_len) & (total <= max_len) & (total <= l_out)
+    seg_offset = part_off[:, 1 : 1 + 2 * S : 2]  # [B, S] read-coordinate seg starts
+
+    j = jnp.arange(l_out, dtype=jnp.int32)[None, :]
+    # part index per output base: row-wise searchsorted over 2S+2 offsets
+    part = (
+        jnp.sum(part_off[:, None, :] <= j[:, :, None], axis=2) - 1
+    )  # [B, l_out]  (small inner dim: broadcast compare)
+    part = jnp.clip(part, 0, n_parts - 1)
+    inner = j - jnp.take_along_axis(part_off, part, axis=1)
+
+    is_head = part == 0
+    is_tail = part == n_parts - 1
+    is_seg = (part % 2 == 1) & ~is_tail
+    seg_idx = jnp.clip((part - 1) // 2, 0, S - 1)
+    gap_idx = jnp.clip((part - 2) // 2, 0, S - 2) if S > 1 else jnp.zeros_like(part)
+
+    # gather bases: segment buffer is [S*B, l_cap] segment-major
+    b_col = jnp.arange(B, dtype=jnp.int32)[:, None]
+    seg_flat_idx = (seg_idx * B + b_col) * l_cap + jnp.clip(inner, 0, l_cap - 1)
+    seg_bases = jnp.take(seg_read.reshape(-1), seg_flat_idx, mode="clip")
+    if S > 1:
+        gap_flat_idx = (gap_idx * B + b_col) * gap_cap + jnp.clip(inner, 0, gap_cap - 1)
+        gap_bases = jnp.take(gap_read.reshape(-1), gap_flat_idx, mode="clip")
+    else:
+        gap_bases = seg_bases
+
+    u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
+    ht_idx = jnp.where(is_tail, head[:, None] + inner, inner)
+    ht_bases = seqops.random_bases(
+        jnp.take_along_axis(u_ht, jnp.clip(ht_idx, 0, ht_cap - 1), axis=1)
+    )
+    base = jnp.where(is_seg, seg_bases, jnp.where(is_head | is_tail, ht_bases, gap_bases))
+    base = jnp.where(j < total[:, None], base, jnp.uint8(0))
+
+    u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+    is_rev = u_strand > tables.strandness_rate
+    rc = seqops.reverse_complement(base, total)
+    read = jnp.where(is_rev[:, None], rc, base)
+
+    quals = jnp.zeros((B, l_out), jnp.uint8)
+    if fastq:
+        seg_cls = jnp.take(gm.qclass.reshape(-1), seg_flat_idx, mode="clip")
+        cls = jnp.where(
+            is_seg, seg_cls, jnp.where(is_head | is_tail, QCLASS_HT, QCLASS_UNMAPPED)
+        )
+        u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
+        q = tables.qual.sample(cls, u_q)
+        q = jnp.where(j < total[:, None], q, 0)
+        q = jnp.where(is_rev[:, None], seqops.reverse_quals(q, total), q)
+        quals = jnp.where(j < total[:, None], (q + 33).astype(jnp.uint8), jnp.uint8(0))
+
+    return ChimericBatchOut(
+        read=read,
+        quals=quals,
+        valid=valid,
+        total_len=total,
+        head=head,
+        tail=tail,
+        n_seg=n_seg,
+        seg_middle_ref=seg_mref,
+        seg_l_new=seg_lnew,
+        seg_offset=seg_offset,
+        gap_len=gap_lens,
+        chrom=chrom_f.reshape(S, B).T,
+        local_pos=pos_f.reshape(S, B).T,
+        is_reversed=is_rev,
+        ev_pos2x=walk.events_pos2x,
+        ev_type=walk.events_type,
+        ev_len=walk.events_len,
+        n_events=jnp.where(seg_active, walk.n_events, 0).reshape(S, B).T,
+    )
+
+
+class ChimericGenomeSimulator:
+    """Host driver for chimeric genome mode."""
+
+    def __init__(
+        self,
+        genome,
+        profile,
+        *,
+        fastq: bool = False,
+        circular_dna: bool = False,
+        min_len: int = 50,
+        max_len: float = float("inf"),
+        batch: int = 128,
+        s_max: int = 8,
+        kmer_bias: Optional[int] = None,
+    ):
+        self.genome_host = genome
+        self.profile = profile
+        max_len = min(max_len, genome.max_chrom)
+        self.fastq = fastq
+        self.batch = batch
+        self.s_max = s_max
+
+        self.l_cap = plan_ref_capacity(profile, max_len, genome.max_chrom)
+        self.ht_cap = plan_ht_capacity(profile)
+        gap_support = 10.0 ** (float(np.max(profile.kde_gap.data)) + 6 * profile.kde_gap.bandwidth)
+        self.gap_cap = max(128, int(-(-min(gap_support * 1.4, 1e5) // 128) * 128))
+        self.gap_steps = -(-(int(self.gap_cap * 1.3) + 64) // 8) * 8
+        self.l_out = self.l_cap * 2 + self.gap_cap * 2 + self.ht_cap
+        self.e_max = plan_event_budget(profile, self.l_cap)
+
+        self.tables = build_tables(profile)
+        self.genome_dev = extract.GenomeDevice.from_packed(genome)
+        self.kw = dict(
+            l_cap=self.l_cap,
+            l_out=self.l_out,
+            ht_cap=self.ht_cap,
+            e_max=self.e_max,
+            gap_cap=self.gap_cap,
+            gap_steps=self.gap_steps,
+            s_max=s_max,
+            fastq=fastq,
+            circular_dna=circular_dna,
+            min_len=min_len,
+            max_len=max_len,
+            segment_mean=profile.segment_mean,
+            metagenome=False,
+            n_chrom=genome.n_chrom,
+            count_gap_in_total=False,  # genome-mode quirk (simulator.py:1354-1368)
+        )
+
+    def batch_fn(self):
+        B, S = self.batch, self.s_max
+        zero_species = jnp.zeros((B, S), jnp.int32)
+        return functools.partial(
+            chimeric_batch,
+            species=zero_species,
+            genome=self.genome_dev,
+            tables=self.tables,
+            **self.kw,
+        )
+
+    def run(self, n_reads, writer, seed=0, max_batches=None):
+        fn = self.batch_fn()
+        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        accepted = 0
+        slot_start = 0
+        batches = 0
+        while accepted < n_reads:
+            slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
+            out = fn(base, slots)
+            accepted += writer.write_batch(self, out, accepted, n_reads)
+            slot_start += self.batch
+            batches += 1
+            if max_batches is not None and batches >= max_batches:
+                break
+        return accepted

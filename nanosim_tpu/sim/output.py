@@ -356,3 +356,123 @@ def merge_files(out_path: str, parts, header: str = ""):
                     if not chunk:
                         break
                     out.write(chunk)
+
+
+class ChimericBatchWriter:
+    """Accept/number/emit a chimeric batch (genome or metagenome).
+
+    Names: ';'-joined per-segment `<chrom>_<pos>` components (metagenome
+    interleaves `gap_<len>` components), `_chimeric` marker when > 1 segment,
+    middle lengths joined with ';' (simulator.py:1390-1402, 966-984).
+    """
+
+    def __init__(self, fastx: FastxWriter, error_log=None, species_names=None,
+                 species_of_chrom=None, metagenome: bool = False):
+        self.fastx = fastx
+        self.error_log = error_log
+        self.species_names = species_names
+        self.species_of_chrom = species_of_chrom
+        self.metagenome = metagenome
+        # base-level quota feedback for metagenome abundance accounting
+        self.species_bases = None
+
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
+        valid = np.asarray(out.valid)
+        lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+        if len(lanes) == 0:
+            return 0
+        reads = np.asarray(out.read)
+        quals = np.asarray(out.quals) if sim.fastq else None
+        total = np.asarray(out.total_len)
+        head = np.asarray(out.head)
+        tail = np.asarray(out.tail)
+        n_seg = np.asarray(out.n_seg)
+        seg_mref = np.asarray(out.seg_middle_ref)
+        seg_lnew = np.asarray(out.seg_l_new)
+        seg_off = np.asarray(out.seg_offset)
+        gap_len = np.asarray(out.gap_len)
+        chrom = np.asarray(out.chrom)
+        pos = np.asarray(out.local_pos)
+        rev = np.asarray(out.is_reversed)
+        n_events = np.asarray(out.n_events)
+        ev_pos2x = np.asarray(out.ev_pos2x)
+        ev_type = np.asarray(out.ev_type)
+        ev_len = np.asarray(out.ev_len)
+
+        g = sim.genome_host
+        names = g.names
+        B = reads.shape[0]
+        S = seg_mref.shape[1]
+
+        for rank, b in enumerate(lanes):
+            idx = accepted_so_far + rank
+            ns = int(n_seg[b])
+            comps = []
+            for s in range(ns):
+                comp = f"{names[chrom[b, s]]}_{pos[b, s]}"
+                if self.metagenome and self.species_names is not None:
+                    sp = self.species_names[self.species_of_chrom[chrom[b, s]]]
+                    comp = f"{sp}-{names[chrom[b, s]]}_{pos[b, s]}"
+                comps.append(comp)
+                if self.metagenome and s < ns - 1:
+                    comps.append(f"gap_{gap_len[b, s]}")
+            name = ";".join(comps) + f"_aligned_{idx}"
+            if ns > 1:
+                name += "_chimeric"
+            name += "_R" if rev[b] else "_F"
+            mids = ";".join(str(seg_mref[b, s]) for s in range(ns))
+            name += f"_{head[b]}_{mids}_{tail[b]}"
+
+            seq = reads[b, : total[b]]
+            self.fastx.write(name, seq, quals[b, : total[b]] if sim.fastq else None)
+
+            if self.species_bases is not None:
+                for s in range(ns):
+                    sp_i = int(self.species_of_chrom[chrom[b, s]])
+                    self.species_bases[sp_i] += int(seg_mref[b, s])
+
+            if self.error_log is not None:
+                pre = seq
+                if rev[b]:
+                    pre = _COMP_LUT[pre[::-1]]
+                for s in range(ns):
+                    flat = s * B + b  # segment-major flattened lane
+                    ne = int(n_events[b, s])
+                    if ne == 0:
+                        continue
+                    evv = np.zeros(ev_pos2x.shape[1], bool)
+                    evv[:ne] = True
+                    keys, rpos = event_read_positions(
+                        ev_pos2x[flat : flat + 1],
+                        ev_type[flat : flat + 1],
+                        ev_len[flat : flat + 1],
+                        evv[None, :],
+                    )
+                    keys, rpos = keys[0], rpos[0]
+                    mid = pre[seg_off[b, s] : seg_off[b, s] + seg_lnew[b, s]]
+                    goff = g.offsets[chrom[b, s]]
+                    glen = g.lengths[chrom[b, s]]
+                    circ = bool(g.circular[chrom[b, s]])
+                    spos = pos[b, s]
+                    refs, seqs, tnames = [], [], []
+                    for e in range(ne):
+                        k, t, ln = int(keys[e]), int(ev_type[flat, e]), int(ev_len[flat, e])
+                        rp = int(rpos[e])
+                        if t == 1:
+                            refs.append("-" * ln)
+                            seqs.append(mid[rp : rp + ln].tobytes().decode())
+                        else:
+                            st = spos + k
+                            if circ:
+                                idxs = (np.arange(st, st + ln) % glen) + goff
+                                refs.append(g.flat[idxs].tobytes().decode())
+                            else:
+                                refs.append(g.flat[goff + st : goff + st + ln].tobytes().decode())
+                            seqs.append(
+                                mid[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln
+                            )
+                        tnames.append(_ETYPE_NAMES[t])
+                    self.error_log.write_read_events(
+                        name, keys[:ne], tnames, ev_len[flat, :ne], refs, seqs
+                    )
+        return len(lanes)
