@@ -63,74 +63,51 @@ def build_gather_map(
     is_del = events_valid & (events_type == 2)
 
     start = events_pos2x // 2  # mis/del start (pos2x even)
-    end = start + events_len
     ins_before = (events_pos2x + 1) // 2  # insertion target index
 
-    # Range masks via difference arrays + cumsum. Clip ends into [0, L];
-    # events live within middle_ref <= L by construction.
-    def range_mask(flag):
+    # Per-event READ-coordinate starts via cumulative sums over the (small)
+    # event axis: read_start(e) = ref_start(e) - dels_before(e) + ins_before(e).
+    dlen = jnp.where(is_del, events_len, 0)
+    ilen = jnp.where(is_ins, events_len, 0)
+    prior_del = jnp.cumsum(dlen, axis=1) - dlen
+    prior_ins = jnp.cumsum(ilen, axis=1) - ilen
+    ref_start = jnp.where(is_ins, ins_before, start)
+    rpos = ref_start - prior_del + prior_ins  # [B, E]
+
+    # Everything else lives in READ coordinates, built from E-sized scatters
+    # and [B, L] cumsums only (no [B, L] scatters or binary searches — both
+    # serialize badly on TPU):
+    #   ins/mis events occupy read spans [rpos, rpos + len);
+    #   deletions are zero-width points at rpos carrying weight len.
+    def span_mask(flag):
         diff = jnp.zeros((B, L + 1), jnp.int32)
-        diff = diff.at[b_idx, jnp.clip(start, 0, L)].add(flag.astype(jnp.int32))
-        diff = diff.at[b_idx, jnp.clip(end, 0, L)].add(-flag.astype(jnp.int32))
+        f = flag.astype(jnp.int32)
+        diff = diff.at[b_idx, jnp.clip(rpos, 0, L)].add(f)
+        diff = diff.at[b_idx, jnp.clip(rpos + events_len, 0, L)].add(-f)
         return jnp.cumsum(diff[:, :L], axis=1) > 0
 
-    del_mask = range_mask(is_del)
-    mis_mask = range_mask(is_mis)
+    ins_mask = span_mask(is_ins)  # read positions holding inserted bases
+    mis_mask = span_mask(is_mis)  # read positions holding substituted bases
 
-    ins_at = jnp.zeros((B, L + 1), jnp.int32)
-    ins_at = ins_at.at[b_idx, jnp.clip(ins_before, 0, L)].add(
-        jnp.where(is_ins, events_len, 0)
-    )
-    cumins = jnp.cumsum(ins_at[:, :L], axis=1)  # inserted bases at or before i
+    del_pts = jnp.zeros((B, L + 1), jnp.int32)
+    del_pts = del_pts.at[b_idx, jnp.clip(rpos, 0, L)].add(jnp.where(is_del, events_len, 0))
+    D = jnp.cumsum(del_pts[:, :L], axis=1)  # deleted ref bases before-or-at j
+    I = jnp.cumsum(ins_mask.astype(jnp.int32), axis=1)  # inserted read bases <= j
 
-    deli = del_mask.astype(jnp.int32)
-    cumdel_excl = jnp.cumsum(deli, axis=1) - deli
+    j_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    # For a kept read position j, its source ref index is j shifted by the
+    # net indel displacement accumulated so far.
+    src_kept = j_idx - I + D
+    src = jnp.where(ins_mask, -1, src_kept)
+    cls = jnp.where(ins_mask, CLASS_INS, jnp.where(mis_mask, CLASS_MIS, CLASS_MATCH))
 
-    i_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    read_pos = i_idx - cumdel_excl + cumins  # monotone nondecreasing per row
-
-    in_ref = i_idx < middle_ref[:, None]
-    kept = in_ref & ~del_mask
-
-    # Invert the monotone ref->read map by batched binary search: for output
-    # position j, the source ref base is the LAST i with read_pos(i) == j
-    # (within an equal-read_pos run, deleted bases precede the kept one).
-    # Gathers instead of [B, L] scatters — scatters serialize on TPU.
-    j_idx = i_idx
-    i1 = _batched_searchsorted_right(read_pos, j_idx) - 1
-    i1c = jnp.clip(i1, 0, L - 1)
-    rp_at = jnp.take_along_axis(read_pos, i1c, axis=1)
-    kept_at = jnp.take_along_axis(kept, i1c, axis=1)
-    hit = (i1 >= 0) & (rp_at == j_idx) & kept_at
-    src = jnp.where(hit, i1c, -1)
-    mis_at = jnp.take_along_axis(mis_mask, i1c, axis=1)
-    cls = jnp.where(hit, jnp.where(mis_at, CLASS_MIS, CLASS_MATCH), CLASS_INS)
-
-    # Read length: kept ref bases + all insertions.
-    n_kept = jnp.sum(kept, axis=1)
-    n_ins = jnp.sum(jnp.where(is_ins & (ins_before <= middle_ref[:, None]), events_len, 0), axis=1)
-    read_len = (n_kept + n_ins).astype(jnp.int32)
+    tot_del = jnp.sum(dlen, axis=1)
+    tot_ins = jnp.sum(ilen, axis=1)
+    read_len = (middle_ref - tot_del + tot_ins).astype(jnp.int32)
 
     valid = j_idx < read_len[:, None]
+    src = jnp.where(valid, src, -1)
     return GatherMap(src=src, qclass=cls, valid=valid, read_len=read_len)
-
-
-def _batched_searchsorted_right(a: jax.Array, v: jax.Array) -> jax.Array:
-    """Row-wise searchsorted(side='right') for sorted [B, L] rows.
-
-    Fixed log2(L) rounds of take_along_axis — all gathers, no scatters.
-    """
-    B, L = a.shape
-    lo = jnp.zeros_like(v)
-    hi = jnp.full_like(v, L)
-    # the answer lies in [0, L]: L + 1 candidates
-    for _ in range(max(1, L.bit_length())):
-        mid = (lo + hi) // 2
-        amid = jnp.take_along_axis(a, jnp.clip(mid, 0, L - 1), axis=1)
-        go_right = amid <= v
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
 
 
 # --- Base construction -----------------------------------------------------

@@ -62,7 +62,7 @@ def _geometric(u, p):
     static_argnames=(
         "l_cap", "l_out", "ht_cap", "e_max", "gap_cap", "gap_steps", "s_max",
         "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
-        "metagenome", "n_chrom", "count_gap_in_total",
+        "metagenome", "n_chrom", "count_gap_in_total", "perfect",
     ),
 )
 def chimeric_batch(
@@ -87,40 +87,70 @@ def chimeric_batch(
     metagenome: bool,
     n_chrom: int,
     count_gap_in_total: bool,
+    perfect: bool = False,
 ) -> ChimericBatchOut:
     B = slots.shape[0]
     S = s_max
     sk = rng.slot_keys(base_key, slots)
 
     # --- segment counts (simulator.py:1276-1279) ---
-    u_seg = rng.uniform_per_slot(sk, rng.SITE_SEGMENTS)
-    n_seg = jnp.minimum(_geometric(u_seg, 1.0 / segment_mean), S)
+    if segment_mean > 1.0 and S > 1:
+        u_seg = rng.uniform_per_slot(sk, rng.SITE_SEGMENTS)
+        n_seg = jnp.minimum(_geometric(u_seg, 1.0 / segment_mean), S)
+    else:
+        n_seg = jnp.ones(B, jnp.int32)
 
     # per-(slot, segment) keys
     seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
-    gap_keys = [rng.part_slot_keys(sk, rng.PART_GAP_BASE, s) for s in range(S - 1)]
     sk_seg = jnp.concatenate(seg_keys, axis=0)  # [S*B, 2] (segment-major)
-    sk_gap = jnp.concatenate(gap_keys, axis=0)  # [(S-1)*B, 2]
+    if S > 1:
+        gap_keys = [rng.part_slot_keys(sk, rng.PART_GAP_BASE, s) for s in range(S - 1)]
+        sk_gap = jnp.concatenate(gap_keys, axis=0)  # [(S-1)*B, 2]
 
-    # --- per-segment aligned lengths (iid conditional on (0, max_len]) ---
+    # --- per-segment aligned lengths (iid conditional on the reference's
+    # filter: (0, max] aligned, [min, max] perfect; simulator.py:832-850) ---
     ref_c = _kde_draw(sk_seg, rng.SITE_REF_LENGTH, tables.kde_aligned, 2)
     from .genome_mode import _first_valid
 
-    ref_f, ref_ok = _first_valid(ref_c, (ref_c > 0) & (ref_c <= max_len))
+    if perfect:
+        ref_f, ref_ok = _first_valid(ref_c, (ref_c >= min_len) & (ref_c <= max_len))
+    else:
+        ref_f, ref_ok = _first_valid(ref_c, (ref_c > 0) & (ref_c <= max_len))
     seg_active = (
         jnp.repeat(jnp.arange(S, dtype=jnp.int32), B) < jnp.tile(n_seg, S)
     )  # [S*B] segment-major
     m_ref_flat = jnp.where(seg_active, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap), 0)
     seg_len_ok = jnp.where(seg_active, ref_ok & (ref_f <= l_cap), True)
 
-    # --- head/tail ---
-    remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
+    # --- head/tail (perfect reads have none; simulator.py:900-901) ---
+    if perfect:
+        zero_b = jnp.zeros(B, jnp.int32)
+        remainder, head, tail, ht_ok = zero_b, zero_b, zero_b, jnp.ones(B, bool)
+    else:
+        remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
 
     # --- segment error walks on the flattened batch ---
-    walk = error_walk.error_walk(
-        sk_seg, m_ref_flat, tables.first_match, tables.match_markov,
-        tables.mixtures, tables.trans, e_max,
-    )
+    if perfect:
+        E1 = 8
+        SB = S * B
+        walk = error_walk.WalkResult(
+            events_pos2x=jnp.zeros((SB, E1), jnp.int32),
+            events_type=jnp.zeros((SB, E1), jnp.int32),
+            events_len=jnp.zeros((SB, E1), jnp.int32),
+            events_valid=jnp.zeros((SB, E1), bool),
+            middle_ref=m_ref_flat,
+            l_new=m_ref_flat,
+            overflow=jnp.zeros(SB, bool),
+            n_events=jnp.zeros(SB, jnp.int32),
+            ecnt_mis=jnp.zeros(SB, jnp.int32),
+            ecnt_ins=jnp.zeros(SB, jnp.int32),
+            ecnt_match=m_ref_flat,
+        )
+    else:
+        walk = error_walk.error_walk(
+            sk_seg, m_ref_flat, tables.first_match, tables.match_markov,
+            tables.mixtures, tables.trans, e_max,
+        )
     seg_mref = walk.middle_ref.reshape(S, B).T  # [B, S]
     seg_lnew = jnp.where(seg_active, walk.l_new, 0).reshape(S, B).T
     walk_ok = jnp.where(
@@ -128,42 +158,53 @@ def chimeric_batch(
     ).reshape(S, B).T.all(axis=1)
 
     # --- gap lengths + gap synthesis (simulator.py:1298-1299, 1552-1568) ---
-    gap_active = (
-        jnp.repeat(jnp.arange(S - 1, dtype=jnp.int32), B) < jnp.tile(n_seg - 1, S - 1)
-    )
-    gap_f = _kde_draw(sk_gap, rng.SITE_GAP, tables.kde_gap, 1)[:, 0]
-    gap_ref = jnp.where(gap_active, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
-    gap_ref = jnp.minimum(gap_ref, gap_cap)
-    gwalk = error_walk.unaligned_walk(sk_gap, gap_ref, tables.mixtures, gap_steps)
-    gap_ok = jnp.where(gap_active, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True).reshape(
-        S - 1, B
-    ).T.all(axis=1)
+    if S > 1 and not perfect:
+        gap_active = (
+            jnp.repeat(jnp.arange(S - 1, dtype=jnp.int32), B) < jnp.tile(n_seg - 1, S - 1)
+        )
+        gap_f = _kde_draw(sk_gap, rng.SITE_GAP, tables.kde_gap, 1)[:, 0]
+        gap_ref = jnp.where(gap_active, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
+        gap_ref = jnp.minimum(gap_ref, gap_cap)
+        gwalk = error_walk.unaligned_walk(sk_gap, gap_ref, tables.mixtures, gap_steps)
+        gap_ok = jnp.where(gap_active, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True).reshape(
+            S - 1, B
+        ).T.all(axis=1)
 
-    # gap extraction + mutation
-    if metagenome:
-        g_sp = jnp.concatenate([species[:, s] for s in range(S - 1)], axis=0)
-        g_chrom, g_pos, g_pos_ok = extract.sample_metagenome_positions(
-            sk_gap, g_sp, gwalk.middle_ref, genome, n_chrom
+        # gap extraction + mutation; gap species is a UNIFORM random choice,
+        # not abundance-driven (extract_read with s=None, simulator.py:1556,
+        # 1704-1706)
+        if metagenome:
+            n_species = genome.chrom_start_of_species.shape[0] - 1
+            u_sp = jax.vmap(
+                lambda k: jax.random.uniform(jax.random.fold_in(k, 1), dtype=jnp.float32)
+            )(sk_gap)
+            g_sp = jnp.minimum((u_sp * n_species).astype(jnp.int32), n_species - 1)
+            g_chrom, g_pos, g_pos_ok = extract.sample_metagenome_positions(
+                sk_gap, g_sp, gwalk.middle_ref, genome, n_chrom
+            )
+        else:
+            g_chrom, g_pos, g_pos_ok = extract.sample_genome_positions(
+                sk_gap, gwalk.middle_ref, genome, circular_dna
+            )
+        gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
+        gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
+        gap_seg = seqops.resolve_iupac(
+            gap_seg, rng.uniform_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
         )
+        ggm = apply_errors.build_gather_map(
+            gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
+            gwalk.middle_ref, gap_cap,
+        )
+        gap_read = apply_errors.materialize_read(
+            ggm.src, ggm.qclass, ggm.valid, gap_seg,
+            rng.uniform_per_slot(sk_gap, rng.SITE_MIS_BASE, (gap_cap,)),
+            rng.uniform_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,)),
+        )  # [(S-1)*B, gap_cap]
+        gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
     else:
-        g_chrom, g_pos, g_pos_ok = extract.sample_genome_positions(
-            sk_gap, gwalk.middle_ref, genome, circular_dna
-        )
-    gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
-    gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
-    gap_seg = seqops.resolve_iupac(
-        gap_seg, rng.uniform_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
-    )
-    ggm = apply_errors.build_gather_map(
-        gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
-        gwalk.middle_ref, gap_cap,
-    )
-    gap_read = apply_errors.materialize_read(
-        ggm.src, ggm.qclass, ggm.valid, gap_seg,
-        rng.uniform_per_slot(sk_gap, rng.SITE_MIS_BASE, (gap_cap,)),
-        rng.uniform_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,)),
-    )  # [(S-1)*B, gap_cap]
-    gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
+        gap_ok = jnp.ones(B, bool)
+        gap_read = jnp.zeros((max(S - 1, 1) * B, gap_cap), jnp.uint8)
+        gap_lens = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
 
     # --- total-length filter (simulator.py:1354-1368; metagenome includes
     # gaps at :935-946, genome does not) ---

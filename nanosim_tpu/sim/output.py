@@ -367,12 +367,13 @@ class ChimericBatchWriter:
     """
 
     def __init__(self, fastx: FastxWriter, error_log=None, species_names=None,
-                 species_of_chrom=None, metagenome: bool = False):
+                 species_of_chrom=None, metagenome: bool = False, perfect: bool = False):
         self.fastx = fastx
         self.error_log = error_log
         self.species_names = species_names
         self.species_of_chrom = species_of_chrom
         self.metagenome = metagenome
+        self.perfect = perfect
         # base-level quota feedback for metagenome abundance accounting
         self.species_bases = None
 
@@ -416,7 +417,8 @@ class ChimericBatchWriter:
                 comps.append(comp)
                 if self.metagenome and s < ns - 1:
                     comps.append(f"gap_{gap_len[b, s]}")
-            name = ";".join(comps) + f"_aligned_{idx}"
+            kind = "perfect" if self.perfect else "aligned"
+            name = ";".join(comps) + f"_{kind}_{idx}"
             if ns > 1:
                 name += "_chimeric"
             name += "_R" if rev[b] else "_F"
@@ -431,7 +433,7 @@ class ChimericBatchWriter:
                     sp_i = int(self.species_of_chrom[chrom[b, s]])
                     self.species_bases[sp_i] += int(seg_mref[b, s])
 
-            if self.error_log is not None:
+            if self.error_log is not None and not self.perfect:
                 pre = seq
                 if rev[b]:
                     pre = _COMP_LUT[pre[::-1]]
