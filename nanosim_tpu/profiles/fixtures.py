@@ -200,3 +200,54 @@ def make_expression_tsv(path: str, transcripts, seed: int = 3) -> None:
         for name, _ in transcripts:
             tpm = float(rng.gamma(0.8, 60.0))
             f.write(f"{name}\t{tpm * 2:.2f}\t{tpm:.4f}\n")
+
+
+def make_ir_fixture(dirpath: str, n_transcripts: int = 12, seed: int = 4):
+    """Genome + transcripts-with-introns + GFF3 structure fixture.
+
+    Each transcript is the concatenation of 2-4 exon slices of a random
+    genome, with introns between them; the GFF (written as
+    `<dir>/training_added_intron_final.gff3`) carries transcript_id
+    attributes like the GenomeTools pipeline output.
+
+    Returns (genome_fa, trx_fa, gff_path, [(name, spliced_len)]).
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    genome_fa = os.path.join(dirpath, "genome.fa")
+    glen = 120000
+    make_reference_fasta(genome_fa, [glen], seed=seed + 1)
+    from ..io.genome import PackedGenome
+
+    g = PackedGenome.from_fasta(genome_fa)
+
+    trx_fa = os.path.join(dirpath, "transcripts.fa")
+    gff = os.path.join(dirpath, "training_added_intron_final.gff3")
+    out = []
+    cursor = 100
+    with open(trx_fa, "w") as tf, open(gff, "w") as gf:
+        gf.write("##gff-version 3\n")
+        for i in range(n_transcripts):
+            name = f"ENSTIR{i:06d}"
+            n_exon = int(rng.integers(2, 5))
+            feats = []
+            pos = cursor
+            for e in range(n_exon):
+                elen = int(rng.integers(300, 900))
+                feats.append(("exon", pos, pos + elen))
+                pos += elen
+                if e < n_exon - 1:
+                    ilen = int(rng.integers(80, 400))
+                    feats.append(("intron", pos, pos + ilen))
+                    pos += ilen
+            cursor = pos + int(rng.integers(200, 500))
+            seq = b"".join(
+                g.flat[s:e].tobytes() for t, s, e in feats if t == "exon"
+            ).decode()
+            tf.write(f">{name}\n{seq}\n")
+            for t, s, e in feats:
+                gf.write(
+                    f"chr1\tfix\t{t}\t{s + 1}\t{e}\t.\t+\t.\ttranscript_id={name}\n"
+                )
+            out.append((name, len(seq)))
+    return genome_fa, trx_fa, gff, out

@@ -199,6 +199,31 @@ def sample_metagenome_positions(
     return chrom, pos, ok
 
 
+def sample_uniform_chrom_positions(
+    slot_keys: jax.Array,
+    lengths: jax.Array,  # [B] int32
+    genome: GenomeDevice,
+    n_chrom: int,
+    site: int = rng.SITE_POSITION,
+):
+    """Uniform random chromosome/transcript among those STRICTLY longer than
+    the read (extract_read transcriptome branch, simulator.py:1695-1703),
+    then uniform start in [0, len - length] inclusive.
+
+    Returns (chrom [B] i32, pos [B] i64, ok [B] bool)."""
+    keys = rng.site_keys(slot_keys, site)
+    us = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=jnp.float64))(keys)
+    eligible = lengths.astype(jnp.int64)[:, None] < genome.lengths[None, :]  # [B, C]
+    n_eli = jnp.sum(eligible, axis=1)
+    kth = jnp.minimum((us[:, 0] * n_eli).astype(jnp.int32), jnp.maximum(n_eli - 1, 0))
+    cum = jnp.cumsum(eligible.astype(jnp.int32), axis=1)
+    chrom = jnp.argmax(cum > kth[:, None], axis=1).astype(jnp.int32)
+    ok = n_eli > 0
+    span = genome.lengths[chrom] - lengths.astype(jnp.int64)
+    pos = jnp.minimum((us[:, 1] * (span + 1)).astype(jnp.int64), jnp.maximum(span, 0))
+    return chrom, pos, ok
+
+
 @functools.partial(jax.jit, static_argnames=("l_cap",))
 def gather_segments(
     genome: GenomeDevice,

@@ -1,0 +1,322 @@
+"""Transcriptome-mode driver, writer, and top-level run.
+
+Read names (simulator.py:1188-1219):
+  `<trx>_<pos>_aligned_<idx>[_RetainedIntron_<s>-<e>;...]_<F|R>_<head>_<mid>_<tail+polyA>`
+Perfect reads use `_perfect_` with 0 head and `<tail>` = polyA length.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from time import strftime
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.genome import PackedGenome
+from ..ops import rng
+from ..profiles import profile as profile_mod
+from . import extract, output
+from .bundles import build_tables, plan_event_budget, plan_ht_capacity, plan_ref_capacity
+from .transcriptome_mode import TrxBatchOut, transcriptome_batch
+
+POLYA_SCALE = {"albacore": 2.409858743694814, "guppy": 4.168299657168961}
+
+
+def _log(msg):
+    sys.stderr.write(strftime("%Y-%m-%d %H:%M:%S") + ": " + msg + "\n")
+    sys.stderr.flush()
+
+
+class TrxBatchWriter:
+    """Accept/number/emit a transcriptome batch."""
+
+    def __init__(self, fastx, error_log=None, perfect: bool = False):
+        self.fastx = fastx
+        self.error_log = error_log
+        self.perfect = perfect
+
+    def write_batch(self, sim, out: TrxBatchOut, accepted_so_far: int, quota: int) -> int:
+        valid = np.asarray(out.valid)
+        lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+        if len(lanes) == 0:
+            return 0
+        reads = np.asarray(out.read)
+        quals = np.asarray(out.quals) if sim.fastq else None
+        total = np.asarray(out.total_len)
+        head = np.asarray(out.head)
+        tail = np.asarray(out.tail)
+        pa = np.asarray(out.polya_len)
+        middle_ref = np.asarray(out.middle_ref)
+        l_new = np.asarray(out.l_new)
+        trx = np.asarray(out.trx)
+        pos = np.asarray(out.local_pos)
+        rev = np.asarray(out.is_reversed)
+        has_ir = np.asarray(out.has_ir)
+        ir_iv = np.asarray(out.ir_intervals)
+        n_ir = np.asarray(out.n_ir)
+        n_events = np.asarray(out.n_events)
+        ev_p = np.asarray(out.ev_pos2x)
+        ev_t = np.asarray(out.ev_type)
+        ev_l = np.asarray(out.ev_len)
+        ref_seg = np.asarray(out.ref_seg)
+        names = sim.genome_host.names
+        kind = "perfect" if self.perfect else "aligned"
+
+        for rank, b in enumerate(lanes):
+            idx = accepted_so_far + rank
+            name = f"{names[trx[b]]}_{pos[b]}_{kind}_{idx}"
+            if n_ir[b] > 0:
+                name += "_RetainedIntron_"
+                for k in range(n_ir[b]):
+                    name += f"{ir_iv[b, k, 0]}-{ir_iv[b, k, 1]};"
+            name += "_R" if rev[b] else "_F"
+            name += f"_{head[b]}_{middle_ref[b]}_{tail[b] + pa[b]}"
+
+            seq = reads[b, : total[b]]
+            self.fastx.write(name, seq, quals[b, : total[b]] if sim.fastq else None)
+
+            if self.error_log is not None and not self.perfect and n_events[b] > 0:
+                self._log_lane(
+                    b, name, seq, head[b], l_new[b], rev[b],
+                    n_events[b], ev_p[b], ev_t[b], ev_l[b], ref_seg[b],
+                )
+        return len(lanes)
+
+    def _log_lane(self, b, name, seq, head, l_new, rev, ne, ev_p, ev_t, ev_l, ref_row):
+        pre = seq
+        if rev:
+            pre = output._COMP_LUT[pre[::-1]]
+        mid = pre[head : head + l_new]
+        evv = np.zeros(len(ev_p), bool)
+        evv[:ne] = True
+        keys, rpos = output.event_read_positions(
+            ev_p[None, :], ev_t[None, :], ev_l[None, :], evv[None, :]
+        )
+        keys, rpos = keys[0], rpos[0]
+        refs, seqs, tnames = [], [], []
+        for e in range(ne):
+            k, t, ln, rp = int(keys[e]), int(ev_t[e]), int(ev_l[e]), int(rpos[e])
+            if t == 1:
+                refs.append("-" * ln)
+                seqs.append(mid[rp : rp + ln].tobytes().decode())
+            else:
+                refs.append(ref_row[k : k + ln].tobytes().decode())
+                seqs.append(mid[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln)
+            tnames.append(output._ETYPE_NAMES[t])
+        self.error_log.write_read_events(name, keys[:ne], tnames, ev_l[:ne], refs, seqs)
+
+
+class TranscriptomeSimulator:
+    def __init__(
+        self,
+        transcriptome: PackedGenome,
+        profile,
+        expression,
+        *,
+        fastq: bool = False,
+        perfect: bool = False,
+        uracil: bool = False,
+        polya_scale: float = 0.0,
+        model_ir: bool = False,
+        ir_genome: Optional[PackedGenome] = None,
+        max_len: float = float("inf"),
+        batch: int = 256,
+        kmer_bias: Optional[int] = None,
+    ):
+        self.genome_host = transcriptome
+        self.profile = profile
+        self.fastq = fastq
+        self.perfect = perfect
+        self.batch = batch
+
+        name_to_idx = transcriptome.name_index()
+        # expression-eligible transcripts present in the reference
+        eli_idx, weights = [], []
+        for nm, w in zip(expression.names, expression.weights):
+            if nm in name_to_idx:
+                eli_idx.append(name_to_idx[nm])
+                weights.append(w)
+        if not eli_idx:
+            raise ValueError("no expressed transcripts match the reference transcriptome")
+
+        self.ir_tables = None
+        self.ir_genome_dev = None
+        with_ir = False
+        if model_ir and profile.structures is not None and ir_genome is not None:
+            from .ir import IRTables
+
+            tables_ir, ok_mask = IRTables.build(
+                profile.structures,
+                transcriptome.names,
+                ir_genome.names,
+                profile.ir_markov,
+                transcriptome.lengths,
+            )
+            # IR mode only simulates structure-eligible transcripts
+            # (simulator.py:1094-1100 rejection loop)
+            keep = [(i, w) for i, w in zip(eli_idx, weights) if ok_mask[i]]
+            if keep:
+                eli_idx = [i for i, _ in keep]
+                weights = [w for _, w in keep]
+                self.ir_tables = tables_ir
+                self.ir_genome_dev = extract.GenomeDevice.from_packed(ir_genome)
+                with_ir = True
+            else:
+                _log("WARNING: no expressed transcripts match the GFF structures; IR disabled")
+        self.with_ir = with_ir
+
+        w = np.asarray(weights, np.float64)
+        w = w / w.sum()
+        self.cum_weights = jnp.asarray(np.cumsum(w))
+        self.trx_of_eligible = jnp.asarray(np.asarray(eli_idx, np.int32))
+        polya_mask = np.zeros(transcriptome.n_chrom, bool)
+        if profile.polya:
+            for nm in profile.polya:
+                if nm in name_to_idx:
+                    polya_mask[name_to_idx[nm]] = True
+        self.polya_mask = jnp.asarray(polya_mask)
+
+        self.l_cap = plan_ref_capacity(profile, max_len, transcriptome.max_chrom)
+        self.ht_cap = plan_ht_capacity(profile)
+        self.l_out = self.l_cap + self.ht_cap + 512  # + polyA slack
+        self.e_max = plan_event_budget(profile, self.l_cap)
+        self.tables = build_tables(profile)
+        self.genome_dev = extract.GenomeDevice.from_packed(transcriptome)
+        self.kw = dict(
+            l_cap=self.l_cap,
+            l_out=self.l_out,
+            ht_cap=self.ht_cap,
+            e_max=self.e_max,
+            fastq=fastq,
+            perfect=perfect,
+            uracil=uracil,
+            polya_scale=polya_scale,
+            max_len=max_len,
+            with_ir=with_ir,
+        )
+
+    def batch_fn(self):
+        return functools.partial(
+            transcriptome_batch,
+            genome=self.genome_dev,
+            tables=self.tables,
+            cum_weights=self.cum_weights,
+            trx_of_eligible=self.trx_of_eligible,
+            polya_mask=self.polya_mask,
+            ir_tables=self.ir_tables,
+            ir_genome=self.ir_genome_dev,
+            **self.kw,
+        )
+
+    def run(self, n_reads, writer, seed=0, max_batches=None):
+        fn = self.batch_fn()
+        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        accepted = 0
+        slot_start = 0
+        batches = 0
+        while accepted < n_reads:
+            slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
+            out = fn(base, slots)
+            accepted += writer.write_batch(self, out, accepted, n_reads)
+            slot_start += self.batch
+            batches += 1
+            if max_batches is not None and batches >= max_batches:
+                break
+        return accepted
+
+
+def simulate_transcriptome(
+    ref_t: str,
+    ref_g: str,
+    exp_path: str,
+    model_prefix: str,
+    out: str,
+    number: int = 20000,
+    *,
+    perfect: bool = False,
+    fastq: bool = False,
+    kmer_bias=None,
+    homopolymer: bool = False,
+    strandness=None,
+    model_ir: bool = True,
+    polya=None,
+    basecaller=None,
+    uracil: bool = False,
+    min_len: int = 50,
+    max_len: float = float("inf"),
+    seed: int = 0,
+    batch: int = 256,
+) -> dict:
+    """Full transcriptome run (reference main transcriptome branch,
+    simulator.py:2322-2414)."""
+    _log("Read in reference transcriptome")
+    transcriptome = PackedGenome.from_fasta(ref_t)
+    ir_genome = None
+    if model_ir and ref_g:
+        _log("Read in reference genome")
+        ir_genome = PackedGenome.from_fasta(ref_g)
+
+    prof = profile_mod.load_profile(
+        model_prefix,
+        mode="transcriptome",
+        perfect=perfect,
+        homopolymer=homopolymer,
+        fastq=fastq,
+        model_ir=model_ir,
+        polya_path=polya,
+        strandness=strandness,
+    )
+    _log("Read in expression profile")
+    seq_len = dict(zip(transcriptome.names, (int(x) for x in transcriptome.lengths)))
+    expression = profile_mod.load_expression(exp_path, seq_len)
+
+    n_aligned, n_unaligned = profile_mod.split_aligned_unaligned(
+        [number], prof.aligned_rate, perfect
+    )
+    polya_scale = POLYA_SCALE.get(basecaller, 0.0) if polya else 0.0
+    ext = ".fastq" if fastq else ".fasta"
+
+    _log("Start simulation of aligned reads")
+    sim = TranscriptomeSimulator(
+        transcriptome,
+        prof,
+        expression,
+        fastq=fastq,
+        perfect=perfect,
+        uracil=uracil,
+        polya_scale=polya_scale,
+        model_ir=model_ir,
+        ir_genome=ir_genome,
+        max_len=max_len,
+        batch=batch,
+        kmer_bias=kmer_bias,
+    )
+    fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
+    el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
+    sim.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
+    fw.close()
+    el.close()
+
+    if not perfect and n_unaligned[0] > 0:
+        _log("Start simulation of random reads")
+        from .unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
+
+        usim = UnalignedSimulator(
+            transcriptome,
+            prof,
+            fastq=fastq,
+            min_len=min_len,
+            max_len=max_len,
+            batch=batch,
+            uracil=uracil,
+            transcriptome_mode=True,
+        )
+        ufw = output.FastxWriter(out + "_unaligned_reads" + ext, fastq)
+        usim.run(n_unaligned[0], UnalignedBatchWriter(ufw), seed=seed)
+        ufw.close()
+
+    _log("Finished!")
+    return {"aligned": n_aligned[0], "unaligned": 0 if perfect else n_unaligned[0]}

@@ -1,0 +1,280 @@
+"""Transcriptome-mode simulation.
+
+Mirrors `simulation_aligned_transcriptome` (simulator.py:1043-1263):
+
+  - expression-weighted transcript choice (random.choices over the TPM ECDF,
+    simulator.py:1084) -> weighted inverse-CDF draw;
+  - aligned length conditioned on transcript length via the 2D KDE.  The
+    reference approximates the conditional by nearest-neighbor over a sample
+    batch (select_nearest_kde2d, simulator.py:108-111); we sample the exact
+    conditional of the isotropic Gaussian KDE (tables.KdeDevice
+    .sample_conditional) with rejection until aligned < transcript length;
+  - head/tail: remainder KDE + ratio CLAMPED into [0, 1]
+    (simulator.py:1073-1075 — unlike genome mode, which filters);
+  - polyA tails ~ int(Expon(loc=2, scale per basecaller)) for transcripts in
+    the polyA list whose extraction reaches within 10 bp of the 3' end;
+  - uracil (T -> U) on the final read.
+
+Intron retention runs as a per-read feature walk over CSR structure tables
+(see ir.py) and switches extraction to genome intervals.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import apply_errors, error_walk, rng, seqops
+from . import extract
+from .bundles import SimTables
+from .genome_mode import QCLASS_HT, _kde_draw, _ndtri
+
+
+class TrxBatchOut(NamedTuple):
+    read: jax.Array  # [B, L_out]
+    quals: jax.Array
+    valid: jax.Array
+    total_len: jax.Array
+    head: jax.Array
+    tail: jax.Array  # WITHOUT polyA (name component adds polya_len)
+    polya_len: jax.Array
+    middle_ref: jax.Array
+    l_new: jax.Array
+    trx: jax.Array  # [B] transcript index
+    local_pos: jax.Array  # [B] start within transcript (or genome for IR)
+    is_reversed: jax.Array
+    ev_pos2x: jax.Array
+    ev_type: jax.Array
+    ev_len: jax.Array
+    n_events: jax.Array
+    has_ir: jax.Array  # [B] bool
+    ir_intervals: jax.Array  # [B, I, 2] genomic retained-intron intervals
+    n_ir: jax.Array  # [B]
+    ref_seg: jax.Array  # [B, l_cap] IUPAC-resolved extracted reference
+
+
+def pick_transcripts(sk, cum_weights: jax.Array, site=rng.SITE_TRANSCRIPT):
+    u = rng.uniform_per_slot(sk, site)
+    idx = jnp.searchsorted(cum_weights, u.astype(cum_weights.dtype), side="left")
+    return jnp.minimum(idx, cum_weights.shape[0] - 1).astype(jnp.int32)
+
+
+def draw_ht_clamped(sk, tables: SimTables, ht_cap: int):
+    """Transcriptome head/tail: remainder log-KDE (int truncation), ratio
+    clamped to [0, 1] (simulator.py:1072-1075, 1200-1208)."""
+    rem = _kde_draw(sk, rng.SITE_REMAINDER, tables.kde_ht, 1)[:, 0]
+    ratio = jnp.clip(_kde_draw(sk, rng.SITE_HT_RATIO, tables.kde_ht_ratio, 1)[:, 0], 0.0, 1.0)
+    remainder = jnp.maximum(rem.astype(jnp.int32), 0)
+    head = jnp.round(remainder * ratio).astype(jnp.int32)
+    head = jnp.where(remainder == 0, 0, head)
+    tail = remainder - head
+    ok = remainder <= ht_cap
+    return remainder, head, tail, ok
+
+
+def polya_length(sk, retain: jax.Array, scale: float):
+    """int(scipy.stats.expon.rvs(loc=2, scale)) per lane
+    (simulator.py:1046-1053)."""
+    u = rng.uniform_per_slot(sk, rng.SITE_POLYA)
+    ln = (2.0 - scale * jnp.log1p(-u)).astype(jnp.int32)
+    return jnp.where(retain, ln, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "l_cap", "l_out", "ht_cap", "e_max", "fastq", "perfect", "uracil",
+        "polya_scale", "max_len", "with_ir",
+    ),
+)
+def transcriptome_batch(
+    base_key: jax.Array,
+    slots: jax.Array,
+    genome: extract.GenomeDevice,  # packed TRANSCRIPTOME
+    tables: SimTables,
+    cum_weights: jax.Array,  # [n_eligible] expression cumulative weights
+    trx_of_eligible: jax.Array,  # [n_eligible] -> transcript index
+    polya_mask: jax.Array,  # [n_trx] bool
+    *,
+    l_cap: int,
+    l_out: int,
+    ht_cap: int,
+    e_max: int,
+    fastq: bool,
+    perfect: bool,
+    uracil: bool,
+    polya_scale: float,
+    max_len: float,
+    with_ir: bool = False,
+    ir_tables=None,  # IRTables pytree (dummy allowed when with_ir=False)
+    ir_genome: Optional[extract.GenomeDevice] = None,
+) -> TrxBatchOut:
+    B = slots.shape[0]
+    sk = rng.slot_keys(base_key, slots)
+
+    eli = pick_transcripts(sk, cum_weights)
+    trx = trx_of_eligible[eli]
+    trx_len = genome.lengths[trx].astype(jnp.int32)
+
+    # conditional aligned length, rejected until < transcript length
+    # (simulator.py:1098-1104)
+    u2 = rng.uniform_per_slot(sk, rng.SITE_ALIGNED_2D, (4, 2))
+    aligned = jnp.zeros(B, jnp.int32)
+    got = jnp.zeros(B, bool)
+    for r in range(4):
+        comp = u2[:, r, 0]
+        z = _ndtri(jnp.clip(u2[:, r, 1], 1e-7, 1 - 1e-7))
+        cand = tables.kde_aligned_2d.sample_conditional(
+            trx_len.astype(jnp.float32), comp, z
+        ).astype(jnp.int32)
+        ok = (cand > 0) & (cand < trx_len)
+        take = (~got) & ok
+        aligned = jnp.where(take, cand, aligned)
+        got = got | ok
+    valid = got & (aligned <= l_cap)
+
+    if perfect:
+        middle_ref = aligned
+        l_new = aligned
+        E1 = 8
+        ev_pos2x = jnp.zeros((B, E1), jnp.int32)
+        ev_type = jnp.zeros((B, E1), jnp.int32)
+        ev_len = jnp.zeros((B, E1), jnp.int32)
+        ev_valid = jnp.zeros((B, E1), bool)
+        n_events = jnp.zeros(B, jnp.int32)
+        head = jnp.zeros(B, jnp.int32)
+        tail = jnp.zeros(B, jnp.int32)
+    else:
+        walk = error_walk.error_walk(
+            sk, aligned, tables.first_match, tables.match_markov, tables.mixtures,
+            tables.trans, e_max,
+        )
+        middle_ref, l_new = walk.middle_ref, walk.l_new
+        ev_pos2x, ev_type, ev_len, ev_valid = (
+            walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
+        )
+        n_events = walk.n_events
+        # reject when errors push past the transcript (simulator.py:1148-1149)
+        valid &= ~walk.overflow & (middle_ref <= trx_len) & (middle_ref <= l_cap)
+        valid &= l_new <= l_cap
+        _, head, tail, ht_ok = draw_ht_clamped(sk, tables, ht_cap)
+        valid &= ht_ok
+
+    # --- intron retention decision + interval extraction -------------------
+    has_ir = jnp.zeros(B, bool)
+    n_ir = jnp.zeros(B, jnp.int32)
+    ir_intervals = jnp.zeros((B, 1, 2), jnp.int64)
+    if with_ir and not perfect:
+        from .ir import ir_walk_and_extract
+
+        (ir_seg, ir_pos, ir_extract_len, has_ir, ir_intervals, n_ir, ir_retain_end) = (
+            ir_walk_and_extract(
+                sk, trx, middle_ref, trx_len, ir_tables, ir_genome, l_cap
+            )
+        )
+
+    # --- extraction --------------------------------------------------------
+    local_pos, pos_ok = extract.sample_transcript_positions(sk, trx, middle_ref, genome)
+    valid &= pos_ok
+    ref_seg = extract.gather_segments(genome, trx, local_pos, middle_ref, l_cap)
+    if with_ir and not perfect:
+        ref_seg = jnp.where(has_ir[:, None], ir_seg, ref_seg)
+        local_pos = jnp.where(has_ir, ir_pos, local_pos)
+        valid &= jnp.where(has_ir, ir_extract_len == middle_ref, True)
+    u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+    ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+
+    # polyA retention: non-IR reads reach the 3' end within 10 bp
+    # (extract_read_trx, simulator.py:1683-1691); IR reads use the genomic
+    # interval test (extract_read_pos, simulator.py:186-189)
+    trx_has_polya = polya_mask[trx]
+    reach_end = local_pos + middle_ref + 10 >= genome.lengths[trx]
+    retain_polya = trx_has_polya & reach_end
+    if with_ir and not perfect:
+        retain_polya = jnp.where(has_ir, trx_has_polya & ir_retain_end, retain_polya)
+    pa_len = polya_length(sk, retain_polya, polya_scale) if polya_scale > 0 else jnp.zeros(B, jnp.int32)
+
+    if perfect:
+        read_mid = ref_seg
+        qclass_mid = jnp.zeros((B, l_cap), jnp.int32)
+    else:
+        gm = apply_errors.build_gather_map(
+            ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
+        )
+        read_mid = apply_errors.materialize_read(
+            gm.src, gm.qclass, gm.valid, ref_seg,
+            rng.uniform_per_slot(sk, rng.SITE_MIS_BASE, (l_cap,)),
+            rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,)),
+        )
+        qclass_mid = gm.qclass
+
+    # --- assembly: head + mutated middle + polyA + tail --------------------
+    j = jnp.arange(l_out, dtype=jnp.int32)[None, :]
+    headc = head[:, None]
+    l_newc = l_new[:, None]
+    pac = pa_len[:, None]
+    total = head + l_new + pa_len + tail
+    totalc = total[:, None]
+    valid &= total <= l_out
+
+    in_head = j < headc
+    in_mid = (j >= headc) & (j < headc + l_newc)
+    in_pa = (j >= headc + l_newc) & (j < headc + l_newc + pac)
+    in_tail = (j >= headc + l_newc + pac) & (j < totalc)
+
+    mid_idx = jnp.clip(j - headc, 0, l_cap - 1)
+    mid_bases = jnp.take_along_axis(read_mid, mid_idx, axis=1)
+    u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
+    ht_idx = jnp.where(in_tail, j - l_newc - pac, j)
+    ht_bases = seqops.random_bases(
+        jnp.take_along_axis(u_ht, jnp.clip(ht_idx, 0, ht_cap - 1), axis=1)
+    )
+    base = jnp.where(
+        in_mid, mid_bases,
+        jnp.where(in_pa, jnp.uint8(ord("A")),
+                  jnp.where(in_head | in_tail, ht_bases, jnp.uint8(0))),
+    )
+
+    u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+    is_rev = u_strand > tables.strandness_rate
+    rc = seqops.reverse_complement(base, total)
+    read = jnp.where(is_rev[:, None], rc, base)
+    if uracil:
+        read = jnp.where(read != 0, seqops.to_uracil(read), read)
+
+    quals = jnp.zeros((B, l_out), jnp.uint8)
+    if fastq:
+        cls_mid = jnp.take_along_axis(qclass_mid, mid_idx, axis=1)
+        cls = jnp.where(in_mid, cls_mid, QCLASS_HT)  # polyA quals are ht-class
+        u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
+        q = tables.qual.sample(cls, u_q)
+        q = jnp.where(j < totalc, q, 0)
+        q = jnp.where(is_rev[:, None], seqops.reverse_quals(q, total), q)
+        quals = jnp.where(j < totalc, (q + 33).astype(jnp.uint8), jnp.uint8(0))
+
+    return TrxBatchOut(
+        read=read,
+        quals=quals,
+        valid=valid,
+        total_len=total,
+        head=head,
+        tail=tail,
+        polya_len=pa_len,
+        middle_ref=middle_ref,
+        l_new=l_new,
+        trx=trx,
+        local_pos=local_pos,
+        is_reversed=is_rev,
+        ev_pos2x=ev_pos2x,
+        ev_type=ev_type,
+        ev_len=ev_len,
+        n_events=n_events,
+        has_ir=has_ir,
+        ir_intervals=ir_intervals,
+        n_ir=n_ir,
+        ref_seg=ref_seg,
+    )

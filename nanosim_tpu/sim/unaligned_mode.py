@@ -35,6 +35,7 @@ from .genome_mode import BatchOut, QCLASS_UNMAPPED, _kde_draw
         "median_len",
         "sd_len",
         "uracil",
+        "transcriptome_mode",
     ),
 )
 def unaligned_batch(
@@ -52,6 +53,7 @@ def unaligned_batch(
     median_len: Optional[float],
     sd_len: Optional[float],
     uracil: bool = False,
+    transcriptome_mode: bool = False,
 ) -> BatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -70,9 +72,16 @@ def unaligned_batch(
     valid &= ~walk.overflow & (middle_ref >= min_len) & (middle_ref <= max_len)
     valid &= (middle_ref <= l_cap) & (l_new <= l_cap)
 
-    chrom, local_pos, pos_ok = extract.sample_genome_positions(
-        sk, middle_ref, genome, circular_dna
-    )
+    if transcriptome_mode:
+        # extract_read transcriptome branch: uniform transcript among those
+        # strictly longer than the read (simulator.py:1695-1703)
+        chrom, local_pos, pos_ok = extract.sample_uniform_chrom_positions(
+            sk, middle_ref, genome, genome.lengths.shape[0]
+        )
+    else:
+        chrom, local_pos, pos_ok = extract.sample_genome_positions(
+            sk, middle_ref, genome, circular_dna
+        )
     valid &= pos_ok
     ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
     u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
@@ -174,6 +183,7 @@ class UnalignedSimulator:
         batch=256,
         l_cap=None,
         uracil=False,
+        transcriptome_mode=False,
     ):
         from .bundles import build_tables
 
@@ -204,6 +214,7 @@ class UnalignedSimulator:
             median_len=median_len,
             sd_len=sd_len,
             uracil=uracil,
+            transcriptome_mode=transcriptome_mode,
         )
         self.batch = batch
 
