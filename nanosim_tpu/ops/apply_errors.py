@@ -112,10 +112,22 @@ def build_gather_map(
 
 # --- Base construction -----------------------------------------------------
 
-# ASCII -> 2-bit code (A=0, C=1, G=2, T=3); non-ACGT maps to 0 (callers
-# resolve IUPAC codes before this point).
-_ASCII2CODE = jnp.zeros(256, jnp.uint8).at[ord("C")].set(1).at[ord("G")].set(2).at[ord("T")].set(3)
-_CODE2ASCII = jnp.array([ord("A"), ord("C"), ord("G"), ord("T")], jnp.uint8)
+
+def _ascii_to_code(seq):
+    """ASCII -> 2-bit code via selects (A=0, C=1, G=2, T=3)."""
+    return jnp.where(
+        seq == jnp.uint8(ord("C")), jnp.uint8(1),
+        jnp.where(seq == jnp.uint8(ord("G")), jnp.uint8(2),
+                  jnp.where(seq == jnp.uint8(ord("T")), jnp.uint8(3), jnp.uint8(0))),
+    )
+
+
+def _code_to_ascii(code):
+    return jnp.where(
+        code == 0, jnp.uint8(ord("A")),
+        jnp.where(code == 1, jnp.uint8(ord("C")),
+                  jnp.where(code == 2, jnp.uint8(ord("G")), jnp.uint8(ord("T")))),
+    )
 
 
 @jax.jit
@@ -135,7 +147,7 @@ def materialize_read(
     """
     src = jnp.clip(gm_src, 0, ref_seg.shape[1] - 1)
     ref_base = jnp.take_along_axis(ref_seg, src, axis=1)
-    code = _ASCII2CODE[ref_base]
+    code = _ascii_to_code(ref_base)
 
     mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)
     mis_code = (code + jnp.minimum(mis_off, 3)) % 4
@@ -143,5 +155,5 @@ def materialize_read(
 
     out_code = jnp.where(gm_qclass == CLASS_MIS, mis_code, code)
     out_code = jnp.where(gm_qclass == CLASS_INS, ins_code, out_code)
-    out = _CODE2ASCII[out_code]
+    out = _code_to_ascii(out_code)
     return jnp.where(gm_valid, out, jnp.uint8(0))

@@ -1,71 +1,77 @@
 """Elementwise sequence ops: IUPAC resolution, reverse-complement, uracil.
 
 All operate on [B, L] uint8 ASCII buffers with per-lane valid lengths.
+
+Implementation note: table lookups (e.g. `LUT[seq]`) lower to generic
+gathers, which serialize badly on TPU; every map here is therefore a
+compare/select chain on the VPU instead.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-# --- IUPAC ambiguity resolution (case_convert, simulator.py:743-755) -------
-
-_IUPAC = {
-    "Y": "CT",
-    "R": "AG",
-    "W": "AT",
-    "S": "GC",
-    "K": "TG",
-    "M": "CA",
-    "D": "AGT",
-    "V": "ACG",
-    "H": "ACT",
-    "B": "CGT",
-    "N": "ATCG",
-    "X": "ATCG",
-}
+_A, _C, _G, _T = ord("A"), ord("C"), ord("G"), ord("T")
 
 
-def _build_iupac_tables():
-    cand = np.zeros((256, 4), np.uint8)
-    count = np.ones(256, np.int32)
-    for c in range(256):
-        cand[c, :] = c
-    # lowercase is uppercased first (the genome loader already uppercases,
-    # but map here too for safety)
-    for code, opts in _IUPAC.items():
-        for tgt in (code, code.lower()):
-            cand[ord(tgt), : len(opts)] = [ord(o) for o in opts]
-            count[ord(tgt)] = len(opts)
-    return jnp.asarray(cand), jnp.asarray(count)
+def _eq(seq, ch):
+    return seq == jnp.uint8(ord(ch))
 
 
-_IUPAC_CAND, _IUPAC_COUNT = _build_iupac_tables()
+def _sel4(idx, b0, b1, b2, b3):
+    return jnp.where(idx == 0, b0, jnp.where(idx == 1, b1, jnp.where(idx == 2, b2, b3)))
+
+
+def _u8(ch):
+    return jnp.uint8(ord(ch))
+
+
+# IUPAC candidate sets (case_convert, simulator.py:743-755)
+_IUPAC2 = {"Y": "CT", "R": "AG", "W": "AT", "S": "GC", "K": "TG", "M": "CA"}
+_IUPAC3 = {"D": "AGT", "V": "ACG", "H": "ACT"}
+_IUPAC3B = {"B": "CGT"}
+_IUPAC4 = ("N", "X")
 
 
 @jax.jit
 def resolve_iupac(seq: jax.Array, u: jax.Array) -> jax.Array:
-    """[B, L] ASCII + uniforms -> ASCII with ambiguity codes randomized
-    (uniform choice among the candidate set, like the reference's
-    random.choice)."""
-    cnt = _IUPAC_COUNT[seq]
+    """ASCII + uniforms -> ASCII with ambiguity codes randomized (uniform
+    choice among the candidate set, like the reference's random.choice).
+    Non-IUPAC characters pass through."""
+    is_acgt = _eq(seq, "A") | _eq(seq, "C") | _eq(seq, "G") | _eq(seq, "T")
+
+    cnt = jnp.full(seq.shape, 1, jnp.int32)
+    for ch in _IUPAC2:
+        cnt = jnp.where(_eq(seq, ch), 2, cnt)
+    for ch in list(_IUPAC3) + list(_IUPAC3B):
+        cnt = jnp.where(_eq(seq, ch), 3, cnt)
+    for ch in _IUPAC4:
+        cnt = jnp.where(_eq(seq, ch), 4, cnt)
+
     idx = jnp.minimum(jnp.floor(u * cnt).astype(jnp.int32), cnt - 1)
-    return _IUPAC_CAND[seq, idx]
+
+    out = seq
+    for ch, opts in _IUPAC2.items():
+        pick = jnp.where(idx == 0, _u8(opts[0]), _u8(opts[1]))
+        out = jnp.where(_eq(seq, ch), pick, out)
+    for ch, opts in {**_IUPAC3, **_IUPAC3B}.items():
+        pick = _sel4(idx, _u8(opts[0]), _u8(opts[1]), _u8(opts[2]), _u8(opts[2]))
+        out = jnp.where(_eq(seq, ch), pick, out)
+    for ch in _IUPAC4:
+        pick = _sel4(idx, _u8("A"), _u8("T"), _u8("C"), _u8("G"))
+        out = jnp.where(_eq(seq, ch), pick, out)
+    return jnp.where(is_acgt, seq, out)
 
 
-# --- Reverse complement (simulator.py:1675-1680) ---------------------------
-
-
-def _build_comp():
-    comp = np.arange(256, dtype=np.uint8)
-    for a, b in (("A", "T"), ("C", "G"), ("a", "t"), ("c", "g")):
-        comp[ord(a)] = ord(b)
-        comp[ord(b)] = ord(a)
-    return jnp.asarray(comp)
-
-
-_COMP = _build_comp()
+def complement(seq: jax.Array) -> jax.Array:
+    """A<->T, C<->G; other characters unchanged (simulator.py:1675-1680)."""
+    return jnp.where(
+        _eq(seq, "A"), _u8("T"),
+        jnp.where(_eq(seq, "T"), _u8("A"),
+                  jnp.where(_eq(seq, "C"), _u8("G"),
+                            jnp.where(_eq(seq, "G"), _u8("C"), seq))),
+    )
 
 
 @jax.jit
@@ -75,7 +81,7 @@ def reverse_complement(seq: jax.Array, lengths: jax.Array) -> jax.Array:
     j = jnp.arange(L)[None, :]
     src = lengths[:, None] - 1 - j
     gathered = jnp.take_along_axis(seq, jnp.clip(src, 0, L - 1), axis=1)
-    out = _COMP[gathered]
+    out = complement(gathered)
     return jnp.where(j < lengths[:, None], out, jnp.uint8(0))
 
 
@@ -89,26 +95,12 @@ def reverse_quals(quals: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(j < lengths[:, None], out, 0)
 
 
-# --- Uracil (T -> U, simulator.py:30-32, 1247-1248) ------------------------
-
-_URACIL = jnp.asarray(
-    np.arange(256, dtype=np.uint8)
-    .copy()
-)
-_URACIL = _URACIL.at[ord("T")].set(ord("U")).at[ord("t")].set(ord("u"))
-
-
 @jax.jit
 def to_uracil(seq: jax.Array) -> jax.Array:
-    return _URACIL[seq]
-
-
-# --- Random bases for head/tail (simulator.py:1425-1427) -------------------
-
-_BASES = jnp.asarray(np.frombuffer(b"ATCG", np.uint8))
+    return jnp.where(_eq(seq, "T"), _u8("U"), jnp.where(_eq(seq, "t"), _u8("u"), seq))
 
 
 def random_bases(u: jax.Array) -> jax.Array:
     """uniforms -> ASCII bases, uniform over A/T/C/G (np.random.choice order)."""
     idx = jnp.minimum(jnp.floor(u * 4.0).astype(jnp.int32), 3)
-    return _BASES[idx]
+    return _sel4(idx, _u8("A"), _u8("T"), _u8("C"), _u8("G"))

@@ -103,8 +103,15 @@ def assemble_read(
 
     Mirrors simulator.py:1421-1443: head/tail random bases, ht-class
     qualities at both flanks, reverse complement at 1 - strandness.
+
+    Single-gather formulation: bases and classes are packed into one uint16
+    parts buffer [read_mid | random head/tail bases]; output position j maps
+    to pre-reverse coordinate jj (identity or total-1-j), selects its part
+    index arithmetically, and one take_along_axis fetches base+class
+    together.  The strand flip and qual reversal ride the same gather.
     """
     B = read_mid.shape[0]
+    l_cap = read_mid.shape[1]
     j = jnp.arange(l_out, dtype=jnp.int32)[None, :]
     headc = head[:, None]
     l_newc = l_new[:, None]
@@ -112,32 +119,34 @@ def assemble_read(
     totalc = total[:, None]
 
     u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
-    in_head = j < headc
-    in_mid = (j >= headc) & (j < headc + l_newc)
-    in_tail = (j >= headc + l_newc) & (j < totalc)
+    ht_bases = seqops.random_bases(u_ht)  # [B, ht_cap]
 
-    mid_idx = jnp.clip(j - headc, 0, read_mid.shape[1] - 1)
-    mid_bases = jnp.take_along_axis(read_mid, mid_idx, axis=1)
-    ht_idx = jnp.where(in_tail, j - l_newc, j)
-    ht_bases = seqops.random_bases(
-        jnp.take_along_axis(u_ht, jnp.clip(ht_idx, 0, ht_cap - 1), axis=1)
-    )
-    base = jnp.where(in_mid, mid_bases, jnp.where(in_head | in_tail, ht_bases, jnp.uint8(0)))
+    packed_mid = read_mid.astype(jnp.uint16) | (qclass_mid.astype(jnp.uint16) << 8)
+    packed_ht = ht_bases.astype(jnp.uint16) | jnp.uint16(QCLASS_HT << 8)
+    parts = jnp.concatenate([packed_mid, packed_ht], axis=1)  # [B, l_cap + ht_cap]
 
     u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
     is_rev = u_strand > tables.strandness_rate
-    rc = seqops.reverse_complement(base, total)
-    read = jnp.where(is_rev[:, None], rc, base)
+    jj = jnp.where(is_rev[:, None], totalc - 1 - j, j)  # pre-reverse coord
+
+    in_head = jj < headc
+    in_mid = (jj >= headc) & (jj < headc + l_newc)
+    idx = jnp.where(
+        in_mid, jj - headc,
+        jnp.where(in_head, l_cap + jj, l_cap + jj - l_newc),
+    )
+    fetched = jnp.take_along_axis(parts, jnp.clip(idx, 0, l_cap + ht_cap - 1), axis=1)
+    base = (fetched & 0xFF).astype(jnp.uint8)
+    base = jnp.where(is_rev[:, None], seqops.complement(base), base)
+    in_read = j < totalc
+    read = jnp.where(in_read, base, jnp.uint8(0))
 
     quals = jnp.zeros((B, l_out), jnp.uint8)
     if fastq:
-        cls_mid = jnp.take_along_axis(qclass_mid, mid_idx, axis=1)
-        cls = jnp.where(in_mid, cls_mid, QCLASS_HT)
+        cls = (fetched >> 8).astype(jnp.int32)
         u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
         q = tables.qual.sample(cls, u_q)
-        q = jnp.where(j < totalc, q, 0)
-        q = jnp.where(is_rev[:, None], seqops.reverse_quals(q, total), q)
-        quals = jnp.where(j < totalc, (q + 33).astype(jnp.uint8), jnp.uint8(0))
+        quals = jnp.where(in_read, (q + 33).astype(jnp.uint8), jnp.uint8(0))
 
     return read, quals, total, is_rev
 
