@@ -34,12 +34,16 @@ class GatherMap(NamedTuple):
     """Per-output-base construction recipe.
 
     src:    [B, L_read] int32 — source ref index, or -1 for inserted bases.
+    src_left: [B, L_read] int32 — the uncensored shift map: for inserted
+        positions this resolves to the ref base just LEFT of the insertion
+        point (used by homopolymer extension to replicate the run base).
     qclass: [B, L_read] int32 — CLASS_MATCH / CLASS_MIS / CLASS_INS.
     valid:  [B, L_read] bool — j < read length.
     read_len: [B] int32.
     """
 
     src: jax.Array
+    src_left: jax.Array
     qclass: jax.Array
     valid: jax.Array
     read_len: jax.Array
@@ -99,6 +103,9 @@ def build_gather_map(
     # net indel displacement accumulated so far.
     src_kept = j_idx - I + D
     src = jnp.where(ins_mask, -1, src_kept)
+    # within an insertion span the same algebra resolves to (insertion point
+    # - 1), i.e. the ref base to the left — keep it for hp extensions
+    src_left = jnp.where(ins_mask, src_kept - 1, src_kept)
     cls = jnp.where(ins_mask, CLASS_INS, jnp.where(mis_mask, CLASS_MIS, CLASS_MATCH))
 
     tot_del = jnp.sum(dlen, axis=1)
@@ -107,7 +114,7 @@ def build_gather_map(
 
     valid = j_idx < read_len[:, None]
     src = jnp.where(valid, src, -1)
-    return GatherMap(src=src, qclass=cls, valid=valid, read_len=read_len)
+    return GatherMap(src=src, src_left=src_left, qclass=cls, valid=valid, read_len=read_len)
 
 
 # --- Base construction -----------------------------------------------------

@@ -26,10 +26,40 @@ class SimTables(NamedTuple):
     kde_gap: Optional[KdeDevice]
     qual: Optional[QualDevice]
     strandness_rate: jnp.ndarray  # scalar f32
+    # homopolymer regression parameters (None unless -hp): [const, alpha1,
+    # beta1, breakpoint1] for the piecewise mean, [intercept, slope] for the
+    # linear std, pooled AT vs CG; plus the in-run mismatch rate
+    hp_mu_at: Optional[jnp.ndarray] = None
+    hp_mu_cg: Optional[jnp.ndarray] = None
+    hp_sd_at: Optional[jnp.ndarray] = None
+    hp_sd_cg: Optional[jnp.ndarray] = None
+    hp_mis_rate: float = 0.0
 
 
 def build_tables(p: ReadProfile) -> SimTables:
     opt = lambda f, x: None if x is None else f(x)
+    hp_kw = {}
+    if p.hp_params is not None:
+        def pw_vec(d):
+            bps = sorted(k for k in d if "breakpoint" in k)
+            betas = sorted(k for k in d if "beta" in k)
+            if len(bps) != 1 or len(betas) != 1:
+                raise ValueError("device hp path supports exactly one breakpoint")
+            return jnp.asarray(
+                [d["const"], d["alpha1"], d[betas[0]], d[bps[0]]], jnp.float32
+            )
+
+        hp_kw = dict(
+            hp_mu_at=pw_vec(p.hp_params.pw["AT"]),
+            hp_mu_cg=pw_vec(p.hp_params.pw["CG"]),
+            hp_sd_at=jnp.asarray(
+                [p.hp_params.lr["AT"]["intercept"], p.hp_params.lr["AT"]["slope"]], jnp.float32
+            ),
+            hp_sd_cg=jnp.asarray(
+                [p.hp_params.lr["CG"]["intercept"], p.hp_params.lr["CG"]["slope"]], jnp.float32
+            ),
+            hp_mis_rate=float(p.hp_params.mis_rate),
+        )
     return SimTables(
         first_match=opt(EcdfDevice.from_table, p.first_match),
         match_markov=opt(EcdfDevice.from_table, p.match_markov),
@@ -43,6 +73,7 @@ def build_tables(p: ReadProfile) -> SimTables:
         kde_gap=opt(KdeDevice.from_model, p.kde_gap),
         qual=opt(QualDevice.from_params, p.base_quals),
         strandness_rate=jnp.float32(p.strandness_rate),
+        **hp_kw,
     )
 
 

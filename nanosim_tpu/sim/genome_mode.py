@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import apply_errors, error_walk, rng, seqops
+from ..ops import apply_errors, error_walk, homopolymer, rng, seqops
 from ..profiles.profile import ReadProfile
 from . import extract
 from .bundles import SimTables, build_tables, plan_event_budget, plan_ht_capacity, plan_ref_capacity
@@ -165,6 +165,8 @@ def assemble_read(
         "max_len",
         "median_len",
         "sd_len",
+        "kmer_bias",
+        "hp_r_max",
     ),
 )
 def genome_batch(
@@ -184,6 +186,8 @@ def genome_batch(
     max_len: float,
     median_len: Optional[float],
     sd_len: Optional[float],
+    kmer_bias: Optional[int] = None,
+    hp_r_max: int = 256,
 ) -> BatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -249,6 +253,14 @@ def genome_batch(
         read_mid = ref_seg
         qclass_mid = jnp.zeros((B, l_cap), jnp.int32)  # match
     else:
+        if kmer_bias is not None:
+            # drop error events overlapping >= k homopolymer runs
+            # (mutate_read, simulator.py:1920-1950); zero-length events are
+            # no-ops downstream and skipped by the log writers
+            keep = homopolymer.suppress_hp_errors(
+                ref_seg, middle_ref, ev_pos2x, ev_type, ev_len, ev_valid, kmer_bias
+            )
+            ev_len = jnp.where(keep, ev_len, 0)
         gm = apply_errors.build_gather_map(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
         )
@@ -256,6 +268,16 @@ def genome_batch(
         u_ins = rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
         read_mid = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
         qclass_mid = gm.qclass
+        l_new = gm.read_len
+        if kmer_bias is not None:
+            # resize homopolymer runs in the mutated read (mutate_homo,
+            # simulator.py:618-705)
+            read_mid, qclass_mid, l_new, hp_ok = homopolymer.resize_homopolymers(
+                sk, read_mid, qclass_mid, l_new,
+                tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+                tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
+            )
+            valid &= hp_ok
 
     read, quals, total, is_rev = assemble_read(
         read_mid, qclass_mid, l_new, head, tail, sk, tables, l_out, ht_cap, fastq
@@ -339,6 +361,8 @@ class GenomeSimulator:
             max_len=self.max_len,
             median_len=self.median_len,
             sd_len=self.sd_len,
+            kmer_bias=self.kmer_bias,
+            hp_r_max=max(128, self.l_cap // 32),
         )
 
     def run(self, n_reads: int, writer, seed: int = 0, max_batches: Optional[int] = None):

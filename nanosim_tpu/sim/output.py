@@ -324,6 +324,10 @@ class GenomeBatchWriter:
         rpos_v = rpos[evv][:n_ev]
 
         refs, seqs, tnames = [], [], []
+        keep = lens_v > 0  # hp-suppressed events carry zero length
+        keys_v, types_v, lens_v, rpos_v = (
+            keys_v[keep], types_v[keep], lens_v[keep], rpos_v[keep]
+        )
         for k, t, ln, rp in zip(keys_v, types_v, lens_v, rpos_v):
             if t == 1:  # ins
                 refs.append("-" * ln)
@@ -457,8 +461,12 @@ class ChimericBatchWriter:
                     circ = bool(g.circular[chrom[b, s]])
                     spos = pos[b, s]
                     refs, seqs, tnames = [], [], []
+                    kept_rows = []
                     for e in range(ne):
                         k, t, ln = int(keys[e]), int(ev_type[flat, e]), int(ev_len[flat, e])
+                        if ln == 0:
+                            continue
+                        kept_rows.append(e)
                         rp = int(rpos[e])
                         if t == 1:
                             refs.append("-" * ln)
@@ -474,7 +482,8 @@ class ChimericBatchWriter:
                                 mid[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln
                             )
                         tnames.append(_ETYPE_NAMES[t])
+                    kr = np.asarray(kept_rows, int)
                     self.error_log.write_read_events(
-                        name, keys[:ne], tnames, ev_len[flat, :ne], refs, seqs
+                        name, keys[kr], tnames, ev_len[flat][kr], refs, seqs
                     )
         return len(lanes)

@@ -97,8 +97,12 @@ class TrxBatchWriter:
         )
         keys, rpos = keys[0], rpos[0]
         refs, seqs, tnames = [], [], []
+        kept = []
         for e in range(ne):
             k, t, ln, rp = int(keys[e]), int(ev_t[e]), int(ev_l[e]), int(rpos[e])
+            if ln == 0:
+                continue
+            kept.append(e)
             if t == 1:
                 refs.append("-" * ln)
                 seqs.append(mid[rp : rp + ln].tobytes().decode())
@@ -106,7 +110,10 @@ class TrxBatchWriter:
                 refs.append(ref_row[k : k + ln].tobytes().decode())
                 seqs.append(mid[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln)
             tnames.append(output._ETYPE_NAMES[t])
-        self.error_log.write_read_events(name, keys[:ne], tnames, ev_l[:ne], refs, seqs)
+        import numpy as _np
+
+        kr = _np.asarray(kept, int)
+        self.error_log.write_read_events(name, keys[kr], tnames, ev_l[kr], refs, seqs)
 
 
 class TranscriptomeSimulator:
