@@ -305,6 +305,28 @@ def genome_batch(
     )
 
 
+def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim, max_batches=None) -> int:
+    """Double-buffered accept loop: batch N+1 is dispatched (JAX async)
+    before batch N's host-side writing blocks on its transfers, overlapping
+    device compute with host formatting/IO."""
+    accepted = 0
+    slot_start = 0
+    batches = 0
+    pending = make_batch(slot_start)
+    slot_start += batch_size
+    while accepted < quota:
+        batches += 1
+        nxt = None
+        if max_batches is None or batches < max_batches:
+            nxt = make_batch(slot_start)
+            slot_start += batch_size
+        accepted += writer.write_batch(sim, pending, accepted, quota)
+        if nxt is None:
+            break
+        pending = nxt
+    return accepted
+
+
 class GenomeSimulator:
     """Host driver: batches, slot accounting, acceptance, output."""
 
@@ -369,15 +391,9 @@ class GenomeSimulator:
         """Simulate n_reads aligned reads into `writer`."""
         fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
-        accepted = 0
-        slot_start = 0
-        batches = 0
-        while accepted < n_reads:
+
+        def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            out = fn(base, slots)
-            accepted += writer.write_batch(self, out, accepted, n_reads)
-            slot_start += self.batch
-            batches += 1
-            if max_batches is not None and batches >= max_batches:
-                break
-        return accepted
+            return fn(base, slots)
+
+        return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)

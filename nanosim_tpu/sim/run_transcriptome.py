@@ -219,20 +219,16 @@ class TranscriptomeSimulator:
         )
 
     def run(self, n_reads, writer, seed=0, max_batches=None):
+        from .genome_mode import run_prefetched
+
         fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
-        accepted = 0
-        slot_start = 0
-        batches = 0
-        while accepted < n_reads:
+
+        def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            out = fn(base, slots)
-            accepted += writer.write_batch(self, out, accepted, n_reads)
-            slot_start += self.batch
-            batches += 1
-            if max_batches is not None and batches >= max_batches:
-                break
-        return accepted
+            return fn(base, slots)
+
+        return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)
 
 
 def simulate_transcriptome(

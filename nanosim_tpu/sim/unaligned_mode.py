@@ -219,15 +219,15 @@ class UnalignedSimulator:
         self.batch = batch
 
     def run(self, n_reads, writer, seed=0):
+        from .genome_mode import run_prefetched
+
         fn = functools.partial(
             unaligned_batch, genome=self.genome_dev, tables=self.tables, **self.kw
         )
         base = rng.base_key(seed, rng.STREAM_UNALIGNED)
-        accepted = 0
-        slot_start = 0
-        while accepted < n_reads:
+
+        def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            out = fn(base, slots)
-            accepted += writer.write_batch(self, out, accepted, n_reads)
-            slot_start += self.batch
-        return accepted
+            return fn(base, slots)
+
+        return run_prefetched(make_batch, self.batch, n_reads, writer, self)
