@@ -50,6 +50,7 @@ class ChimericBatchOut(NamedTuple):
     ev_type: jax.Array  # [B*S, E]
     ev_len: jax.Array  # [B*S, E]
     n_events: jax.Array  # [B, S]
+    seg_read_prehp: jax.Array  # [B*S, l_cap] pass-1 mutated segments (log source)
 
 
 def _geometric(u, p):
@@ -63,6 +64,7 @@ def _geometric(u, p):
         "l_cap", "l_out", "ht_cap", "e_max", "gap_cap", "gap_steps", "s_max",
         "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
         "metagenome", "n_chrom", "count_gap_in_total", "perfect",
+        "kmer_bias", "hp_r_max", "median_len", "sd_len",
     ),
 )
 def chimeric_batch(
@@ -88,6 +90,10 @@ def chimeric_batch(
     n_chrom: int,
     count_gap_in_total: bool,
     perfect: bool = False,
+    kmer_bias: Optional[int] = None,
+    hp_r_max: int = 256,
+    median_len: Optional[float] = None,
+    sd_len: Optional[float] = None,
 ) -> ChimericBatchOut:
     B = slots.shape[0]
     S = s_max
@@ -128,6 +134,19 @@ def chimeric_batch(
         remainder, head, tail, ht_ok = zero_b, zero_b, zero_b, jnp.ones(B, bool)
     else:
         remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
+
+    # --- median/sd lognormal lengths (metagenome/genome, single segment;
+    # simulator.py:832-848) ---
+    if median_len is not None:
+        z = rng.normal_per_slot(sk, rng.SITE_LOGNORMAL_LEN)
+        if perfect:
+            ln_f = jnp.exp(z * sd_len + jnp.log(median_len))
+            ok_ln = (ln_f >= min_len) & (ln_f <= max_len)
+        else:
+            ln_f = jnp.exp(z * sd_len + jnp.log(median_len + sd_len**2 / 2.0)) - remainder
+            ok_ln = (ln_f > 0) & (ln_f <= max_len)
+        m_ref_flat = jnp.where(seg_active, jnp.clip(ln_f.astype(jnp.int32), 0, l_cap), 0)
+        seg_len_ok = jnp.where(seg_active, ok_ln & (ln_f <= l_cap), True)
 
     # --- segment error walks on the flattened batch ---
     if perfect:
@@ -235,8 +254,17 @@ def chimeric_batch(
     ref_seg = seqops.resolve_iupac(
         ref_seg, rng.uniform_per_slot(sk_seg, rng.SITE_IUPAC, (l_cap,))
     )
+    ev_len_seg = walk.events_len
+    if kmer_bias is not None and not perfect:
+        from ..ops import homopolymer
+
+        keep = homopolymer.suppress_hp_errors(
+            ref_seg, walk.middle_ref, walk.events_pos2x, walk.events_type,
+            ev_len_seg, walk.events_valid, kmer_bias,
+        )
+        ev_len_seg = jnp.where(keep, ev_len_seg, 0)
     gm = apply_errors.build_gather_map(
-        walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
+        walk.events_pos2x, walk.events_type, ev_len_seg, walk.events_valid,
         walk.middle_ref, l_cap,
     )
     seg_read = apply_errors.materialize_read(
@@ -244,6 +272,16 @@ def chimeric_batch(
         rng.uniform_per_slot(sk_seg, rng.SITE_MIS_BASE, (l_cap,)),
         rng.uniform_per_slot(sk_seg, rng.SITE_INS_BASE, (l_cap,)),
     )  # [S*B, l_cap]
+    seg_read_prehp = seg_read
+    if kmer_bias is not None and not perfect:
+        seg_read, seg_qcls2, seg_len2, hp_ok = homopolymer.resize_homopolymers(
+            sk_seg, seg_read, gm.qclass, gm.read_len,
+            tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+            tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
+        )
+        gm = gm._replace(qclass=seg_qcls2, read_len=seg_len2)
+        valid &= jnp.where(seg_active, hp_ok, True).reshape(S, B).T.all(axis=1)
+        seg_lnew = jnp.where(seg_active, seg_len2, 0).reshape(S, B).T
 
     # --- parts assembly ---
     # parts per read: head, (seg s, gap s)*, tail  -> 2S+1 part slots
@@ -328,8 +366,9 @@ def chimeric_batch(
         is_reversed=is_rev,
         ev_pos2x=walk.events_pos2x,
         ev_type=walk.events_type,
-        ev_len=walk.events_len,
+        ev_len=ev_len_seg,
         n_events=jnp.where(seg_active, walk.n_events, 0).reshape(S, B).T,
+        seg_read_prehp=seg_read_prehp,
     )
 
 
@@ -355,6 +394,7 @@ class ChimericGenomeSimulator:
         self.fastq = fastq
         self.batch = batch
         self.s_max = s_max
+        self.kmer_bias = kmer_bias
 
         self.l_cap = plan_ref_capacity(profile, max_len, genome.max_chrom)
         self.ht_cap = plan_ht_capacity(profile)
@@ -382,6 +422,8 @@ class ChimericGenomeSimulator:
             metagenome=False,
             n_chrom=genome.n_chrom,
             count_gap_in_total=False,  # genome-mode quirk (simulator.py:1354-1368)
+            kmer_bias=kmer_bias,
+            hp_r_max=max(128, self.l_cap // 32),
         )
 
     def batch_fn(self):

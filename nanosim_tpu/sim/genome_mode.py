@@ -48,6 +48,10 @@ class BatchOut(NamedTuple):
     ev_len: jax.Array  # [B, E] int32
     ev_valid: jax.Array  # [B, E] bool
     n_events: jax.Array  # [B] int32
+    # pre-homopolymer-resize mutated middle ([B, l_cap]; equals the final
+    # middle when -hp is off).  The ground-truth log references pass-1
+    # coordinates, matching the reference's log-before-mutate_homo order.
+    read_prehp: jax.Array
 
 
 def _ndtri(q):
@@ -249,6 +253,7 @@ def genome_batch(
     u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
+    read_prehp = ref_seg
     if perfect:
         read_mid = ref_seg
         qclass_mid = jnp.zeros((B, l_cap), jnp.int32)  # match
@@ -269,6 +274,7 @@ def genome_batch(
         read_mid = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
         qclass_mid = gm.qclass
         l_new = gm.read_len
+        read_prehp = read_mid
         if kmer_bias is not None:
             # resize homopolymer runs in the mutated read (mutate_homo,
             # simulator.py:618-705)
@@ -302,6 +308,7 @@ def genome_batch(
         ev_len=ev_len,
         ev_valid=ev_valid,
         n_events=n_events,
+        read_prehp=read_prehp,
     )
 
 

@@ -150,7 +150,7 @@ class _DeviceFetch:
 _FETCH = None
 
 
-def fetch_batch(out, fastq: bool, with_events: bool):
+def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
     """Transfer a BatchOut with minimal round trips; returns a dict of np
     arrays (reads/quals sliced to the used width, events to max n_events)."""
     global _FETCH
@@ -187,6 +187,11 @@ def fetch_batch(out, fastq: bool, with_events: bool):
         d["ev_valid"] = (
             np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
         )
+    if with_prehp:
+        lp = _pow2_at_least(
+            int(d["l_new"][d["valid"]].max(initial=1)) + 64, 256, out.read_prehp.shape[1]
+        )
+        d["prehp"] = np.asarray(_FETCH.slice1(lp)(out.read_prehp))
     return d
 
 
@@ -203,7 +208,10 @@ class GenomeBatchWriter:
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
         with_events = self.error_log is not None and not self.perfect
-        d = fetch_batch(out, sim.fastq, with_events)
+        # -hp rewrites homopolymer runs AFTER the logged pass-1 mutation, so
+        # the log must slice seq bases from the pre-resize middle buffer
+        hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
+        d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
         valid = d["valid"]
         lanes = np.nonzero(valid)[0]
         remaining = quota - accepted_so_far
@@ -211,8 +219,13 @@ class GenomeBatchWriter:
         if len(lanes) == 0:
             return 0
 
-        if self._emitter.available:
+        if self._emitter.available and not hp_mode:
             return self._write_native(sim, d, lanes, accepted_so_far, with_events)
+        if self._emitter.available and hp_mode:
+            # records via the native emitter, log via the pre-hp python path
+            n = self._write_native(sim, d, lanes, accepted_so_far, with_events=False)
+            self._log_hp_batch(sim, d, lanes, accepted_so_far)
+            return n
 
         reads = d["read"]
         quals = d.get("quals")
@@ -251,6 +264,52 @@ class GenomeBatchWriter:
                     ev_valid[b], ev_type[b], ev_len[b], keys_all[b], rpos_all[b],
                 )
         return len(lanes)
+
+    def _log_hp_batch(self, sim, d, lanes, accepted_so_far: int):
+        """Pre-hp ground-truth log (mid rows are direct pass-1 buffers)."""
+        keys_all, rpos_all = event_read_positions(
+            d["ev_pos2x"], d["ev_type"], d["ev_len"], d["ev_valid"]
+        )
+        g = sim.genome_host
+        names = g.names
+        for rank, b in enumerate(lanes):
+            idx = accepted_so_far + rank
+            strand = "R" if d["rev"][b] else "F"
+            name = (
+                f"{names[d['chrom'][b]]}_{d['pos'][b]}_aligned_{idx}_{strand}"
+                f"_{d['head'][b]}_{d['middle_ref'][b]}_{d['tail'][b]}"
+            )
+            ne = int(d["n_events"][b])
+            if ne == 0:
+                continue
+            mid = d["prehp"][b]
+            goff = g.offsets[d["chrom"][b]]
+            glen = g.lengths[d["chrom"][b]]
+            circ = bool(g.circular[d["chrom"][b]])
+            spos = d["pos"][b]
+            keys_v = keys_all[b, :ne]
+            types_v = d["ev_type"][b, :ne]
+            lens_v = d["ev_len"][b, :ne]
+            rpos_v = rpos_all[b, :ne]
+            refs, seqs, tnames = [], [], []
+            keep = lens_v > 0
+            keys_v, types_v, lens_v, rpos_v = (
+                keys_v[keep], types_v[keep], lens_v[keep], rpos_v[keep]
+            )
+            for k, t, ln, rp in zip(keys_v, types_v, lens_v, rpos_v):
+                if t == 1:
+                    refs.append("-" * ln)
+                    seqs.append(mid[rp : rp + ln].tobytes().decode())
+                else:
+                    st = spos + k
+                    if circ:
+                        idxs = (np.arange(st, st + ln) % glen) + goff
+                        refs.append(g.flat[idxs].tobytes().decode())
+                    else:
+                        refs.append(g.flat[goff + st : goff + st + ln].tobytes().decode())
+                    seqs.append(mid[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln)
+                tnames.append(_ETYPE_NAMES[t])
+            self.error_log.write_read_events(name, keys_v, tnames, lens_v, refs, seqs)
 
     def _write_native(self, sim, d, lanes, accepted_so_far: int, with_events: bool) -> int:
         """Format the whole accepted batch through the C++ emitter."""
@@ -403,6 +462,8 @@ class ChimericBatchWriter:
         ev_pos2x = np.asarray(out.ev_pos2x)
         ev_type = np.asarray(out.ev_type)
         ev_len = np.asarray(out.ev_len)
+        hp_mode = getattr(sim, "kmer_bias", None) is not None
+        prehp = np.asarray(out.seg_read_prehp) if hp_mode else None
 
         g = sim.genome_host
         names = g.names
@@ -446,6 +507,8 @@ class ChimericBatchWriter:
                     ne = int(n_events[b, s])
                     if ne == 0:
                         continue
+                    if hp_mode:
+                        mid_row = prehp[flat]
                     evv = np.zeros(ev_pos2x.shape[1], bool)
                     evv[:ne] = True
                     keys, rpos = event_read_positions(
@@ -455,7 +518,10 @@ class ChimericBatchWriter:
                         evv[None, :],
                     )
                     keys, rpos = keys[0], rpos[0]
-                    mid = pre[seg_off[b, s] : seg_off[b, s] + seg_lnew[b, s]]
+                    if hp_mode:
+                        mid = mid_row
+                    else:
+                        mid = pre[seg_off[b, s] : seg_off[b, s] + seg_lnew[b, s]]
                     goff = g.offsets[chrom[b, s]]
                     glen = g.lengths[chrom[b, s]]
                     circ = bool(g.circular[chrom[b, s]])

@@ -165,14 +165,10 @@ class MetagenomeSimulator:
         self.chimeric = chimeric
         self.perfect = perfect
         self.batch = batch
+        self.kmer_bias = kmer_bias
         self.s_max = s_max if chimeric else 1
         max_len = min(max_len, int(mset.max_chrom_of_species().max()))
         self.max_len = max_len
-        if median_len is not None:
-            raise NotImplementedError(
-                "median/sd lognormal lengths for metagenome mode land with the "
-                "lognormal path shared with genome mode"
-            )
 
         self.species_order = np.arange(len(mset.species_names))
         self.abun = np.array([abun[sp] for sp in mset.species_names], np.float64)
@@ -215,6 +211,10 @@ class MetagenomeSimulator:
             n_chrom=self.genome_host.n_chrom,
             count_gap_in_total=True,  # metagenome includes gaps (simulator.py:935-946)
             perfect=perfect,
+            kmer_bias=kmer_bias,
+            hp_r_max=max(128, self.l_cap // 32),
+            median_len=median_len,
+            sd_len=sd_len,
         )
 
     def _phase_a(self, base, slots):
@@ -347,6 +347,8 @@ def simulate_metagenome(
             fastq=fastq,
             min_len=min_len,
             max_len=max_len,
+            median_len=median_len,
+            sd_len=sd_len,
             batch=batch,
             kmer_bias=kmer_bias,
         )

@@ -62,6 +62,8 @@ class TrxBatchWriter:
         ev_t = np.asarray(out.ev_type)
         ev_l = np.asarray(out.ev_len)
         ref_seg = np.asarray(out.ref_seg)
+        hp_mode = getattr(sim, "kmer_bias", None) is not None
+        prehp = np.asarray(out.read_prehp) if hp_mode else None
         names = sim.genome_host.names
         kind = "perfect" if self.perfect else "aligned"
 
@@ -82,14 +84,18 @@ class TrxBatchWriter:
                 self._log_lane(
                     b, name, seq, head[b], l_new[b], rev[b],
                     n_events[b], ev_p[b], ev_t[b], ev_l[b], ref_seg[b],
+                    prehp[b] if hp_mode else None,
                 )
         return len(lanes)
 
-    def _log_lane(self, b, name, seq, head, l_new, rev, ne, ev_p, ev_t, ev_l, ref_row):
-        pre = seq
-        if rev:
-            pre = output._COMP_LUT[pre[::-1]]
-        mid = pre[head : head + l_new]
+    def _log_lane(self, b, name, seq, head, l_new, rev, ne, ev_p, ev_t, ev_l, ref_row, prehp_row=None):
+        if prehp_row is not None:
+            mid = prehp_row  # pass-1 coordinates (pre-hp resize)
+        else:
+            pre = seq
+            if rev:
+                pre = output._COMP_LUT[pre[::-1]]
+            mid = pre[head : head + l_new]
         evv = np.zeros(len(ev_p), bool)
         evv[:ne] = True
         keys, rpos = output.event_read_positions(
@@ -138,6 +144,7 @@ class TranscriptomeSimulator:
         self.fastq = fastq
         self.perfect = perfect
         self.batch = batch
+        self.kmer_bias = kmer_bias
 
         name_to_idx = transcriptome.name_index()
         # expression-eligible transcripts present in the reference
@@ -203,6 +210,8 @@ class TranscriptomeSimulator:
             polya_scale=polya_scale,
             max_len=max_len,
             with_ir=with_ir,
+            kmer_bias=kmer_bias,
+            hp_r_max=max(128, self.l_cap // 32),
         )
 
     def batch_fn(self):

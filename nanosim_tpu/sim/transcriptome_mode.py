@@ -55,6 +55,7 @@ class TrxBatchOut(NamedTuple):
     ir_intervals: jax.Array  # [B, I, 2] genomic retained-intron intervals
     n_ir: jax.Array  # [B]
     ref_seg: jax.Array  # [B, l_cap] IUPAC-resolved extracted reference
+    read_prehp: jax.Array  # [B, l_cap] pass-1 mutated middle (log source)
 
 
 def pick_transcripts(sk, cum_weights: jax.Array, site=rng.SITE_TRANSCRIPT):
@@ -88,7 +89,7 @@ def polya_length(sk, retain: jax.Array, scale: float):
     jax.jit,
     static_argnames=(
         "l_cap", "l_out", "ht_cap", "e_max", "fastq", "perfect", "uracil",
-        "polya_scale", "max_len", "with_ir",
+        "polya_scale", "max_len", "with_ir", "kmer_bias", "hp_r_max",
     ),
 )
 def transcriptome_batch(
@@ -110,6 +111,8 @@ def transcriptome_batch(
     polya_scale: float,
     max_len: float,
     with_ir: bool = False,
+    kmer_bias: Optional[int] = None,
+    hp_r_max: int = 256,
     ir_tables=None,  # IRTables pytree (dummy allowed when with_ir=False)
     ir_genome: Optional[extract.GenomeDevice] = None,
 ) -> TrxBatchOut:
@@ -198,10 +201,18 @@ def transcriptome_batch(
         retain_polya = jnp.where(has_ir, trx_has_polya & ir_retain_end, retain_polya)
     pa_len = polya_length(sk, retain_polya, polya_scale) if polya_scale > 0 else jnp.zeros(B, jnp.int32)
 
+    read_prehp = ref_seg
     if perfect:
         read_mid = ref_seg
         qclass_mid = jnp.zeros((B, l_cap), jnp.int32)
     else:
+        if kmer_bias is not None:
+            from ..ops import homopolymer
+
+            keep = homopolymer.suppress_hp_errors(
+                ref_seg, middle_ref, ev_pos2x, ev_type, ev_len, ev_valid, kmer_bias
+            )
+            ev_len = jnp.where(keep, ev_len, 0)
         gm = apply_errors.build_gather_map(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
         )
@@ -211,6 +222,17 @@ def transcriptome_batch(
             rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,)),
         )
         qclass_mid = gm.qclass
+        l_new = gm.read_len
+        read_prehp = read_mid
+        if kmer_bias is not None:
+            from ..ops import homopolymer
+
+            read_mid, qclass_mid, l_new, hp_ok = homopolymer.resize_homopolymers(
+                sk, read_mid, qclass_mid, l_new,
+                tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+                tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
+            )
+            valid &= hp_ok
 
     # --- assembly: head + mutated middle + polyA + tail --------------------
     j = jnp.arange(l_out, dtype=jnp.int32)[None, :]
@@ -277,4 +299,5 @@ def transcriptome_batch(
         ir_intervals=ir_intervals,
         n_ir=n_ir,
         ref_seg=ref_seg,
+        read_prehp=read_prehp,
     )

@@ -129,6 +129,7 @@ def unaligned_batch(
         ev_len=walk.events_len,
         ev_valid=walk.events_valid,
         n_events=walk.n_events,
+        read_prehp=read,
     )
 
 
