@@ -70,3 +70,16 @@ def test_quantify_paf_cli(tmp_path):
     vals = {l.split("\t")[0]: float(l.split("\t")[2]) for l in lines[1:]}
     assert abs(vals["T1"] - 2 / 3 * 1e6) < 1e3
     assert abs(vals["T2"] - 1 / 3 * 1e6) < 1e3
+
+
+def test_coverage_calculation(tmp_path):
+    from nanosim_tpu.profiles import fixtures
+    from nanosim_tpu.sim.run import calculate_read_number_from_coverage
+
+    prefix = str(tmp_path / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=500, sd_read_len=100)
+    ref_fa = str(tmp_path / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [50000], seed=2)
+    n = calculate_read_number_from_coverage(ref_fa, prefix, 2.0, n_estimation=50000)
+    # mean read length ~ (0.9*525 + 0.1*200) => 2x coverage of 50kb is ~200 reads
+    assert 150 < n < 260, n
