@@ -97,3 +97,14 @@ def normal_per_slot(slot_keys_arr: jax.Array, site: int, shape=(), dtype=jnp.flo
 def bits_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
     ks = site_keys(slot_keys_arr, site)
     return jax.vmap(lambda k: jax.random.bits(k, shape, dtype=jnp.uint32))(ks)
+
+
+def uniform2_per_slot(slot_keys_arr: jax.Array, site: int, shape=()):
+    """Two independent uniform(0,1) fields from ONE u32 draw per position
+    (16-bit resolution each — ample for categorical/base choices, and half
+    the RNG compute + memory traffic of two float draws)."""
+    bits = bits_per_slot(slot_keys_arr, site, shape)
+    scale = jnp.float32(1.0 / 65536.0)
+    lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.float32) * scale
+    hi = (bits >> jnp.uint32(16)).astype(jnp.float32) * scale
+    return lo, hi

@@ -207,17 +207,15 @@ def chimeric_batch(
             )
         gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
         gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
-        gap_seg = seqops.resolve_iupac(
-            gap_seg, rng.uniform_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
-        )
+        gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
+        gap_seg = seqops.resolve_iupac(gap_seg, gu_iupac)
         ggm = apply_errors.build_gather_map(
             gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
             gwalk.middle_ref, gap_cap,
         )
+        gu_ins, _ = rng.uniform2_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,))
         gap_read = apply_errors.materialize_read(
-            ggm.src, ggm.qclass, ggm.valid, gap_seg,
-            rng.uniform_per_slot(sk_gap, rng.SITE_MIS_BASE, (gap_cap,)),
-            rng.uniform_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,)),
+            ggm.src, ggm.qclass, ggm.valid, gap_seg, gu_mis, gu_ins,
         )  # [(S-1)*B, gap_cap]
         gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
     else:
@@ -251,9 +249,8 @@ def chimeric_batch(
         )
     valid &= jnp.where(seg_active, pos_ok, True).reshape(S, B).T.all(axis=1)
     ref_seg = extract.gather_segments(genome, chrom_f, pos_f, walk.middle_ref, l_cap)
-    ref_seg = seqops.resolve_iupac(
-        ref_seg, rng.uniform_per_slot(sk_seg, rng.SITE_IUPAC, (l_cap,))
-    )
+    su_iupac, su_mis = rng.uniform2_per_slot(sk_seg, rng.SITE_IUPAC, (l_cap,))
+    ref_seg = seqops.resolve_iupac(ref_seg, su_iupac)
     ev_len_seg = walk.events_len
     if kmer_bias is not None and not perfect:
         from ..ops import homopolymer
@@ -267,10 +264,9 @@ def chimeric_batch(
         walk.events_pos2x, walk.events_type, ev_len_seg, walk.events_valid,
         walk.middle_ref, l_cap,
     )
+    su_ins, _ = rng.uniform2_per_slot(sk_seg, rng.SITE_INS_BASE, (l_cap,))
     seg_read = apply_errors.materialize_read(
-        gm.src, gm.qclass, gm.valid, ref_seg,
-        rng.uniform_per_slot(sk_seg, rng.SITE_MIS_BASE, (l_cap,)),
-        rng.uniform_per_slot(sk_seg, rng.SITE_INS_BASE, (l_cap,)),
+        gm.src, gm.qclass, gm.valid, ref_seg, su_mis, su_ins,
     )  # [S*B, l_cap]
     seg_read_prehp = seg_read
     if kmer_bias is not None and not perfect:

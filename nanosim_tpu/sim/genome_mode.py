@@ -52,6 +52,9 @@ class BatchOut(NamedTuple):
     # middle when -hp is off).  The ground-truth log references pass-1
     # coordinates, matching the reference's log-before-mutate_homo order.
     read_prehp: jax.Array
+    # capacity overflow (walk budget / l_cap / l_out exceeded): the slot is
+    # NOT statistically rejected — it must be rerun in a larger bucket
+    capacity_overflow: jax.Array
 
 
 def _ndtri(q):
@@ -219,7 +222,8 @@ def genome_batch(
         ev_len = jnp.zeros((B, E), jnp.int32)
         ev_valid = jnp.zeros((B, E), bool)
         n_events = jnp.zeros(B, jnp.int32)
-        valid &= ref_len_f <= l_cap
+        cap_over = ref_len_f > l_cap
+        valid &= ~cap_over
     else:
         if median_len is not None:
             remainder, head, tail, ht_ok = draw_ht(sk, tables, ht_cap)
@@ -240,9 +244,18 @@ def genome_batch(
             walk.events_valid,
         )
         n_events = walk.n_events
-        valid &= ~walk.overflow & (middle_ref <= l_cap) & (l_new <= l_cap)
+        # ht_cap is bucket-independent, so remainder > ht_cap stays a plain
+        # rejection (inside ht_ok) rather than a rerun-in-bigger-bucket case
+        cap_over = (
+            walk.overflow
+            | (middle_ref > l_cap)
+            | (l_new > l_cap)
+            | (ref_len_f > l_cap)
+        )
         total0 = remainder + l_new
-        valid &= (total0 >= min_len) & (total0 <= max_len) & (total0 <= l_out)
+        cap_over |= (total0 > l_out) & (total0 <= max_len)
+        valid &= ~cap_over
+        valid &= (total0 >= min_len) & (total0 <= max_len)
 
     # --- extraction (simulator.py:1694-1781) ---
     chrom, local_pos, pos_ok = extract.sample_genome_positions(
@@ -250,7 +263,7 @@ def genome_batch(
     )
     valid &= pos_ok
     ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
-    u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+    u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     read_prehp = ref_seg
@@ -269,8 +282,7 @@ def genome_batch(
         gm = apply_errors.build_gather_map(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
         )
-        u_mis = rng.uniform_per_slot(sk, rng.SITE_MIS_BASE, (l_cap,))
-        u_ins = rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
+        u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
         read_mid = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
         qclass_mid = gm.qclass
         l_new = gm.read_len
@@ -290,6 +302,9 @@ def genome_batch(
     )
     # final length filter (simulator.py:1429-1430 / 897 for perfect)
     valid &= (total >= min_len) & (total <= max_len)
+    if not perfect:
+        cap_over |= total > l_out
+        valid &= ~cap_over
 
     return BatchOut(
         read=read,
@@ -309,6 +324,7 @@ def genome_batch(
         ev_valid=ev_valid,
         n_events=n_events,
         read_prehp=read_prehp,
+        capacity_overflow=cap_over,
     )
 
 
@@ -394,13 +410,140 @@ class GenomeSimulator:
             hp_r_max=max(128, self.l_cap // 32),
         )
 
-    def run(self, n_reads: int, writer, seed: int = 0, max_batches: Optional[int] = None):
+    def plan_buckets(self):
+        """Length buckets: a small bucket sized so ~85%% of draws fit plus
+        the full-size bucket.  The KDE tail forces l_cap far beyond the mean
+        (padding waste ~2-3x); routing typical reads through a smaller
+        static shape roughly halves device time and transfer volume."""
+        kde = self.profile.kde_aligned
+        if kde is None or self.perfect or self.median_len is not None:
+            return [self.l_cap]
+        col = kde.data[:, -1] if kde.data.shape[1] > 1 else kde.data[:, 0]
+        q85 = float(np.percentile(col, 85))
+        small = max(512, int(-(-min(q85 * 1.45 + 64, self.l_cap * 0.75) // 256) * 256))
+        if small >= self.l_cap * 0.8:
+            return [self.l_cap]
+        return [small, self.l_cap]
+
+    def bucket_fns(self, buckets):
+        fns = {}
+        for lc in buckets:
+            fns[lc] = functools.partial(
+                genome_batch,
+                genome=self.genome_dev,
+                tables=self.tables,
+                l_cap=lc,
+                l_out=lc + self.ht_cap,
+                ht_cap=self.ht_cap,
+                e_max=plan_event_budget(self.profile, lc),
+                fastq=self.fastq,
+                perfect=self.perfect,
+                circular_dna=self.circular_dna,
+                min_len=self.min_len,
+                max_len=self.max_len,
+                median_len=self.median_len,
+                sd_len=self.sd_len,
+                kmer_bias=self.kmer_bias,
+                hp_r_max=max(128, lc // 32),
+            )
+        return fns
+
+    def run(self, n_reads: int, writer, seed: int = 0, max_batches: Optional[int] = None,
+            bucketed: Optional[bool] = None):
         """Simulate n_reads aligned reads into `writer`."""
-        fn = self.batch_fn()
+        buckets = self.plan_buckets()
+        if bucketed is None:
+            bucketed = len(buckets) > 1 and n_reads >= 4 * self.batch
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        if bucketed and len(buckets) > 1:
+            return self._run_bucketed(n_reads, writer, base, buckets)
+
+        fn = self.batch_fn()
 
         def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
             return fn(base, slots)
 
         return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)
+
+    def _run_bucketed(self, n_reads: int, writer, base, buckets) -> int:
+        """Block-synchronous bucket scheduler.
+
+        Per block of slots: a cheap length-draw pass routes each slot to the
+        smallest bucket whose capacity covers its drawn length (with walk-
+        inflation margin); every bucket batch is dispatched before any is
+        fetched (JAX async queues them); accepted lanes are merged back into
+        global slot order for deterministic numbering, and capacity-overflow
+        lanes are re-run in the next bucket up (identical slot-keyed draws).
+        """
+        small, big = buckets[0], buckets[-1]
+        fns = self.bucket_fns(buckets)
+        thresh = small / 1.25  # walk-inflation margin before rerouting
+
+        from .output import fetch_batch
+
+        @jax.jit
+        def draw_lengths(slots):
+            sk = rng.slot_keys(base, slots)
+            return _kde_draw(sk, rng.SITE_REF_LENGTH, self.tables.kde_aligned, 1)[:, 0]
+
+        B = self.batch
+        block = B * 4
+        with_events = getattr(writer, "error_log", None) is not None and not self.perfect
+        hp_mode = with_events and self.kmer_bias is not None
+
+        accepted = 0
+        c = 0
+        while accepted < n_reads:
+            slots = np.arange(c, c + block, dtype=np.int64)
+            c += block
+            m = np.asarray(draw_lengths(jnp.asarray(slots)))
+            small_slots = slots[m <= thresh]
+            big_slots = slots[m > thresh]
+
+            def chunks(arr, lc):
+                out = []
+                for i in range(0, len(arr), B):
+                    ch = arr[i : i + B]
+                    n_real = len(ch)
+                    if n_real < B:
+                        ch = np.concatenate([ch, np.full(B - n_real, ch[-1] if n_real else 0)])
+                    out.append((fns[lc](base, jnp.asarray(ch)), ch, n_real))
+                return out
+
+            dispatched = chunks(small_slots, small) + (
+                chunks(big_slots, big) if len(big_slots) else []
+            )
+
+            entries = []  # (slot, dict, lane)
+            rerun_slots = []
+            for out, ch, n_real in dispatched:
+                d = fetch_batch(out, self.fastq, with_events, with_prehp=hp_mode)
+                for lane in range(n_real):
+                    if d["cap_over"][lane]:
+                        rerun_slots.append(ch[lane])
+                    elif d["valid"][lane]:
+                        entries.append((ch[lane], d, lane))
+
+            # rerun capacity overflows in the big bucket
+            if rerun_slots:
+                for out, ch, n_real in chunks(np.asarray(rerun_slots, np.int64), big):
+                    d = fetch_batch(out, self.fastq, with_events, with_prehp=hp_mode)
+                    for lane in range(n_real):
+                        if d["valid"][lane] and not d["cap_over"][lane]:
+                            entries.append((ch[lane], d, lane))
+
+            entries.sort(key=lambda e: e[0])
+            # group consecutive same-dict runs for batch emission
+            i = 0
+            while i < len(entries) and accepted < n_reads:
+                j = i
+                d = entries[i][1]
+                lanes = []
+                while j < len(entries) and entries[j][1] is d:
+                    lanes.append(entries[j][2])
+                    j += 1
+                lanes = np.asarray(lanes[: n_reads - accepted], np.int64)
+                accepted += writer.write_run(self, d, lanes, accepted)
+                i = j
+        return accepted

@@ -122,8 +122,8 @@ class _DeviceFetch:
         import jax.numpy as jnp
 
         @jax.jit
-        def pack_meta(valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events):
-            cols = [valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events]
+        def pack_meta(valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events, cap_over):
+            cols = [valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events, cap_over]
             return jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)
 
         @functools.lru_cache(maxsize=32)
@@ -131,6 +131,18 @@ class _DeviceFetch:
             @jax.jit
             def f(a, b, c):
                 return jnp.stack([a[:, :k], b[:, :k], c[:, :k]])
+
+            return f
+
+        @functools.lru_cache(maxsize=32)
+        def pack_events(k):
+            # pos2x (17 bits) | len (13 bits) | type (2 bits) -> one u32
+            @jax.jit
+            def f(pos2x, etype, elen):
+                p = pos2x[:, :k].astype(jnp.uint32)
+                l = elen[:, :k].astype(jnp.uint32)
+                t = etype[:, :k].astype(jnp.uint32)
+                return p | (l << jnp.uint32(17)) | (t << jnp.uint32(30))
 
             return f
 
@@ -145,6 +157,7 @@ class _DeviceFetch:
         self.pack_meta = pack_meta
         self.slice3 = slice3
         self.slice1 = slice1
+        self.pack_events = pack_events
 
 
 _FETCH = None
@@ -160,6 +173,7 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
         _FETCH.pack_meta(
             out.valid, out.total_len, out.head, out.tail, out.middle_ref,
             out.l_new, out.chrom, out.local_pos, out.is_reversed, out.n_events,
+            getattr(out, "capacity_overflow", out.valid),
         )
     )
     d = {
@@ -173,6 +187,7 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
         "pos": meta[:, 7].astype(np.int64),
         "rev": meta[:, 8].astype(bool),
         "n_events": meta[:, 9].astype(np.int64),
+        "cap_over": meta[:, 10].astype(bool),
     }
     l_out = out.read.shape[1]
     lt = _pow2_at_least(int(d["total"][d["valid"]].max(initial=1)), 256, l_out)
@@ -182,8 +197,15 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
     if with_events:
         e_cap = out.ev_pos2x.shape[1]
         k = _pow2_at_least(int(d["n_events"][d["valid"]].max(initial=1)), 64, e_cap)
-        ev = np.asarray(_FETCH.slice3(k)(out.ev_pos2x, out.ev_type, out.ev_len))
-        d["ev_pos2x"], d["ev_type"], d["ev_len"] = ev[0], ev[1], ev[2]
+        l_cap_ev = out.read.shape[1]
+        if l_cap_ev < (1 << 16):  # pos2x fits 17 bits: one packed u32 transfer
+            ev = np.asarray(_FETCH.pack_events(k)(out.ev_pos2x, out.ev_type, out.ev_len))
+            d["ev_pos2x"] = (ev & 0x1FFFF).astype(np.int64)
+            d["ev_len"] = ((ev >> 17) & 0x1FFF).astype(np.int64)
+            d["ev_type"] = (ev >> 30).astype(np.int64)
+        else:
+            ev = np.asarray(_FETCH.slice3(k)(out.ev_pos2x, out.ev_type, out.ev_len))
+            d["ev_pos2x"], d["ev_type"], d["ev_len"] = ev[0], ev[1], ev[2]
         d["ev_valid"] = (
             np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
         )
@@ -216,8 +238,16 @@ class GenomeBatchWriter:
         lanes = np.nonzero(valid)[0]
         remaining = quota - accepted_so_far
         lanes = lanes[:remaining]
+        return self.write_run(sim, d, lanes, accepted_so_far)
+
+    def write_run(self, sim, d, lanes, accepted_so_far: int) -> int:
+        """Emit already-fetched lanes (in the given order) starting at
+        sequence number `accepted_so_far` (bucketed runs call this with
+        slot-ordered lane groups)."""
         if len(lanes) == 0:
             return 0
+        with_events = self.error_log is not None and not self.perfect
+        hp_mode = with_events and "prehp" in d
 
         if self._emitter.available and not hp_mode:
             return self._write_native(sim, d, lanes, accepted_so_far, with_events)

@@ -188,7 +188,7 @@ def transcriptome_batch(
         ref_seg = jnp.where(has_ir[:, None], ir_seg, ref_seg)
         local_pos = jnp.where(has_ir, ir_pos, local_pos)
         valid &= jnp.where(has_ir, ir_extract_len == middle_ref, True)
-    u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+    u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     # polyA retention: non-IR reads reach the 3' end within 10 bp
@@ -216,10 +216,9 @@ def transcriptome_batch(
         gm = apply_errors.build_gather_map(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
         )
+        u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
         read_mid = apply_errors.materialize_read(
-            gm.src, gm.qclass, gm.valid, ref_seg,
-            rng.uniform_per_slot(sk, rng.SITE_MIS_BASE, (l_cap,)),
-            rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,)),
+            gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins,
         )
         qclass_mid = gm.qclass
         l_new = gm.read_len

@@ -68,9 +68,9 @@ def unaligned_batch(
 
     walk = error_walk.unaligned_walk(sk, jnp.minimum(m_ref, l_cap), tables.mixtures, e_max)
     middle_ref, l_new = walk.middle_ref, walk.l_new
+    cap_over = walk.overflow | (m_ref > l_cap) | (middle_ref > l_cap) | (l_new > l_cap)
     # length filter on middle_ref (simulator.py:1503-1504)
-    valid &= ~walk.overflow & (middle_ref >= min_len) & (middle_ref <= max_len)
-    valid &= (middle_ref <= l_cap) & (l_new <= l_cap)
+    valid &= ~cap_over & (middle_ref >= min_len) & (middle_ref <= max_len)
 
     if transcriptome_mode:
         # extract_read transcriptome branch: uniform transcript among those
@@ -84,14 +84,13 @@ def unaligned_batch(
         )
     valid &= pos_ok
     ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
-    u_iupac = rng.uniform_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+    u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     gm = apply_errors.build_gather_map(
         walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid, middle_ref, l_cap
     )
-    u_mis = rng.uniform_per_slot(sk, rng.SITE_MIS_BASE, (l_cap,))
-    u_ins = rng.uniform_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
+    u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
     read = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
 
     # mutated-length filter (simulator.py:1517-1518)
@@ -130,6 +129,7 @@ def unaligned_batch(
         ev_valid=walk.events_valid,
         n_events=walk.n_events,
         read_prehp=read,
+        capacity_overflow=cap_over,
     )
 
 

@@ -172,3 +172,32 @@ def test_genome_circular(tmp_path):
         if parts[4] == "R":
             s = "".join(COMP.get(c, c) for c in reversed(s))
         assert s[head : len(s) - tail] == mid, name
+
+
+def test_bucketed_matches_unbucketed(setup):
+    """Length bucketing must not change output at all: draws are slot-keyed
+    and numbering is slot-ordered, so the small/large-bucket split is purely
+    an execution-shape choice."""
+    import hashlib
+
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+
+    outs = {}
+    for tag, bucketed in (("flat", False), ("bucketed", True)):
+        sim = GenomeSimulator(genome, prof, batch=64)
+        rp = str(d / f"bk_{tag}.fasta")
+        fw = out_mod.FastxWriter(rp, False)
+        el = out_mod.ErrorLogWriter(str(d / f"bk_{tag}_err"))
+        got = sim.run(300, out_mod.GenomeBatchWriter(fw, el), seed=11, bucketed=bucketed)
+        fw.close()
+        el.close()
+        assert got == 300
+        outs[tag] = (
+            hashlib.sha256(open(rp, "rb").read()).hexdigest(),
+            hashlib.sha256(open(str(d / f"bk_{tag}_err"), "rb").read()).hexdigest(),
+        )
+        if tag == "bucketed":
+            assert len(sim.plan_buckets()) >= 1
+    assert outs["flat"] == outs["bucketed"]
