@@ -254,16 +254,54 @@ def characterize_transcriptome(
     )
 
 
-def quantify(read_file: str, ref_t: str, prefix: str = "expression", *, t_alnm: str = "", num_threads: int = 1, normalize: bool = True):
-    """Transcript abundance quantification only (read_analysis.py quantify
-    mode -> `_quantification.tsv` with EM + TPM)."""
-    sam_path = t_alnm
+def quantify(
+    read_file: str,
+    ref_t: str = "",
+    prefix: str = "expression",
+    *,
+    mode: str = "trans",
+    genome_list: str = "",
+    t_alnm: str = "",
+    g_alnm: str = "",
+    num_threads: int = 1,
+    normalize: bool = True,
+):
+    """Abundance quantification only (read_analysis.py quantify mode,
+    read_analysis.py:390-457): `trans` -> EM + TPM over a transcriptome
+    alignment; `meta` -> base-weighted EM over species-tagged genomes, with
+    expected-abundance variation reporting when the genome list carries a
+    third column."""
+    if mode == "trans":
+        sam_path = t_alnm
+        if not sam_path:
+            sam_path = prefix + "_transcriptome_alnm.sam"
+            align.run_minimap2(ref_t, read_file, sam_path, "map-ont", num_threads)
+        primary.primary_and_unaligned_chimeric(
+            sam_path, prefix, metagenome_list={"tpm": {}}, q_mode=True, normalize=normalize
+        )
+        return
+
+    # meta: concatenate species genomes with tagged chromosome names
+    from ..io.fastx import read_fastx
+
+    metagenome_list = {}
+    meta_ref = prefix + "_combined_ref.fasta"
+    with open(genome_list) as gl, open(meta_ref, "w") as out:
+        for line in gl:
+            if not line.strip():
+                continue
+            info = line.strip().split("	")
+            species = "_".join(info[0].split())
+            metagenome_list[species] = {"path": info[1]}
+            if len(info) == 3:
+                metagenome_list[species]["expected"] = float(info[2])
+            for name, seq, _ in read_fastx(info[1]):
+                out.write(f">{species}_{name}\n{seq}\n")
+    sam_path = g_alnm
     if not sam_path:
-        sam_path = prefix + "_transcriptome_alnm.sam"
-        align.run_minimap2(ref_t, read_file, sam_path, "map-ont", num_threads)
-    primary.primary_and_unaligned_chimeric(
-        sam_path, prefix, metagenome_list={"tpm": {}}, q_mode=True, normalize=normalize
-    )
+        sam_path = prefix + "_metagenome_alnm.sam"
+        align.run_minimap2(meta_ref, read_file, sam_path, "map-ont", num_threads)
+    primary.primary_and_unaligned(sam_path, prefix, metagenome_list=metagenome_list)
 
 
 def detect_ir(annotation: str, prefix: str = "ir", *, g_alnm: str, t_alnm: str):

@@ -67,11 +67,16 @@ def build_parser():
     m.add_argument("--no_model_fit", dest="model_fit", action="store_false", default=True)
     m.add_argument("-t", "--num_threads", type=int, default=1)
 
-    q = sub.add_parser("quantify", help="Quantify transcriptome expression")
+    q = sub.add_parser("quantify", help="Quantify expression or abundance")
+    q.add_argument("-e", dest="qmode", choices=["trans", "meta"], default="trans",
+                   help="Quantify transcriptome expression OR metagenome abundance")
     q.add_argument("-i", "--read", required=True)
-    q.add_argument("-rt", "--ref_t", required=True)
+    q.add_argument("-rt", "--ref_t", default="")
+    q.add_argument("-gl", "--genome_list", default="")
     q.add_argument("-ta", "--t_alnm", default="")
+    q.add_argument("-ga", "--g_alnm", default="")
     q.add_argument("-o", "--output", default="expression")
+    q.add_argument("--no_normalize", dest="normalize", action="store_false", default=True)
     q.add_argument("-t", "--num_threads", type=int, default=1)
 
     ir = sub.add_parser("detect_ir", help="Detect intron retention events")
@@ -135,7 +140,15 @@ def main(argv=None):
         )
     elif args.mode == "quantify":
         char_main.quantify(
-            args.read, args.ref_t, args.output, t_alnm=args.t_alnm, num_threads=args.num_threads
+            args.read,
+            args.ref_t,
+            args.output,
+            mode=args.qmode,
+            genome_list=args.genome_list,
+            t_alnm=args.t_alnm,
+            g_alnm=args.g_alnm,
+            num_threads=args.num_threads,
+            normalize=args.normalize,
         )
     elif args.mode == "detect_ir":
         char_main.detect_ir(

@@ -273,3 +273,33 @@ def test_piecewise_fit():
     c, a, b, bp = fit_piecewise_1bp(x, y)
     assert abs(c - 0.5) < 0.2 and abs(a - 0.9) < 0.05
     assert abs(b + 0.3) < 0.05 and abs(bp - 14) < 1.5
+
+
+def test_quantify_meta(tmp_path):
+    """Metagenome quantify mode: base-weighted EM abundance from a crafted
+    species-tagged SAM."""
+    from nanosim_tpu.characterization.main import quantify
+    from nanosim_tpu.profiles import fixtures as fx
+
+    d = str(tmp_path)
+    fx.make_reference_fasta(os.path.join(d, "a.fa"), [4000], seed=1, name_prefix="ac")
+    fx.make_reference_fasta(os.path.join(d, "b.fa"), [4000], seed=2, name_prefix="bc")
+    gl = os.path.join(d, "gl.tsv")
+    with open(gl, "w") as f:
+        f.write(f"Alpha\t{d}/a.fa\t70\nBeta\t{d}/b.fa\t30\n")
+
+    sam = os.path.join(d, "aln.sam")
+    with open(sam, "w") as f:
+        f.write("@SQ\tSN:Alpha_ac1\tLN:4000\n@SQ\tSN:Beta_bc1\tLN:4000\n")
+        for i in range(70):
+            f.write(f"r{i}\t0\tAlpha_ac1\t10\t60\t200M\t*\t0\t0\t{'A' * 200}\t*\tNM:i:0\n")
+        for i in range(70, 100):
+            f.write(f"r{i}\t0\tBeta_bc1\t10\t60\t200M\t*\t0\t0\t{'A' * 200}\t*\tNM:i:0\n")
+    quantify("unused", prefix=os.path.join(d, "q"), mode="meta", genome_list=gl, g_alnm=sam)
+    abun = {}
+    with open(os.path.join(d, "q_quantification.tsv")) as f:
+        f.readline()
+        for line in f:
+            k, v = line.split("\t")
+            abun[k] = float(v)
+    assert abs(abun["Alpha"] - 70) < 2 and abs(abun["Beta"] - 30) < 2
