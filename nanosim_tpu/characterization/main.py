@@ -304,8 +304,25 @@ def quantify(
     primary.primary_and_unaligned(sam_path, prefix, metagenome_list=metagenome_list)
 
 
-def detect_ir(annotation: str, prefix: str = "ir", *, g_alnm: str, t_alnm: str):
-    """Intron-retention detection only (read_analysis.py detect_ir mode)."""
+def detect_ir(
+    annotation: str,
+    prefix: str = "ir",
+    *,
+    g_alnm: str = "",
+    t_alnm: str = "",
+    read_file: str = "",
+    ref_g: str = "",
+    ref_t: str = "",
+    num_threads: int = 1,
+):
+    """Intron-retention detection only (read_analysis.py detect_ir mode);
+    aligns the reads itself when only references are supplied."""
+    if not g_alnm:
+        g_alnm = prefix + "_genome_alnm.sam"
+        align.run_minimap2(ref_g, read_file, g_alnm, "splice", num_threads)
+    if not t_alnm:
+        t_alnm = prefix + "_transcriptome_alnm.sam"
+        align.run_minimap2(ref_t, read_file, t_alnm, "map-ont", num_threads)
     align.add_introns_to_annotation(annotation, prefix + "_added_intron_final.gff3")
     from . import ir_model
 

@@ -81,9 +81,13 @@ def build_parser():
 
     ir = sub.add_parser("detect_ir", help="Detect intron retention events")
     ir.add_argument("-annot", "--annotation", required=True)
-    ir.add_argument("-ga", "--g_alnm", required=True)
-    ir.add_argument("-ta", "--t_alnm", required=True)
+    ir.add_argument("-i", "--read", default="")
+    ir.add_argument("-rg", "--ref_g", default="")
+    ir.add_argument("-rt", "--ref_t", default="")
+    ir.add_argument("-ga", "--g_alnm", default="")
+    ir.add_argument("-ta", "--t_alnm", default="")
     ir.add_argument("-o", "--output", default="ir")
+    ir.add_argument("-t", "--num_threads", type=int, default=1)
 
     return parser
 
@@ -152,7 +156,14 @@ def main(argv=None):
         )
     elif args.mode == "detect_ir":
         char_main.detect_ir(
-            args.annotation, args.output, g_alnm=args.g_alnm, t_alnm=args.t_alnm
+            args.annotation,
+            args.output,
+            g_alnm=args.g_alnm,
+            t_alnm=args.t_alnm,
+            read_file=args.read,
+            ref_g=args.ref_g,
+            ref_t=args.ref_t,
+            num_threads=args.num_threads,
         )
 
 
