@@ -420,8 +420,10 @@ class GenomeSimulator:
             return [self.l_cap]
         col = kde.data[:, -1] if kde.data.shape[1] > 1 else kde.data[:, 0]
         q85 = float(np.percentile(col, 85))
-        small = max(512, int(-(-min(q85 * 1.45 + 64, self.l_cap * 0.75) // 256) * 256))
-        if small >= self.l_cap * 0.8:
+        small = max(512, int(-(-min(q85 * 1.3 + 64, self.l_cap * 0.75) // 256) * 256))
+        # bucketing only pays when the small shape is substantially smaller
+        # (extra compile + scheduling overhead otherwise): require <= 60%
+        if small > self.l_cap * 0.6:
             return [self.l_cap]
         return [small, self.l_cap]
 
