@@ -137,14 +137,17 @@ def _code_to_ascii(code):
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=())
 def materialize_read(
     gm_src: jax.Array,  # [B, L] int32
     gm_qclass: jax.Array,  # [B, L] int32
     gm_valid: jax.Array,  # [B, L] bool
-    ref_seg: jax.Array,  # [B, L] uint8 ASCII extracted reference slice
+    ref_seg: jax.Array,  # [B, L'] uint8 ASCII reference (L' >= L allowed)
     u_mis: jax.Array,  # [B, L] uniforms for substituted-base choice
     u_ins: jax.Array,  # [B, L] uniforms for inserted-base choice
+    src_offset=None,  # [B] optional per-lane offset into ref_seg (chunked
+    # extraction leaves the segment at an intra-chunk offset; folding it here
+    # avoids a second full-width shuffle)
 ) -> jax.Array:
     """[B, L] uint8 ASCII mutated read (padding positions = 0).
 
@@ -152,7 +155,11 @@ def materialize_read(
     (mutate_read, simulator.py:1965-1978); insertions uniformly among 4
     (simulator.py:1986-1995).
     """
-    src = jnp.clip(gm_src, 0, ref_seg.shape[1] - 1)
+    L = gm_src.shape[1]
+    src = jnp.clip(gm_src, 0, L - 1)
+    if src_offset is not None:
+        src = src + src_offset[:, None]
+    src = jnp.clip(src, 0, ref_seg.shape[1] - 1)
     ref_base = jnp.take_along_axis(ref_seg, src, axis=1)
     code = _ascii_to_code(ref_base)
 

@@ -26,6 +26,8 @@ class GenomeDevice:
     """Device-resident packed genome."""
 
     flat: jax.Array  # [total] uint8
+    flat_chunks: jax.Array  # [ceil(total/256), 256] uint8 — chunked view for
+    # bulk extraction (per-byte gathers serialize on TPU)
     offsets: jax.Array  # [n_chrom + 1] int64
     lengths: jax.Array  # [n_chrom] int64
     circular: jax.Array  # [n_chrom] bool
@@ -34,11 +36,19 @@ class GenomeDevice:
     species_of_chrom: jax.Array  # [n_chrom] int32
     chrom_start_of_species: jax.Array  # [n_species + 1] int32
 
+    @staticmethod
+    def _chunked(flat: np.ndarray) -> np.ndarray:
+        pad = (-len(flat)) % 256
+        if pad:
+            flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+        return flat.reshape(-1, 256)
+
     @classmethod
     def from_packed(cls, g: PackedGenome) -> "GenomeDevice":
         n = g.n_chrom
         return cls(
             flat=jnp.asarray(g.flat),
+            flat_chunks=jnp.asarray(cls._chunked(g.flat)),
             offsets=jnp.asarray(g.offsets, jnp.int64),
             lengths=jnp.asarray(g.lengths, jnp.int64),
             circular=jnp.asarray(g.circular),
@@ -52,6 +62,7 @@ class GenomeDevice:
         g = m.packed
         return cls(
             flat=jnp.asarray(g.flat),
+            flat_chunks=jnp.asarray(cls._chunked(g.flat)),
             offsets=jnp.asarray(g.offsets, jnp.int64),
             lengths=jnp.asarray(g.lengths, jnp.int64),
             circular=jnp.asarray(g.circular),
@@ -64,17 +75,19 @@ class GenomeDevice:
 jax.tree_util.register_pytree_node(
     GenomeDevice,
     lambda g: (
-        (g.flat, g.offsets, g.lengths, g.circular, g.species_of_chrom, g.chrom_start_of_species),
+        (g.flat, g.flat_chunks, g.offsets, g.lengths, g.circular,
+         g.species_of_chrom, g.chrom_start_of_species),
         (g.genome_len,),
     ),
     lambda static, data: GenomeDevice(
         flat=data[0],
-        offsets=data[1],
-        lengths=data[2],
-        circular=data[3],
+        flat_chunks=data[1],
+        offsets=data[2],
+        lengths=data[3],
+        circular=data[4],
         genome_len=static[0],
-        species_of_chrom=data[4],
-        chrom_start_of_species=data[5],
+        species_of_chrom=data[5],
+        chrom_start_of_species=data[6],
     ),
 )
 
@@ -222,6 +235,40 @@ def sample_uniform_chrom_positions(
     span = genome.lengths[chrom] - lengths.astype(jnp.int64)
     pos = jnp.minimum((us[:, 1] * (span + 1)).astype(jnp.int64), jnp.maximum(span, 0))
     return chrom, pos, ok
+
+
+CHUNK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("l_cap",))
+def gather_segments_padded(
+    genome: GenomeDevice,
+    chrom: jax.Array,  # [B] int32
+    local_pos: jax.Array,  # [B] int64
+    l_cap: int,
+):
+    """Chunked linear extraction: returns (ref_padded [B, l_cap + CHUNK]
+    uint8, off [B] int32) with the segment at ref_padded[b, off[b]:...].
+
+    Per-byte gathers serialize on TPU; fetching whole CHUNK-byte rows moves
+    256x more data per gather index, and the residual intra-chunk offset is
+    folded into the downstream mutation gather instead of a second shuffle.
+    Linear chromosomes only (circular wrap breaks chunk contiguity — callers
+    use the per-byte path there).
+    """
+    B = chrom.shape[0]
+    gstart = genome.offsets[chrom] + local_pos  # global byte start
+    n_chunks_needed = l_cap // CHUNK + 1
+    chunk0 = (gstart // CHUNK).astype(jnp.int32)
+    off = (gstart % CHUNK).astype(jnp.int32)
+    total_chunks = genome.flat_chunks.shape[0]
+    idx = jnp.clip(
+        chunk0[:, None] + jnp.arange(n_chunks_needed, dtype=jnp.int32)[None, :],
+        0,
+        total_chunks - 1,
+    )
+    rows = jnp.take(genome.flat_chunks, idx, axis=0)  # [B, C, CHUNK]
+    return rows.reshape(B, n_chunks_needed * CHUNK), off
 
 
 @functools.partial(jax.jit, static_argnames=("l_cap",))

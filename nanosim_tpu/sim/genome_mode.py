@@ -262,9 +262,20 @@ def genome_batch(
         sk, middle_ref, genome, circular_dna
     )
     valid &= pos_ok
-    ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
-    u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
-    ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+    # chunked path: fetch 256-byte rows and fold the intra-chunk offset into
+    # the mutation gather (per-byte extraction gathers serialize on TPU);
+    # circular wrap and the hp run analysis need the aligned per-byte path
+    chunked = not circular_dna and kmer_bias is None and not perfect
+    if chunked:
+        ref_seg, seg_off = extract.gather_segments_padded(genome, chrom, local_pos, l_cap)
+        u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap + extract.CHUNK,))
+        ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+        u_mis = u_mis[:, :l_cap]
+    else:
+        seg_off = None
+        ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
+        u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+        ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     read_prehp = ref_seg
     if perfect:
@@ -283,7 +294,9 @@ def genome_batch(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, l_cap
         )
         u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
-        read_mid = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
+        read_mid = apply_errors.materialize_read(
+            gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins, src_offset=seg_off
+        )
         qclass_mid = gm.qclass
         l_new = gm.read_len
         read_prehp = read_mid
