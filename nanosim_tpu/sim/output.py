@@ -154,16 +154,48 @@ class _DeviceFetch:
 
             return f
 
+        @functools.lru_cache(maxsize=32)
+        def pack2bit(k):
+            # ACGT -> 2-bit codes, 4 bases/byte (A=0 C=1 G=2 T=3); padding
+            # zeros decode to 'A' bytes that the length masks drop
+            @jax.jit
+            def f(a):
+                x = a[:, :k]
+                code = jnp.where(
+                    x == jnp.uint8(ord("C")), jnp.uint8(1),
+                    jnp.where(x == jnp.uint8(ord("G")), jnp.uint8(2),
+                              jnp.where(x == jnp.uint8(ord("T")), jnp.uint8(3), jnp.uint8(0))),
+                )
+                c = code.reshape(a.shape[0], k // 4, 4)
+                return (
+                    c[:, :, 0]
+                    | (c[:, :, 1] << jnp.uint8(2))
+                    | (c[:, :, 2] << jnp.uint8(4))
+                    | (c[:, :, 3] << jnp.uint8(6))
+                )
+
+            return f
+
         self.pack_meta = pack_meta
         self.slice3 = slice3
         self.slice1 = slice1
         self.pack_events = pack_events
+        self.pack2bit = pack2bit
+        # byte -> 4 ASCII bases decode table
+        lut = np.zeros(256, np.uint32)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for v in range(256):
+            b4 = bytes(
+                int(bases[(v >> (2 * i)) & 3]) for i in range(4)
+            )
+            lut[v] = np.frombuffer(b4, np.uint32)[0]
+        self.unpack_lut = lut
 
 
 _FETCH = None
 
 
-def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
+def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, pack_reads: bool = True):
     """Transfer a BatchOut with minimal round trips; returns a dict of np
     arrays (reads/quals sliced to the used width, events to max n_events)."""
     global _FETCH
@@ -191,9 +223,16 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False):
     }
     l_out = out.read.shape[1]
     lt = _pow2_at_least(int(d["total"][d["valid"]].max(initial=1)), 256, l_out)
-    d["read"] = np.asarray(_FETCH.slice1(lt)(out.read))
-    if fastq:
-        d["quals"] = np.asarray(_FETCH.slice1(lt)(out.quals))
+    if fastq or not pack_reads:
+        d["read"] = np.asarray(_FETCH.slice1(lt)(out.read))
+        if fastq:
+            d["quals"] = np.asarray(_FETCH.slice1(lt)(out.quals))
+    else:
+        # FASTA reads are pure ACGT post-pipeline: ship 2 bits/base and
+        # decode host-side with a byte->4-chars table (4x less tunnel/PCIe).
+        # (disabled for uracil output, which carries 'U' bytes)
+        packed = np.asarray(_FETCH.pack2bit(lt)(out.read))
+        d["read"] = _FETCH.unpack_lut[packed].view(np.uint8).reshape(packed.shape[0], lt)
     if with_events:
         e_cap = out.ev_pos2x.shape[1]
         k = _pow2_at_least(int(d["n_events"][d["valid"]].max(initial=1)), 64, e_cap)

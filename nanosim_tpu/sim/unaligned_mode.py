@@ -147,7 +147,10 @@ class UnalignedBatchWriter:
     def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
         from .output import fetch_batch
 
-        d = fetch_batch(out, sim.fastq, with_events=False)
+        d = fetch_batch(
+            out, sim.fastq, with_events=False,
+            pack_reads=not sim.kw.get("uracil", False),
+        )
         lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
         if len(lanes) == 0:
             return 0
