@@ -74,9 +74,10 @@ def run_ours(prefix, ref_fa, d):
 
     fw = out_mod.FastxWriter(os.path.join(d, "out_aligned_reads.fasta"), False)
     el = out_mod.ErrorLogWriter(os.path.join(d, "out_err"))
-    w = out_mod.GenomeBatchWriter(fw, el)
+    w = out_mod.AsyncBatchWriter(out_mod.GenomeBatchWriter(fw, el))
     t0 = time.time()
     got = sim.run(N_READS, w, seed=0)
+    w.close()
     fw.close()
     el.close()
     dt = time.time() - t0
@@ -101,7 +102,7 @@ def measure_baseline(prefix, ref_fa, d):
             raise RuntimeError(res.stderr[-2000:])
         return time.time() - t0
 
-    n1, n2 = 10, 260
+    n1, n2 = 100, 2100
     t1 = one(n1)
     log(f"reference n={n1}: {t1:.1f}s")
     t2 = one(n2)
@@ -118,6 +119,7 @@ def get_baseline(prefix, ref_fa, d):
         if (
             cached.get("mean_len") == MEAN_LEN
             and cached.get("genome_mb") == GENOME_MB
+            and cached.get("fs") == ("shm" if d.startswith("/dev/shm") else "disk")
             and cached.get("reads_per_sec", 0) > 0
         ):
             log(f"baseline (cached): {cached['reads_per_sec']:.2f} reads/s")
@@ -127,6 +129,7 @@ def get_baseline(prefix, ref_fa, d):
         with open(BASELINE_CACHE, "w") as f:
             json.dump(
                 {"reads_per_sec": rps, "mean_len": MEAN_LEN, "genome_mb": GENOME_MB,
+                 "fs": "shm" if d.startswith("/dev/shm") else "disk",
                  "note": "reference NanoSim v3.2.2, single process, this machine's CPU"},
                 f,
                 indent=1,
@@ -138,7 +141,12 @@ def get_baseline(prefix, ref_fa, d):
 
 
 def main():
-    d = tempfile.mkdtemp(prefix="nanosim_bench_")
+    # Output goes to tmpfs when available: this VM's block device sustains
+    # only ~25 MB/s after burst credits, which would bottleneck BOTH sides
+    # of the comparison on disk rather than simulator throughput.  The
+    # reference baseline below is (re)measured writing to the same fs.
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="nanosim_bench_", dir=base_dir)
     prefix, ref_fa = build_fixture(d)
     ours = run_ours(prefix, ref_fa, d)
     base = get_baseline(prefix, ref_fa, d)

@@ -110,9 +110,12 @@ class _DeviceFetch:
     """Batched device->host transfer helpers.
 
     Each np.asarray round-trip costs fixed latency (large on remote-TPU
-    tunnels), so per-lane scalars are packed into one array and the big
-    [B, E]/[B, L] buffers are sliced to their used width (quantized to powers
-    of two to bound recompiles) before a single stacked transfer each.
+    tunnels), so a batch comes back in exactly TWO transfers: (1) the
+    per-lane scalars plus the used widths of the variable buffers, packed
+    into one int64 array; (2) everything wide — events, reads, quals,
+    pre-hp middles — sliced to those widths (quantized to powers of two to
+    bound recompiles), packed to 2 bits/base where possible, and fused into
+    a single uint8 buffer.
     """
 
     def __init__(self):
@@ -121,66 +124,79 @@ class _DeviceFetch:
         import jax
         import jax.numpy as jnp
 
+        def _pack2bit(x, k):
+            # ACGT -> 2-bit codes, 4 bases/byte (A=0 C=1 G=2 T=3); padding
+            # zeros decode to 'A' bytes that the length masks drop
+            x = x[:, :k]
+            code = jnp.where(
+                x == jnp.uint8(ord("C")), jnp.uint8(1),
+                jnp.where(x == jnp.uint8(ord("G")), jnp.uint8(2),
+                          jnp.where(x == jnp.uint8(ord("T")), jnp.uint8(3), jnp.uint8(0))),
+            )
+            c = code.reshape(x.shape[0], k // 4, 4)
+            return (
+                c[:, :, 0]
+                | (c[:, :, 1] << jnp.uint8(2))
+                | (c[:, :, 2] << jnp.uint8(4))
+                | (c[:, :, 3] << jnp.uint8(6))
+            )
+
         @jax.jit
         def pack_meta(valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events, cap_over):
             cols = [valid, total, head, tail, middle_ref, l_new, chrom, pos, rev, n_events, cap_over]
-            return jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)
+            meta = jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)  # [B, 11]
+            v = meta[:, 0] != 0
+            mx = lambda col: jnp.max(jnp.where(v, col, 0))
+            sizes = jnp.stack(
+                [mx(meta[:, 1]), mx(meta[:, 9]), mx(meta[:, 5])]
+            )  # max total, max n_events, max l_new over valid lanes
+            row = jnp.zeros((1, 11), jnp.int64).at[0, :3].set(sizes)
+            return jnp.concatenate([meta, row])
 
-        @functools.lru_cache(maxsize=32)
-        def slice3(k):
-            @jax.jit
-            def f(a, b, c):
-                return jnp.stack([a[:, :k], b[:, :k], c[:, :k]])
-
-            return f
-
-        @functools.lru_cache(maxsize=32)
-        def pack_events(k):
-            # pos2x (17 bits) | len (13 bits) | type (2 bits) -> one u32
-            @jax.jit
-            def f(pos2x, etype, elen):
-                p = pos2x[:, :k].astype(jnp.uint32)
-                l = elen[:, :k].astype(jnp.uint32)
-                t = etype[:, :k].astype(jnp.uint32)
-                return p | (l << jnp.uint32(17)) | (t << jnp.uint32(30))
-
-            return f
-
-        @functools.lru_cache(maxsize=32)
-        def slice1(k):
-            @jax.jit
-            def f(a):
-                return a[:, :k]
-
-            return f
-
-        @functools.lru_cache(maxsize=32)
-        def pack2bit(k):
-            # ACGT -> 2-bit codes, 4 bases/byte (A=0 C=1 G=2 T=3); padding
-            # zeros decode to 'A' bytes that the length masks drop
-            @jax.jit
-            def f(a):
-                x = a[:, :k]
-                code = jnp.where(
-                    x == jnp.uint8(ord("C")), jnp.uint8(1),
-                    jnp.where(x == jnp.uint8(ord("G")), jnp.uint8(2),
-                              jnp.where(x == jnp.uint8(ord("T")), jnp.uint8(3), jnp.uint8(0))),
+        # fused wide transfer: [B, W] uint8 = [events u32 | read | quals | prehp]
+        @functools.lru_cache(maxsize=64)
+        def pack_wide(k_ev, lt, fastq, pack_reads, lp, pack_ev):
+            def le_bytes(u32):
+                # explicit little-endian u32 -> 4 bytes (no bitcast layout
+                # assumptions across backends)
+                B = u32.shape[0]
+                b = jnp.stack(
+                    [(u32 >> jnp.uint32(8 * i)).astype(jnp.uint8) for i in range(4)],
+                    axis=-1,
                 )
-                c = code.reshape(a.shape[0], k // 4, 4)
-                return (
-                    c[:, :, 0]
-                    | (c[:, :, 1] << jnp.uint8(2))
-                    | (c[:, :, 2] << jnp.uint8(4))
-                    | (c[:, :, 3] << jnp.uint8(6))
-                )
+                return b.reshape(B, -1)
+
+            @jax.jit
+            def f(ev_pos2x, ev_type, ev_len, read, quals, prehp):
+                B = read.shape[0]
+                parts = []
+                if k_ev:
+                    if pack_ev:
+                        # pos2x (17 bits) | len (13 bits) | type (2 bits)
+                        p = ev_pos2x[:, :k_ev].astype(jnp.uint32)
+                        l = ev_len[:, :k_ev].astype(jnp.uint32)
+                        t = ev_type[:, :k_ev].astype(jnp.uint32)
+                        ev = p | (l << jnp.uint32(17)) | (t << jnp.uint32(30))
+                    else:
+                        ev = jnp.concatenate(
+                            [ev_pos2x[:, :k_ev], ev_type[:, :k_ev], ev_len[:, :k_ev]],
+                            axis=1,
+                        ).astype(jnp.uint32)
+                    parts.append(le_bytes(ev))
+                if pack_reads:
+                    parts.append(_pack2bit(read, lt))
+                else:
+                    parts.append(read[:, :lt])
+                if fastq:
+                    parts.append(quals[:, :lt])
+                if lp:
+                    parts.append(_pack2bit(prehp, lp))
+                return jnp.concatenate(parts, axis=1)
 
             return f
 
         self.pack_meta = pack_meta
-        self.slice3 = slice3
-        self.slice1 = slice1
-        self.pack_events = pack_events
-        self.pack2bit = pack2bit
+        self.pack_wide = pack_wide
         # byte -> 4 ASCII bases decode table
         lut = np.zeros(256, np.uint32)
         bases = np.frombuffer(b"ACGT", np.uint8)
@@ -191,13 +207,18 @@ class _DeviceFetch:
             lut[v] = np.frombuffer(b4, np.uint32)[0]
         self.unpack_lut = lut
 
+    def decode2bit(self, packed: np.ndarray) -> np.ndarray:
+        return self.unpack_lut[packed].view(np.uint8).reshape(
+            packed.shape[0], packed.shape[1] * 4
+        )
+
 
 _FETCH = None
 
 
 def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, pack_reads: bool = True):
-    """Transfer a BatchOut with minimal round trips; returns a dict of np
-    arrays (reads/quals sliced to the used width, events to max n_events)."""
+    """Transfer a BatchOut in two round trips; returns a dict of np arrays
+    (reads/quals sliced to the used width, events to max n_events)."""
     global _FETCH
     if _FETCH is None:
         _FETCH = _DeviceFetch()
@@ -208,6 +229,8 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, p
             getattr(out, "capacity_overflow", out.valid),
         )
     )
+    sizes = meta[-1]
+    meta = meta[:-1]
     d = {
         "valid": meta[:, 0].astype(bool),
         "total": meta[:, 1].astype(np.int64),
@@ -221,38 +244,61 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, p
         "n_events": meta[:, 9].astype(np.int64),
         "cap_over": meta[:, 10].astype(bool),
     }
+    B = meta.shape[0]
     l_out = out.read.shape[1]
-    lt = _pow2_at_least(int(d["total"][d["valid"]].max(initial=1)), 256, l_out)
-    if fastq or not pack_reads:
-        d["read"] = np.asarray(_FETCH.slice1(lt)(out.read))
-        if fastq:
-            d["quals"] = np.asarray(_FETCH.slice1(lt)(out.quals))
-    else:
-        # FASTA reads are pure ACGT post-pipeline: ship 2 bits/base and
-        # decode host-side with a byte->4-chars table (4x less tunnel/PCIe).
-        # (disabled for uracil output, which carries 'U' bytes)
-        packed = np.asarray(_FETCH.pack2bit(lt)(out.read))
-        d["read"] = _FETCH.unpack_lut[packed].view(np.uint8).reshape(packed.shape[0], lt)
+    lt = _pow2_at_least(max(int(sizes[0]), 1), 256, l_out)
+    # FASTA reads are pure ACGT post-pipeline: ship 2 bits/base and decode
+    # host-side with a byte->4-chars table (4x less tunnel/PCIe); disabled
+    # for uracil output, which carries 'U' bytes
+    pack_ev = True
+    k = 0
     if with_events:
         e_cap = out.ev_pos2x.shape[1]
-        k = _pow2_at_least(int(d["n_events"][d["valid"]].max(initial=1)), 64, e_cap)
-        l_cap_ev = out.read.shape[1]
-        if l_cap_ev < (1 << 16):  # pos2x fits 17 bits: one packed u32 transfer
-            ev = np.asarray(_FETCH.pack_events(k)(out.ev_pos2x, out.ev_type, out.ev_len))
+        k = _pow2_at_least(max(int(sizes[1]), 1), 64, e_cap)
+        pack_ev = l_out < (1 << 16)  # pos2x fits 17 bits
+    lp = 0
+    if with_prehp:
+        lp = _pow2_at_least(max(int(sizes[2]), 1) + 64, 256, out.read_prehp.shape[1])
+
+    fn = _FETCH.pack_wide(k, lt, fastq, pack_reads, lp, pack_ev)
+    wide = np.asarray(
+        fn(
+            out.ev_pos2x if with_events else np.zeros((B, 1), np.int32),
+            out.ev_type if with_events else np.zeros((B, 1), np.int32),
+            out.ev_len if with_events else np.zeros((B, 1), np.int32),
+            out.read,
+            out.quals if fastq else np.zeros((B, 1), np.uint8),
+            out.read_prehp if with_prehp else np.zeros((B, 4), np.uint8),
+        )
+    )
+    off = 0
+    if with_events:
+        if pack_ev:
+            ev = np.ascontiguousarray(wide[:, : 4 * k]).view(np.uint32)
             d["ev_pos2x"] = (ev & 0x1FFFF).astype(np.int64)
             d["ev_len"] = ((ev >> 17) & 0x1FFF).astype(np.int64)
             d["ev_type"] = (ev >> 30).astype(np.int64)
+            off = 4 * k
         else:
-            ev = np.asarray(_FETCH.slice3(k)(out.ev_pos2x, out.ev_type, out.ev_len))
-            d["ev_pos2x"], d["ev_type"], d["ev_len"] = ev[0], ev[1], ev[2]
+            ev = np.ascontiguousarray(wide[:, : 12 * k]).view(np.int32)
+            d["ev_pos2x"] = ev[:, :k]
+            d["ev_type"] = ev[:, k : 2 * k]
+            d["ev_len"] = ev[:, 2 * k : 3 * k]
+            off = 12 * k
         d["ev_valid"] = (
             np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
         )
+    if pack_reads:
+        d["read"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lt // 4]))
+        off += lt // 4
+    else:
+        d["read"] = np.ascontiguousarray(wide[:, off : off + lt])
+        off += lt
+    if fastq:
+        d["quals"] = np.ascontiguousarray(wide[:, off : off + lt])
+        off += lt
     if with_prehp:
-        lp = _pow2_at_least(
-            int(d["l_new"][d["valid"]].max(initial=1)) + 64, 256, out.read_prehp.shape[1]
-        )
-        d["prehp"] = np.asarray(_FETCH.slice1(lp)(out.read_prehp))
+        d["prehp"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lp // 4]))
     return d
 
 
@@ -474,6 +520,73 @@ class GenomeBatchWriter:
                     seqs.append("-" * ln)
             tnames.append(_ETYPE_NAMES[t])
         self.error_log.write_read_events(name, keys_v, tnames, lens_v, refs, seqs)
+
+
+class AsyncBatchWriter:
+    """Pipelined wrapper around a batch writer.
+
+    `write_batch` fetches the batch (device->host transfer) and counts the
+    accepted lanes synchronously — the accept loop needs the count to track
+    its quota — but hands the expensive formatting + file IO to a single
+    worker thread (the C++ emitter and file writes run outside the GIL, so
+    they overlap the next batch's transfers).  Queue depth is bounded so
+    host memory stays flat; writes happen in submission order, keeping the
+    output byte-identical to the synchronous path.
+    """
+
+    def __init__(self, inner, depth: int = 2):
+        import queue
+        import threading
+
+        self.inner = inner
+        self.error_log = getattr(inner, "error_log", None)
+        self.perfect = getattr(inner, "perfect", False)
+        self._q = queue.Queue(maxsize=depth)
+        self._exc = None
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                if self._exc is None:
+                    sim, d, lanes, start = item
+                    self.inner.write_run(sim, d, lanes, start)
+            except BaseException as e:  # surfaced on the producer side
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
+        if self._exc is not None:
+            raise self._exc
+        with_events = self.error_log is not None and not self.perfect
+        hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
+        d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
+        lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+        if len(lanes):
+            self._q.put((sim, d, lanes, accepted_so_far))
+        return len(lanes)
+
+    def write_run(self, sim, d, lanes, accepted_so_far: int) -> int:
+        if self._exc is not None:
+            raise self._exc
+        if len(lanes):
+            self._q.put((sim, d, lanes, accepted_so_far))
+        return len(lanes)
+
+    def drain(self):
+        self._q.join()
+        if self._exc is not None:
+            raise self._exc
+
+    def close(self):
+        self.drain()
+        self._q.put(None)
+        self._t.join()
 
 
 def merge_files(out_path: str, parts, header: str = ""):
