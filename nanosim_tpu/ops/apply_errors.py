@@ -117,6 +117,140 @@ def build_gather_map(
     return GatherMap(src=src, src_left=src_left, qclass=cls, valid=valid, read_len=read_len)
 
 
+QCLASS_HT = 3
+
+
+@functools.partial(jax.jit, static_argnames=("l_out",))
+def fused_read(
+    events_pos2x: jax.Array,  # [B, E] int32
+    events_type: jax.Array,  # [B, E] int32 (0=mis 1=ins 2=del)
+    events_len: jax.Array,  # [B, E] int32
+    events_valid: jax.Array,  # [B, E] bool
+    middle_ref: jax.Array,  # [B] int32
+    head: jax.Array,  # [B] int32
+    tail: jax.Array,  # [B] int32
+    is_rev: jax.Array,  # [B] bool
+    ref_seg: jax.Array,  # [B, Lr] uint8 ASCII (IUPAC-resolved)
+    seg_off,  # [B] int32 or None — intra-chunk offset into ref_seg
+    ht_bases: jax.Array,  # [B, ht_cap] uint8 ASCII random bases
+    u_mis: jax.Array,  # [B, l_out] uniforms, substituted-base choice
+    u_ins: jax.Array,  # [B, l_out] uniforms, inserted-base choice
+    l_out: int,
+):
+    """Mutation + head/tail assembly + strand flip in ONE [B, l_out] gather.
+
+    The two-gather formulation (materialize_read then the assembly shuffle)
+    pays twice for TPU's per-element gather cost — the dominant device cost
+    at ~85M elem/s.  Here every map is built directly in FINAL OUTPUT
+    coordinates: event spans and deletion points are scattered at
+    strand-selected positions (reversed lanes scatter at mirrored indices),
+    the indel-displacement prefix sums run once over [B, l_out] (streaming
+    ops at ~1G elem/s), and a single gather fetches each output base from
+    concat(ref_seg, ht_bases).  Substitution/insertion uniforms are indexed
+    by OUTPUT position (part of this framework's documented RNG contract).
+
+    Returns (read [B, l_out] u8, qclass [B, l_out] i32 with head/tail = 3,
+    l_new [B] i32, total [B] i32).  Positions >= total are zeroed.
+    """
+    B, E = events_pos2x.shape
+    L = l_out
+    Lr = ref_seg.shape[1]
+    ht_cap = ht_bases.shape[1]
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, E))
+
+    is_mis = events_valid & (events_type == 0)
+    is_ins = events_valid & (events_type == 1)
+    is_del = events_valid & (events_type == 2)
+
+    start = events_pos2x // 2
+    ins_before = (events_pos2x + 1) // 2
+    dlen = jnp.where(is_del, events_len, 0)
+    ilen = jnp.where(is_ins, events_len, 0)
+    prior_del = jnp.cumsum(dlen, axis=1) - dlen
+    prior_ins = jnp.cumsum(ilen, axis=1) - ilen
+    ref_start = jnp.where(is_ins, ins_before, start)
+    rpos = ref_start - prior_del + prior_ins  # [B, E] middle read coords
+
+    tot_del = jnp.sum(dlen, axis=1)
+    tot_ins = jnp.sum(ilen, axis=1)
+    l_new = (middle_ref - tot_del + tot_ins).astype(jnp.int32)
+    total = head + l_new + tail
+
+    h = head[:, None]
+    n = l_new[:, None]
+    t = tail[:, None]
+    rev = is_rev[:, None]
+
+    # Event span [a, b) in middle coords -> output coords:
+    # forward [h+a, h+b); reversed [n+t-b, n+t-a).
+    a = rpos
+    b = rpos + events_len
+    span_s = jnp.where(rev, n + t - b, h + a)
+    span_e = jnp.where(rev, n + t - a, h + b)
+
+    def span_mask(flag):
+        diff = jnp.zeros((B, L + 1), jnp.int32)
+        f = flag.astype(jnp.int32)
+        diff = diff.at[b_idx, jnp.clip(span_s, 0, L)].add(f)
+        diff = diff.at[b_idx, jnp.clip(span_e, 0, L)].add(-f)
+        return jnp.cumsum(diff[:, :L], axis=1) > 0
+
+    ins_mask = span_mask(is_ins)
+    mis_mask = span_mask(is_mis)
+
+    # Deletion weights: forward lanes count dels at output <= j (scatter at
+    # h+a, inclusive prefix); reversed lanes count dels at mirrored point
+    # >= j (scatter at (n+t-1-a)+1, total minus exclusive prefix).
+    del_idx = jnp.where(rev, n + t - a, h + a)
+    del_pts = jnp.zeros((B, L + 1), jnp.int32)
+    del_pts = del_pts.at[b_idx, jnp.clip(del_idx, 0, L)].add(dlen)
+    Dcum = jnp.cumsum(del_pts[:, :L], axis=1)
+    D = jnp.where(rev, tot_del[:, None] - Dcum, Dcum)
+
+    Icum = jnp.cumsum(ins_mask.astype(jnp.int32), axis=1)
+    I = jnp.where(rev, tot_ins[:, None] - (Icum - ins_mask), Icum)
+
+    j_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    # pre-reverse coordinate and regions
+    in_mid = jnp.where(rev, (j_idx >= t) & (j_idx < t + n), (j_idx >= h) & (j_idx < h + n))
+    in_head = jnp.where(rev, j_idx >= n + t, j_idx < h)
+    m = jnp.where(rev, n + t - 1 - j_idx, j_idx - h)
+
+    src_mid = m - I + D
+    if seg_off is not None:
+        src_mid = src_mid + seg_off[:, None]
+    src_mid = jnp.clip(src_mid, 0, Lr - 1)
+    ht_idx = jnp.where(
+        in_head,
+        jnp.where(rev, t + n + h - 1 - j_idx, j_idx),
+        jnp.where(rev, h + t - 1 - j_idx, j_idx - n),
+    )
+    ht_idx = jnp.clip(ht_idx, 0, ht_cap - 1)
+    idx = jnp.where(in_mid, src_mid, Lr + ht_idx)
+
+    parts = jnp.concatenate([ref_seg, ht_bases], axis=1)
+    base = jnp.take_along_axis(parts, idx, axis=1)
+    code = _ascii_to_code(base)
+
+    mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)
+    mis_code = (code + jnp.minimum(mis_off, 3)) % 4
+    ins_code = jnp.minimum(jnp.floor(u_ins * 4.0).astype(jnp.uint8), 3)
+    mid_ins = in_mid & ins_mask
+    mid_mis = in_mid & mis_mask & ~ins_mask
+    out_code = jnp.where(mid_mis, mis_code, code)
+    out_code = jnp.where(mid_ins, ins_code, out_code)
+    # complement == 3 - code for A=0 C=1 G=2 T=3
+    out_code = jnp.where(rev, 3 - out_code, out_code)
+
+    in_read = j_idx < total[:, None]
+    read = jnp.where(in_read, _code_to_ascii(out_code), jnp.uint8(0))
+    qclass = jnp.where(
+        mid_ins, CLASS_INS,
+        jnp.where(mid_mis, CLASS_MIS, jnp.where(in_mid, CLASS_MATCH, QCLASS_HT)),
+    )
+    return read, qclass, l_new, total
+
+
 # --- Base construction -----------------------------------------------------
 
 

@@ -278,6 +278,49 @@ def genome_batch(
         ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     read_prehp = ref_seg
+    if not perfect and kmer_bias is None:
+        # fast path: mutation + head/tail assembly + strand flip fused into
+        # one [B, l_out] gather (apply_errors.fused_read); substitution and
+        # insertion uniforms are indexed by output position here
+        u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+        is_rev = u_strand > tables.strandness_rate
+        u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
+        ht_bases = seqops.random_bases(u_ht)
+        u_mis_o, u_ins_o = rng.uniform2_per_slot(sk, rng.SITE_MIS_BASE, (l_out,))
+        read, qclass_out, l_new, total = apply_errors.fused_read(
+            ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, head, tail,
+            is_rev, ref_seg, seg_off, ht_bases, u_mis_o, u_ins_o, l_out,
+        )
+        quals = jnp.zeros((B, l_out), jnp.uint8)
+        if fastq:
+            u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
+            q = tables.qual.sample(qclass_out, u_q)
+            in_read = jnp.arange(l_out, dtype=jnp.int32)[None, :] < total[:, None]
+            quals = jnp.where(in_read, (q + 33).astype(jnp.uint8), jnp.uint8(0))
+        read_prehp = ref_seg[:, :l_cap]
+        valid &= (total >= min_len) & (total <= max_len)
+        cap_over |= total > l_out
+        valid &= ~cap_over
+        return BatchOut(
+            read=read,
+            quals=quals,
+            valid=valid,
+            total_len=total,
+            head=head,
+            tail=tail,
+            middle_ref=middle_ref,
+            l_new=l_new,
+            chrom=chrom,
+            local_pos=local_pos,
+            is_reversed=is_rev,
+            ev_pos2x=ev_pos2x,
+            ev_type=ev_type,
+            ev_len=ev_len,
+            ev_valid=ev_valid,
+            n_events=n_events,
+            read_prehp=read_prehp,
+            capacity_overflow=cap_over,
+        )
     if perfect:
         read_mid = ref_seg
         qclass_mid = jnp.zeros((B, l_cap), jnp.int32)  # match
@@ -474,10 +517,15 @@ class GenomeSimulator:
             return self._run_bucketed(n_reads, writer, base, buckets)
 
         fn = self.batch_fn()
+        from .output import PipelinedFetcher
+
+        with_events = getattr(writer, "error_log", None) is not None and not self.perfect
+        hp_mode = with_events and self.kmer_bias is not None
+        fetcher = PipelinedFetcher(self.fastq, with_events, with_prehp=hp_mode)
 
         def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            return fn(base, slots)
+            return fetcher.dispatch(fn(base, slots))
 
         return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)
 

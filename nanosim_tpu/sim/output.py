@@ -216,6 +216,54 @@ class _DeviceFetch:
 _FETCH = None
 
 
+def _meta_dict(meta: np.ndarray) -> dict:
+    return {
+        "valid": meta[:, 0].astype(bool),
+        "total": meta[:, 1].astype(np.int64),
+        "head": meta[:, 2].astype(np.int64),
+        "tail": meta[:, 3].astype(np.int64),
+        "middle_ref": meta[:, 4].astype(np.int64),
+        "l_new": meta[:, 5].astype(np.int64),
+        "chrom": meta[:, 6].astype(np.int64),
+        "pos": meta[:, 7].astype(np.int64),
+        "rev": meta[:, 8].astype(bool),
+        "n_events": meta[:, 9].astype(np.int64),
+        "cap_over": meta[:, 10].astype(bool),
+    }
+
+
+def _decode_wide(d, wide, lt, k, lp, fastq, pack_reads, pack_ev):
+    off = 0
+    if k:
+        if pack_ev:
+            ev = np.ascontiguousarray(wide[:, : 4 * k]).view(np.uint32)
+            d["ev_pos2x"] = (ev & 0x1FFFF).astype(np.int64)
+            d["ev_len"] = ((ev >> 17) & 0x1FFF).astype(np.int64)
+            d["ev_type"] = (ev >> 30).astype(np.int64)
+            off = 4 * k
+        else:
+            ev = np.ascontiguousarray(wide[:, : 12 * k]).view(np.int32)
+            d["ev_pos2x"] = ev[:, :k]
+            d["ev_type"] = ev[:, k : 2 * k]
+            d["ev_len"] = ev[:, 2 * k : 3 * k]
+            off = 12 * k
+        d["ev_valid"] = (
+            np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
+        )
+    if pack_reads:
+        d["read"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lt // 4]))
+        off += lt // 4
+    else:
+        d["read"] = np.ascontiguousarray(wide[:, off : off + lt])
+        off += lt
+    if fastq:
+        d["quals"] = np.ascontiguousarray(wide[:, off : off + lt])
+        off += lt
+    if lp:
+        d["prehp"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lp // 4]))
+    return d
+
+
 def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, pack_reads: bool = True):
     """Transfer a BatchOut in two round trips; returns a dict of np arrays
     (reads/quals sliced to the used width, events to max n_events)."""
@@ -231,19 +279,7 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, p
     )
     sizes = meta[-1]
     meta = meta[:-1]
-    d = {
-        "valid": meta[:, 0].astype(bool),
-        "total": meta[:, 1].astype(np.int64),
-        "head": meta[:, 2].astype(np.int64),
-        "tail": meta[:, 3].astype(np.int64),
-        "middle_ref": meta[:, 4].astype(np.int64),
-        "l_new": meta[:, 5].astype(np.int64),
-        "chrom": meta[:, 6].astype(np.int64),
-        "pos": meta[:, 7].astype(np.int64),
-        "rev": meta[:, 8].astype(bool),
-        "n_events": meta[:, 9].astype(np.int64),
-        "cap_over": meta[:, 10].astype(bool),
-    }
+    d = _meta_dict(meta)
     B = meta.shape[0]
     l_out = out.read.shape[1]
     lt = _pow2_at_least(max(int(sizes[0]), 1), 256, l_out)
@@ -271,35 +307,8 @@ def fetch_batch(out, fastq: bool, with_events: bool, with_prehp: bool = False, p
             out.read_prehp if with_prehp else np.zeros((B, 4), np.uint8),
         )
     )
-    off = 0
-    if with_events:
-        if pack_ev:
-            ev = np.ascontiguousarray(wide[:, : 4 * k]).view(np.uint32)
-            d["ev_pos2x"] = (ev & 0x1FFFF).astype(np.int64)
-            d["ev_len"] = ((ev >> 17) & 0x1FFF).astype(np.int64)
-            d["ev_type"] = (ev >> 30).astype(np.int64)
-            off = 4 * k
-        else:
-            ev = np.ascontiguousarray(wide[:, : 12 * k]).view(np.int32)
-            d["ev_pos2x"] = ev[:, :k]
-            d["ev_type"] = ev[:, k : 2 * k]
-            d["ev_len"] = ev[:, 2 * k : 3 * k]
-            off = 12 * k
-        d["ev_valid"] = (
-            np.arange(k, dtype=np.int64)[None, :] < d["n_events"][:, None]
-        )
-    if pack_reads:
-        d["read"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lt // 4]))
-        off += lt // 4
-    else:
-        d["read"] = np.ascontiguousarray(wide[:, off : off + lt])
-        off += lt
-    if fastq:
-        d["quals"] = np.ascontiguousarray(wide[:, off : off + lt])
-        off += lt
-    if with_prehp:
-        d["prehp"] = _FETCH.decode2bit(np.ascontiguousarray(wide[:, off : off + lp // 4]))
-    return d
+    return _decode_wide(d, wide, lt, k if with_events else 0,
+                        lp if with_prehp else 0, fastq, pack_reads, pack_ev)
 
 
 class GenomeBatchWriter:
@@ -318,7 +327,10 @@ class GenomeBatchWriter:
         # -hp rewrites homopolymer runs AFTER the logged pass-1 mutation, so
         # the log must slice seq bases from the pre-resize middle buffer
         hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
-        d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
+        if isinstance(out, PrefetchHandle):
+            d = out.fetch()
+        else:
+            d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
         valid = d["valid"]
         lanes = np.nonzero(valid)[0]
         remaining = quota - accepted_so_far
@@ -522,6 +534,119 @@ class GenomeBatchWriter:
         self.error_log.write_read_events(name, keys_v, tnames, lens_v, refs, seqs)
 
 
+def _quant(x: int, step: int, hi: int) -> int:
+    return int(min(-(-max(x, 1) // step) * step, hi))
+
+
+class PrefetchHandle:
+    """A dispatched batch plus its already-queued pack programs."""
+
+    def __init__(self, fetcher, out, meta_dev, wide_dev, sizes):
+        self.fetcher = fetcher
+        self.out = out
+        self.meta_dev = meta_dev
+        self.wide_dev = wide_dev
+        self.sizes = sizes  # (lt, k, lp) the wide pack was built with
+
+    def fetch(self) -> dict:
+        return self.fetcher._fetch(self)
+
+
+class PipelinedFetcher:
+    """Eager-dispatch batch fetcher.
+
+    `fetch_batch` picks the wide-transfer widths from the batch's own maxima,
+    which forces the pack programs to be dispatched only after the metadata
+    round trip — by which point the NEXT batch's program is already queued on
+    the device stream, so every fetch waits a full extra program. This
+    fetcher instead locks widths after the first batch (with margin,
+    quantized) and dispatches the pack programs immediately after the batch
+    program, letting their transfers overlap the next program's compute.
+    Batches that exceed the locked widths fall back to an on-demand pack
+    (rare; widths are bumped for subsequent batches).
+    """
+
+    MARGIN = 1.2
+
+    def __init__(self, fastq: bool, with_events: bool, with_prehp: bool = False,
+                 pack_reads: bool = True):
+        global _FETCH
+        if _FETCH is None:
+            _FETCH = _DeviceFetch()
+        self.fastq = fastq
+        self.with_events = with_events
+        self.with_prehp = with_prehp
+        self.pack_reads = pack_reads
+        self.lt = None
+        self.k = None
+        self.lp = None
+
+    def _dispatch_wide(self, out, lt, k, lp):
+        import numpy as _np
+
+        B = out.read.shape[0]
+        pack_ev = out.read.shape[1] < (1 << 16)
+        fn = _FETCH.pack_wide(k, lt, self.fastq, self.pack_reads, lp, pack_ev)
+        return fn(
+            out.ev_pos2x if self.with_events else _np.zeros((B, 1), _np.int32),
+            out.ev_type if self.with_events else _np.zeros((B, 1), _np.int32),
+            out.ev_len if self.with_events else _np.zeros((B, 1), _np.int32),
+            out.read,
+            out.quals if self.fastq else _np.zeros((B, 1), _np.uint8),
+            out.read_prehp if self.with_prehp else _np.zeros((B, 4), _np.uint8),
+        )
+
+    def dispatch(self, out) -> PrefetchHandle:
+        meta_dev = _FETCH.pack_meta(
+            out.valid, out.total_len, out.head, out.tail, out.middle_ref,
+            out.l_new, out.chrom, out.local_pos, out.is_reversed, out.n_events,
+            getattr(out, "capacity_overflow", out.valid),
+        )
+        wide_dev = None
+        sizes = None
+        if self.lt is not None:
+            sizes = (self.lt, self.k, self.lp)
+            wide_dev = self._dispatch_wide(out, *sizes)
+        return PrefetchHandle(self, out, meta_dev, wide_dev, sizes)
+
+    def _choose(self, out, mt, mn, ml):
+        l_out = out.read.shape[1]
+        self.lt = _quant(int(mt * self.MARGIN), 2048, l_out)
+        if self.with_events:
+            e_cap = out.ev_pos2x.shape[1]
+            self.k = _quant(int(mn * self.MARGIN) or 1, 256, e_cap)
+        else:
+            self.k = 0
+        if self.with_prehp:
+            self.lp = _quant(int(ml * self.MARGIN) + 64, 2048, out.read_prehp.shape[1])
+        else:
+            self.lp = 0
+
+    def _fetch(self, h: PrefetchHandle) -> dict:
+        meta = np.asarray(h.meta_dev)
+        sizes_row = meta[-1]
+        meta = meta[:-1]
+        d = _meta_dict(meta)
+        mt, mn, ml = int(sizes_row[0]), int(sizes_row[1]), int(sizes_row[2])
+        out = h.out
+        wide_dev, sizes = h.wide_dev, h.sizes
+        if (
+            wide_dev is None
+            or mt > sizes[0]
+            or (self.with_events and mn > sizes[1])
+            or (self.with_prehp and ml + 64 > sizes[2])
+        ):
+            self._choose(out, mt, mn, ml)
+            sizes = (self.lt, self.k, self.lp)
+            wide_dev = self._dispatch_wide(out, *sizes)
+        wide = np.asarray(wide_dev)
+        lt, k, lp = sizes
+        pack_ev = out.read.shape[1] < (1 << 16)
+        _decode_wide(d, wide, lt, k if self.with_events else 0, lp,
+                     self.fastq, self.pack_reads, pack_ev)
+        return d
+
+
 class AsyncBatchWriter:
     """Pipelined wrapper around a batch writer.
 
@@ -565,7 +690,10 @@ class AsyncBatchWriter:
             raise self._exc
         with_events = self.error_log is not None and not self.perfect
         hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
-        d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
+        if isinstance(out, PrefetchHandle):
+            d = out.fetch()
+        else:
+            d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
         lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
         if len(lanes):
             self._q.put((sim, d, lanes, accepted_so_far))
