@@ -466,20 +466,25 @@ class GenomeSimulator:
             hp_r_max=max(128, self.l_cap // 32),
         )
 
+    # Routing margin: drawn length -> bucket whose l_cap covers the walk's
+    # ref/read inflation (net indel drift is a few %% plus bounded overshoot;
+    # lanes that still overflow are re-run in the big bucket).
+    BUCKET_MARGIN = 1.10
+    BUCKET_PAD = 512
+
     def plan_buckets(self):
         """Length buckets: a small bucket sized so ~85%% of draws fit plus
         the full-size bucket.  The KDE tail forces l_cap far beyond the mean
-        (padding waste ~2-3x); routing typical reads through a smaller
-        static shape roughly halves device time and transfer volume."""
+        (padding waste 2-3x); since the device cost is dominated by
+        [B, l_cap]-wide gathers/cumsums, routing typical reads through a
+        smaller static shape cuts most of it."""
         kde = self.profile.kde_aligned
         if kde is None or self.perfect or self.median_len is not None:
             return [self.l_cap]
         col = kde.data[:, -1] if kde.data.shape[1] > 1 else kde.data[:, 0]
         q85 = float(np.percentile(col, 85))
-        small = max(512, int(-(-min(q85 * 1.3 + 64, self.l_cap * 0.75) // 256) * 256))
-        # bucketing only pays when the small shape is substantially smaller
-        # (extra compile + scheduling overhead otherwise): require <= 60%
-        if small > self.l_cap * 0.6:
+        small = max(512, int(-(-(q85 * self.BUCKET_MARGIN + self.BUCKET_PAD) // 256) * 256))
+        if small > self.l_cap * 0.75:
             return [self.l_cap]
         return [small, self.l_cap]
 
@@ -511,7 +516,14 @@ class GenomeSimulator:
         """Simulate n_reads aligned reads into `writer`."""
         buckets = self.plan_buckets()
         if bucketed is None:
-            bucketed = len(buckets) > 1 and n_reads >= 4 * self.batch
+            # measured on TPU v5e: the batch program has ~50% width-independent
+            # cost (walk, RNG, fixed overheads), so a 0.55x small bucket only
+            # shaves ~20% off its program while adding routing round trips and
+            # pipeline bubbles — slower end to end than the flat 1-deep
+            # pipeline.  Bucketing stays available for explicit opt-in (it
+            # pays off when the length distribution is extremely heavy-tailed,
+            # small/big < 0.3).
+            bucketed = False
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
         if bucketed and len(buckets) > 1:
             return self._run_bucketed(n_reads, writer, base, buckets)
@@ -532,18 +544,27 @@ class GenomeSimulator:
     def _run_bucketed(self, n_reads: int, writer, base, buckets) -> int:
         """Block-synchronous bucket scheduler.
 
-        Per block of slots: a cheap length-draw pass routes each slot to the
-        smallest bucket whose capacity covers its drawn length (with walk-
-        inflation margin); every bucket batch is dispatched before any is
-        fetched (JAX async queues them); accepted lanes are merged back into
-        global slot order for deterministic numbering, and capacity-overflow
-        lanes are re-run in the next bucket up (identical slot-keyed draws).
+        Per block of slots: a cheap length-draw pass (dispatched one block
+        ahead) routes each slot to the smallest bucket whose capacity covers
+        its drawn length; every bucket batch is dispatched (with its eager
+        pack programs) before any is fetched; accepted lanes are merged back
+        into global slot order for deterministic numbering, and
+        capacity-overflow lanes are re-run in the big bucket (identical
+        slot-keyed draws, so the replayed read is the one the big bucket
+        would have produced).
         """
         small, big = buckets[0], buckets[-1]
         fns = self.bucket_fns(buckets)
-        thresh = small / 1.25  # walk-inflation margin before rerouting
+        thresh = (small - self.BUCKET_PAD) / self.BUCKET_MARGIN
 
-        from .output import fetch_batch
+        from .output import PipelinedFetcher
+
+        with_events = getattr(writer, "error_log", None) is not None and not self.perfect
+        hp_mode = with_events and self.kmer_bias is not None
+        fetchers = {
+            lc: PipelinedFetcher(self.fastq, with_events, with_prehp=hp_mode)
+            for lc in buckets
+        }
 
         @jax.jit
         def draw_lengths(slots):
@@ -552,61 +573,85 @@ class GenomeSimulator:
 
         B = self.batch
         block = B * 4
-        with_events = getattr(writer, "error_log", None) is not None and not self.perfect
-        hp_mode = with_events and self.kmer_bias is not None
+
+        def dispatch_chunks(arr, lc):
+            out = []
+            for i in range(0, len(arr), B):
+                ch = arr[i : i + B]
+                n_real = len(ch)
+                if n_real < B:
+                    ch = np.concatenate(
+                        [ch, np.full(B - n_real, ch[-1] if n_real else 0, np.int64)]
+                    )
+                h = fetchers[lc].dispatch(fns[lc](base, jnp.asarray(ch)))
+                out.append((h, ch, n_real, lc))
+            return out
+
+        def block_stream():
+            """Route + dispatch one block ahead of consumption so the device
+            stream always has the next block's programs queued while the
+            current block's results transfer and emit."""
+            c = 0
+            pending_draw = draw_lengths(jnp.asarray(np.arange(0, block, dtype=np.int64)))
+            while True:
+                slots = np.arange(c, c + block, dtype=np.int64)
+                c += block
+                m = np.asarray(pending_draw)
+                pending_draw = draw_lengths(
+                    jnp.asarray(np.arange(c, c + block, dtype=np.int64))
+                )
+                small_slots = slots[m <= thresh]
+                big_slots = slots[m > thresh]
+                yield dispatch_chunks(small_slots, small) + (
+                    dispatch_chunks(big_slots, big) if len(big_slots) else []
+                )
 
         accepted = 0
-        c = 0
+        stream = block_stream()
+        dispatched = next(stream)
         while accepted < n_reads:
-            slots = np.arange(c, c + block, dtype=np.int64)
-            c += block
-            m = np.asarray(draw_lengths(jnp.asarray(slots)))
-            small_slots = slots[m <= thresh]
-            big_slots = slots[m > thresh]
-
-            def chunks(arr, lc):
-                out = []
-                for i in range(0, len(arr), B):
-                    ch = arr[i : i + B]
-                    n_real = len(ch)
-                    if n_real < B:
-                        ch = np.concatenate([ch, np.full(B - n_real, ch[-1] if n_real else 0)])
-                    out.append((fns[lc](base, jnp.asarray(ch)), ch, n_real))
-                return out
-
-            dispatched = chunks(small_slots, small) + (
-                chunks(big_slots, big) if len(big_slots) else []
-            )
+            nxt = next(stream)
 
             entries = []  # (slot, dict, lane)
             rerun_slots = []
-            for out, ch, n_real in dispatched:
-                d = fetch_batch(out, self.fastq, with_events, with_prehp=hp_mode)
+            for h, ch, n_real, lc in dispatched:
+                d = h.fetch()
                 for lane in range(n_real):
                     if d["cap_over"][lane]:
-                        rerun_slots.append(ch[lane])
+                        # big-bucket overflow is a true reject (nothing larger
+                        # to rerun in); only small-bucket lanes get replayed
+                        if lc != big:
+                            rerun_slots.append(ch[lane])
                     elif d["valid"][lane]:
                         entries.append((ch[lane], d, lane))
+            dispatched = nxt
 
-            # rerun capacity overflows in the big bucket
+            # rerun small-bucket capacity overflows in the big bucket (rare:
+            # routing leaves BUCKET_MARGIN headroom, so this stalls the
+            # pipeline only for extreme walk-inflation outliers)
             if rerun_slots:
-                for out, ch, n_real in chunks(np.asarray(rerun_slots, np.int64), big):
-                    d = fetch_batch(out, self.fastq, with_events, with_prehp=hp_mode)
+                for h, ch, n_real, lc in dispatch_chunks(
+                    np.asarray(rerun_slots, np.int64), big
+                ):
+                    d = h.fetch()
                     for lane in range(n_real):
                         if d["valid"][lane] and not d["cap_over"][lane]:
                             entries.append((ch[lane], d, lane))
 
             entries.sort(key=lambda e: e[0])
-            # group consecutive same-dict runs for batch emission
-            i = 0
-            while i < len(entries) and accepted < n_reads:
-                j = i
-                d = entries[i][1]
-                lanes = []
-                while j < len(entries) and entries[j][1] is d:
-                    lanes.append(entries[j][2])
-                    j += 1
-                lanes = np.asarray(lanes[: n_reads - accepted], np.int64)
-                accepted += writer.write_run(self, d, lanes, accepted)
-                i = j
+            if hasattr(writer, "write_entries"):
+                accepted += writer.write_entries(self, entries, accepted, n_reads)
+            else:
+                # group consecutive same-dict runs for batch emission
+                i = 0
+                while i < len(entries) and accepted < n_reads:
+                    j = i
+                    d = entries[i][1]
+                    lanes = []
+                    while j < len(entries) and entries[j][1] is d:
+                        lanes.append(entries[j][2])
+                        j += 1
+                    lanes = np.asarray(lanes[: n_reads - accepted], np.int64)
+                    accepted += writer.write_run(self, d, lanes, accepted)
+                    i = j
         return accepted

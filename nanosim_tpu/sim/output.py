@@ -438,6 +438,119 @@ class GenomeBatchWriter:
                 tnames.append(_ETYPE_NAMES[t])
             self.error_log.write_read_events(name, keys_v, tnames, lens_v, refs, seqs)
 
+    def write_entries(self, sim, entries, accepted_so_far: int, quota: int) -> int:
+        """Emit a slot-ordered list of (slot, fetched-dict, lane) entries.
+
+        Bucketed scheduling interleaves lanes from several fetched batches in
+        slot order; emitting them via per-run calls fragments into hundreds
+        of tiny native-emitter invocations (each re-marshaling whole [B, E]
+        arrays).  Here the accepted rows are first staged into contiguous
+        arrays (vectorized scatter per source dict), then formatted in ONE
+        emitter call."""
+        k = min(len(entries), quota - accepted_so_far)
+        if k <= 0:
+            return 0
+        entries = entries[:k]
+        with_events = self.error_log is not None and not self.perfect
+        hp_mode = with_events and "prehp" in entries[0][1]
+        if not self._emitter.available or hp_mode:
+            # rare paths: fall back to grouped write_run calls
+            n = 0
+            i = 0
+            while i < len(entries):
+                j = i
+                d = entries[i][1]
+                lanes = []
+                while j < len(entries) and entries[j][1] is d:
+                    lanes.append(entries[j][2])
+                    j += 1
+                n += self.write_run(
+                    sim, d, np.asarray(lanes, np.int64), accepted_so_far + n
+                )
+                i = j
+            return n
+
+        dicts = []
+        dmap = {}
+        drow = np.empty(k, np.int32)
+        dlane = np.empty(k, np.int64)
+        for p, (s, d, lane) in enumerate(entries):
+            i = dmap.get(id(d))
+            if i is None:
+                i = dmap[id(d)] = len(dicts)
+                dicts.append(d)
+            drow[p] = i
+            dlane[p] = lane
+
+        Lmax = max(d["read"].shape[1] for d in dicts)
+        reads = np.zeros((k, Lmax), np.uint8)
+        quals = np.zeros((k, Lmax), np.uint8) if sim.fastq else None
+        kmax = max(d["ev_pos2x"].shape[1] for d in dicts) if with_events else 1
+        ev_p = np.zeros((k, kmax), np.int32)
+        ev_t = np.zeros((k, kmax), np.int32)
+        ev_l = np.zeros((k, kmax), np.int32)
+        scalars = {
+            name: np.empty(k, np.int64)
+            for name in ("total", "head", "tail", "middle_ref", "l_new", "chrom",
+                         "pos", "n_events")
+        }
+        rev = np.empty(k, bool)
+        for di, d in enumerate(dicts):
+            pos = np.nonzero(drow == di)[0]
+            lanes = dlane[pos]
+            L = d["read"].shape[1]
+            reads[pos[:, None], np.arange(L)[None, :]] = d["read"][lanes]
+            if quals is not None:
+                quals[pos[:, None], np.arange(L)[None, :]] = d["quals"][lanes]
+            if with_events:
+                ke = d["ev_pos2x"].shape[1]
+                cols = np.arange(ke)[None, :]
+                ev_p[pos[:, None], cols] = d["ev_pos2x"][lanes]
+                ev_t[pos[:, None], cols] = d["ev_type"][lanes]
+                ev_l[pos[:, None], cols] = d["ev_len"][lanes]
+            for name in scalars:
+                scalars[name][pos] = d[name][lanes]
+            rev[pos] = d["rev"][lanes]
+
+        g = sim.genome_host
+        chrom = scalars["chrom"]
+        names = []
+        kind = "perfect" if self.perfect else "aligned"
+        gnames = g.names
+        for r in range(k):
+            idx = accepted_so_far + r
+            strand = "R" if rev[r] else "F"
+            names.append(
+                f"{gnames[chrom[r]]}_{scalars['pos'][r]}_{kind}_{idx}_{strand}"
+                f"_{scalars['head'][r]}_{scalars['middle_ref'][r]}_{scalars['tail'][r]}"
+            )
+        fastx_bytes, err_bytes = self._emitter.emit(
+            reads=reads,
+            quals=quals,
+            lanes=np.arange(k, dtype=np.int64),
+            names=names,
+            total_len=scalars["total"],
+            head=scalars["head"],
+            l_new=scalars["l_new"],
+            rev=rev,
+            ev_pos2x=ev_p if with_events else None,
+            ev_type=ev_t if with_events else None,
+            ev_len=ev_l if with_events else None,
+            n_events=scalars["n_events"] if with_events else np.zeros(k, np.int64),
+            g_off=g.offsets[chrom],
+            g_len=g.lengths[chrom],
+            g_circ=np.ascontiguousarray(g.circular[chrom], np.uint8),
+            start_pos=scalars["pos"],
+            genome_flat=g.flat,
+            fastq=sim.fastq,
+            write_errors=with_events,
+        )
+        self.fastx.flush()
+        self.fastx.f.write(fastx_bytes)
+        if with_events and self.error_log is not None:
+            self.error_log.write_bytes(err_bytes)
+        return k
+
     def _write_native(self, sim, d, lanes, accepted_so_far: int, with_events: bool) -> int:
         """Format the whole accepted batch through the C++ emitter."""
         g = sim.genome_host
@@ -678,8 +791,12 @@ class AsyncBatchWriter:
                 return
             try:
                 if self._exc is None:
-                    sim, d, lanes, start = item
-                    self.inner.write_run(sim, d, lanes, start)
+                    if item[0] == "entries":
+                        _, sim, entries, start = item
+                        self.inner.write_entries(sim, entries, start, start + len(entries))
+                    else:
+                        _, sim, d, lanes, start = item
+                        self.inner.write_run(sim, d, lanes, start)
             except BaseException as e:  # surfaced on the producer side
                 self._exc = e
             finally:
@@ -696,15 +813,23 @@ class AsyncBatchWriter:
             d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
         lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
         if len(lanes):
-            self._q.put((sim, d, lanes, accepted_so_far))
+            self._q.put(("run", sim, d, lanes, accepted_so_far))
         return len(lanes)
 
     def write_run(self, sim, d, lanes, accepted_so_far: int) -> int:
         if self._exc is not None:
             raise self._exc
         if len(lanes):
-            self._q.put((sim, d, lanes, accepted_so_far))
+            self._q.put(("run", sim, d, lanes, accepted_so_far))
         return len(lanes)
+
+    def write_entries(self, sim, entries, accepted_so_far: int, quota: int) -> int:
+        if self._exc is not None:
+            raise self._exc
+        k = min(len(entries), quota - accepted_so_far)
+        if k > 0:
+            self._q.put(("entries", sim, entries[:k], accepted_so_far))
+        return max(k, 0)
 
     def drain(self):
         self._q.join()

@@ -201,3 +201,40 @@ def test_bucketed_matches_unbucketed(setup):
         if tag == "bucketed":
             assert len(sim.plan_buckets()) >= 1
     assert outs["flat"] == outs["bucketed"]
+
+
+def test_bucketed_matches_unbucketed(tmp_path):
+    """Length-bucketed scheduling must reproduce the single-bucket output
+    byte-for-byte: slot-keyed RNG makes draws independent of batch shape,
+    and accepted lanes are merged in slot order."""
+    import filecmp
+
+    from nanosim_tpu.io import PackedGenome
+    from nanosim_tpu.profiles import fixtures, profile as profmod
+    from nanosim_tpu.sim import output
+    from nanosim_tpu.sim.genome_mode import GenomeSimulator
+
+    prefix = str(tmp_path / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=2000, sd_read_len=1500, n_kde_points=400)
+    ref_fa = str(tmp_path / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [300000, 200000], seed=9)
+    prof = profmod.load_profile(prefix, mode="genome")
+    genome = PackedGenome.from_fasta(ref_fa)
+    sim = GenomeSimulator(genome, prof, batch=64)
+    buckets = sim.plan_buckets()
+    assert len(buckets) == 2, f"fixture must trigger bucketing, got {buckets}"
+
+    def run(tag, bucketed):
+        fa = output.FastxWriter(str(tmp_path / f"{tag}.fa"), False)
+        el = output.ErrorLogWriter(str(tmp_path / f"{tag}.err"))
+        w = output.GenomeBatchWriter(fa, el)
+        n = sim.run(200, w, seed=11, bucketed=bucketed)
+        fa.close()
+        el.close()
+        return n
+
+    assert run("flat", False) == run("bucket", True) == 200
+    for ext in (".fa", ".err"):
+        assert filecmp.cmp(
+            str(tmp_path / ("flat" + ext)), str(tmp_path / ("bucket" + ext)), shallow=False
+        ), ext
