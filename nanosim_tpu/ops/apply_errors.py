@@ -120,7 +120,7 @@ def build_gather_map(
 QCLASS_HT = 3
 
 
-@functools.partial(jax.jit, static_argnames=("l_out",))
+@functools.partial(jax.jit, static_argnames=("l_out", "use_pallas"))
 def fused_read(
     events_pos2x: jax.Array,  # [B, E] int32
     events_type: jax.Array,  # [B, E] int32 (0=mis 1=ins 2=del)
@@ -136,6 +136,7 @@ def fused_read(
     u_mis: jax.Array,  # [B, l_out] uniforms, substituted-base choice
     u_ins: jax.Array,  # [B, l_out] uniforms, inserted-base choice
     l_out: int,
+    use_pallas: bool = False,
 ):
     """Mutation + head/tail assembly + strand flip in ONE [B, l_out] gather.
 
@@ -229,7 +230,12 @@ def fused_read(
     idx = jnp.where(in_mid, src_mid, Lr + ht_idx)
 
     parts = jnp.concatenate([ref_seg, ht_bases], axis=1)
-    base = jnp.take_along_axis(parts, idx, axis=1)
+    if use_pallas:
+        from . import pallas_gather
+
+        base = pallas_gather.gather_u8(parts, idx)
+    else:
+        base = jnp.take_along_axis(parts, idx, axis=1)
     code = _ascii_to_code(base)
 
     mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)

@@ -174,6 +174,7 @@ def assemble_read(
         "sd_len",
         "kmer_bias",
         "hp_r_max",
+        "use_pallas_gather",
     ),
 )
 def genome_batch(
@@ -195,6 +196,7 @@ def genome_batch(
     sd_len: Optional[float],
     kmer_bias: Optional[int] = None,
     hp_r_max: int = 256,
+    use_pallas_gather: bool = False,
 ) -> BatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -290,6 +292,7 @@ def genome_batch(
         read, qclass_out, l_new, total = apply_errors.fused_read(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, head, tail,
             is_rev, ref_seg, seg_off, ht_bases, u_mis_o, u_ins_o, l_out,
+            use_pallas=use_pallas_gather,
         )
         quals = jnp.zeros((B, l_out), jnp.uint8)
         if fastq:
@@ -446,6 +449,13 @@ class GenomeSimulator:
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(genome)
 
+    def _pallas_gather_ok(self, l_cap: int) -> bool:
+        from ..ops import pallas_gather
+        from . import extract
+
+        width = l_cap + extract.CHUNK + self.ht_cap
+        return pallas_gather.usable_for(width)
+
     def batch_fn(self):
         return functools.partial(
             genome_batch,
@@ -464,6 +474,7 @@ class GenomeSimulator:
             sd_len=self.sd_len,
             kmer_bias=self.kmer_bias,
             hp_r_max=max(128, self.l_cap // 32),
+            use_pallas_gather=self._pallas_gather_ok(self.l_cap),
         )
 
     # Routing margin: drawn length -> bucket whose l_cap covers the walk's
@@ -508,6 +519,7 @@ class GenomeSimulator:
                 sd_len=self.sd_len,
                 kmer_bias=self.kmer_bias,
                 hp_r_max=max(128, lc // 32),
+                use_pallas_gather=self._pallas_gather_ok(lc),
             )
         return fns
 
