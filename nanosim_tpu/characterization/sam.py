@@ -123,7 +123,15 @@ def _parse_tags(fields) -> dict:
 
 
 def read_sam(path: str):
-    """Yield ('header', line) and ('aln', SamRecord) items."""
+    """Yield ('header', line) and ('aln', SamRecord) items.
+
+    Accepts SAM text (plain or gzipped) or BAM (BGZF) — pysam.AlignmentFile's
+    ingestion surface (read_analysis.py:192-198), detected by content."""
+    from . import bam as bam_mod
+
+    if bam_mod.is_bam(path):
+        yield from bam_mod.read_bam(path)
+        return
     with gzopen(path) as f:
         for line in f:
             if line.startswith("@"):
@@ -147,7 +155,11 @@ def read_sam(path: str):
 
 
 def read_sq_lengths(path: str) -> dict:
-    """Reference name -> length from @SQ headers."""
+    """Reference name -> length from @SQ headers (or the BAM reference list)."""
+    from . import bam as bam_mod
+
+    if bam_mod.is_bam(path):
+        return bam_mod.read_bam_sq_lengths(path)
     out = {}
     with gzopen(path) as f:
         for line in f:
