@@ -80,6 +80,42 @@ class PackedGenome:
         return np.concatenate([first, self.flat[off : off + length - (ln - start)]])
 
 
+def _stream_refseq(url: str):
+    """Stream a RefSeq assembly directory's ``<dir>_genomic.fna.gz``
+    (simulator.py:295-315): ftp is rewritten to http, the header line is
+    split on underscores/whitespace with the first token dropped, joined
+    with dashes, and truncated at the first dot.
+
+    Yields (chr_name, seq_str).
+    """
+    import gzip as _gz
+    import re as _re
+    from urllib.request import Request, urlopen
+
+    http_addr = url.replace("ftp://", "http://").strip()
+    dir_name = http_addr.split("/")[-1]
+    req = Request(http_addr + "/" + dir_name + "_genomic.fna.gz")
+    req.add_header("Accept-Encoding", "gzip")
+    response = urlopen(req)
+    chr_name = None
+    seqs = []
+    with _gz.GzipFile(fileobj=response) as f:
+        for raw in f:
+            line = raw.decode("utf-8").strip()
+            if not line:
+                continue
+            if line[0] == ">":
+                if chr_name is not None:
+                    yield chr_name, "".join(seqs)
+                info = _re.split(r"[_\s]\s*", line)
+                chr_name = "-".join(info[1:]).split(".")[0]
+                seqs = []
+            else:
+                seqs.append(line)
+    if chr_name is not None:
+        yield chr_name, "".join(seqs)
+
+
 @dataclasses.dataclass
 class MetagenomeSet:
     """Multiple species genomes packed into one flat array.
@@ -110,12 +146,23 @@ class MetagenomeSet:
 
         all_names, all_seqs, all_species_idx = [], [], []
         chrom_start = [0]
+        default_circ = []
         for si, path in enumerate(paths):
             n_before = len(all_names)
-            for name, seq, _ in read_fastx(path):
-                all_names.append(mangle_name(name))
-                all_seqs.append(_UPPER[np.frombuffer(seq.encode(), dtype=np.uint8)])
-                all_species_idx.append(si)
+            if path.startswith(("ftp", "http")):
+                # RefSeq streaming: names pre-mangled by the URL rule,
+                # topology defaults to linear (simulator.py:295-311)
+                for name, seq in _stream_refseq(path):
+                    all_names.append(name)
+                    all_seqs.append(_UPPER[np.frombuffer(seq.encode(), dtype=np.uint8)])
+                    all_species_idx.append(si)
+                    default_circ.append(False)
+            else:
+                for name, seq, _ in read_fastx(path):
+                    all_names.append(mangle_name(name))
+                    all_seqs.append(_UPPER[np.frombuffer(seq.encode(), dtype=np.uint8)])
+                    all_species_idx.append(si)
+                    default_circ.append(True)  # circular by default
             if len(all_names) == n_before:
                 raise ValueError(f"no sequences for species {species[si]} in {path}")
             chrom_start.append(len(all_names))
@@ -123,7 +170,7 @@ class MetagenomeSet:
         lengths = np.array([len(s) for s in all_seqs], dtype=np.int64)
         offsets = np.zeros(len(all_seqs) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
-        circ = np.ones(len(all_seqs), dtype=bool)  # circular by default
+        circ = np.array(default_circ, dtype=bool)
 
         if dna_type_list_path:
             import re as _re
