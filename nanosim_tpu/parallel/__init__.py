@@ -1,3 +1,4 @@
 """Device-mesh scaling: data-parallel slot sharding over ICI/DCN."""
 
-from .mesh import make_mesh, shard_sim_batch  # noqa: F401
+from .mesh import make_mesh, shard_sim_batch, shard_sim_batch_numbered  # noqa: F401
+from .multihost import MultiHostGenomeRunner, init_distributed, merge_host_shards  # noqa: F401

@@ -17,9 +17,17 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _sm
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=check_rep)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -49,6 +57,39 @@ def shard_sim_batch(batch_fn, mesh: Mesh, axis: str = "data"):
             mesh=mesh,
             in_specs=(P(), P(axis)),
             out_specs=(P(axis), P()),
+            check_rep=False,
+        )
+    )
+
+
+def shard_sim_batch_numbered(batch_fn, mesh: Mesh, axis: str = "data"):
+    """Like shard_sim_batch, but additionally returns each device's exclusive
+    prefix of accepted counts so every host can assign GLOBAL sequence
+    numbers to its own shard's reads without further communication.
+
+    Because slots shard contiguously over the batch axis, numbering reads as
+    ``prior + offsets[dev] + rank_within_device`` reproduces exactly the
+    accept-order-by-slot numbering of the single-device driver — the psum'd
+    analog of the reference's locked mp.Value counter (simulator.py:1573).
+
+    Returns (BatchOut sharded over `axis`, offsets [n_dev] i32, total i32).
+    """
+    n_dev = mesh.devices.size
+
+    def inner(base_key, slots):
+        out = batch_fn(base_key, slots)
+        local = out.valid.sum(dtype=jnp.int32)
+        counts = jax.lax.all_gather(local, axis)  # [n_dev] on every device
+        my = jax.lax.axis_index(axis)
+        offset = jnp.where(jnp.arange(n_dev) < my, counts, 0).sum(dtype=jnp.int32)
+        return out, offset[None], counts.sum(dtype=jnp.int32)
+
+    return jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(axis), P(axis), P()),
             check_rep=False,
         )
     )
