@@ -41,9 +41,12 @@ def get_lib():
     global _lib, _tried
     if _lib is None and not _tried:
         _tried = True
+        if os.environ.get("NANOSIM_TPU_NO_NATIVE"):
+            return None
         if _build():
             lib = ctypes.CDLL(_LIB)
             lib.emit_batch.restype = ctypes.c_int64
+            lib.emit_chimeric_batch.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -173,6 +176,119 @@ class NativeEmitter:
                 reads, quals, lanes, names, total_len, head, l_new, rev,
                 ev_pos2x, ev_type, ev_len, n_events, g_off, g_len, g_circ,
                 start_pos, genome_flat, fastq, write_errors,
+            )
+        return (
+            self._fastx_buf[: fw.value].tobytes(),
+            self._err_buf[: ew.value].tobytes(),
+        )
+
+    def _pack_names(self, names):
+        k = len(names)
+        packed_off = np.zeros(k + 1, np.int64)
+        pos = 0
+        chunks = []
+        for i, nm in enumerate(names):
+            b = nm.encode()
+            packed_off[i] = pos
+            chunks.append(b)
+            pos += len(b)
+        packed_off[k] = pos
+        packed = np.frombuffer(b"".join(chunks), np.uint8) if chunks else np.zeros(1, np.uint8)
+        return packed, packed_off, pos
+
+    def emit_chimeric(
+        self,
+        reads: np.ndarray,  # [B, L] uint8
+        quals,  # [B, L] uint8 or None
+        lanes: np.ndarray,  # [k] int64, emission order
+        names: list,  # k strings
+        total_len: np.ndarray,  # [k]
+        rev: np.ndarray,  # [k] bool
+        n_seg: np.ndarray,  # [k]
+        seg_off: np.ndarray,  # [k, S] pre-reverse read-coord segment starts
+        ev_row: np.ndarray,  # [k, S] row into the event arrays (seg*B + lane)
+        n_events_rs: np.ndarray,  # [k, S]
+        ev_pos2x: np.ndarray,  # [B*S, E] int32
+        ev_type: np.ndarray,
+        ev_len: np.ndarray,
+        g_off: np.ndarray,  # [k, S]
+        g_len: np.ndarray,
+        g_circ: np.ndarray,  # [k, S] uint8
+        start_pos: np.ndarray,  # [k, S]
+        genome_flat: np.ndarray,
+        fastq: bool,
+        write_errors: bool,
+    ):
+        k = len(lanes)
+        S = seg_off.shape[1] if k else 1
+        names_packed, packed_off, name_bytes = self._pack_names(names)
+
+        need_fastx = int(total_len.sum()) * (2 if fastq else 1) + name_bytes * 2 + 16 * k + 64
+        if self._fastx_buf.size < need_fastx:
+            self._fastx_buf = np.empty(int(need_fastx * 1.3), np.uint8)
+        max_total = int(total_len.max()) if k else 1
+        if self._mid_buf.size < max_total:
+            self._mid_buf = np.empty(max_total * 2, np.uint8)
+        if write_errors:
+            rows = np.ascontiguousarray(ev_row, np.int64).reshape(-1)
+            tot_ev_len = int(ev_len[rows, :].sum()) if k else 0
+            max_name = max((len(nm) for nm in names), default=0)
+            need_err = int(n_events_rs.sum()) * (max_name + 48) + 2 * tot_ev_len + 64
+        else:
+            need_err = 64
+        if self._err_buf.size < need_err:
+            self._err_buf = np.empty(int(need_err * 1.3), np.uint8)
+
+        fw = ctypes.c_int64(0)
+        ew = ctypes.c_int64(0)
+        _, L = reads.shape
+        e_stride = ev_pos2x.shape[1]
+        args = [
+            _ptr(reads, ctypes.c_uint8),
+            ctypes.c_int64(L),
+            _ptr(quals if quals is not None else reads, ctypes.c_uint8),
+            ctypes.c_int64(k),
+            _ptr(np.ascontiguousarray(lanes, np.int64), ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(packed_off, ctypes.c_int64),
+            _ptr(np.ascontiguousarray(total_len, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(rev, np.uint8), ctypes.c_uint8),
+            ctypes.c_int64(S),
+            _ptr(np.ascontiguousarray(n_seg, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(seg_off, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(ev_row, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(n_events_rs, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(ev_pos2x, np.int32), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(ev_type, np.int32), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(ev_len, np.int32), ctypes.c_int32),
+            ctypes.c_int64(e_stride),
+            _ptr(genome_flat, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(g_off, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(g_len, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(g_circ, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(start_pos, np.int64), ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.c_int64(self._fastx_buf.size),
+            ctypes.byref(fw),
+            _ptr(self._err_buf, ctypes.c_char),
+            ctypes.c_int64(self._err_buf.size),
+            ctypes.byref(ew),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int32(1 if write_errors else 0),
+            _ptr(self._mid_buf, ctypes.c_char),
+            ctypes.c_int64(self._mid_buf.size),
+        ]
+        rc = self.lib.emit_chimeric_batch(*args)
+        if rc != 0:
+            if rc == 1:
+                self._fastx_buf = np.empty(self._fastx_buf.size * 2, np.uint8)
+            else:
+                self._err_buf = np.empty(self._err_buf.size * 2, np.uint8)
+                self._mid_buf = np.empty(self._mid_buf.size * 2, np.uint8)
+            return self.emit_chimeric(
+                reads, quals, lanes, names, total_len, rev, n_seg, seg_off,
+                ev_row, n_events_rs, ev_pos2x, ev_type, ev_len, g_off, g_len,
+                g_circ, start_pos, genome_flat, fastq, write_errors,
             )
         return (
             self._fastx_buf[: fw.value].tobytes(),

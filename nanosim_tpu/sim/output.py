@@ -874,6 +874,9 @@ class ChimericBatchWriter:
         self.perfect = perfect
         # base-level quota feedback for metagenome abundance accounting
         self.species_bases = None
+        from ..io.native import NativeEmitter
+
+        self._emitter = NativeEmitter()
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
         valid = np.asarray(out.valid)
@@ -905,7 +908,7 @@ class ChimericBatchWriter:
         B = reads.shape[0]
         S = seg_mref.shape[1]
 
-        for rank, b in enumerate(lanes):
+        def lane_name(rank, b):
             idx = accepted_so_far + rank
             ns = int(n_seg[b])
             comps = []
@@ -924,7 +927,52 @@ class ChimericBatchWriter:
             name += "_R" if rev[b] else "_F"
             mids = ";".join(str(seg_mref[b, s]) for s in range(ns))
             name += f"_{head[b]}_{mids}_{tail[b]}"
+            return name
 
+        with_events = self.error_log is not None and not self.perfect
+        if self._emitter.available and not hp_mode:
+            # C++ batch formatter (records + per-segment error log)
+            lane_arr = lanes.astype(np.int64)
+            rec_names = [lane_name(rank, b) for rank, b in enumerate(lanes)]
+            chrom_l = chrom[lane_arr]  # [k, S]
+            ev_rows = (np.arange(S, dtype=np.int64)[None, :] * B + lane_arr[:, None])
+            fastx_bytes, err_bytes = self._emitter.emit_chimeric(
+                reads=reads,
+                quals=quals,
+                lanes=lane_arr,
+                names=rec_names,
+                total_len=total[lane_arr],
+                rev=rev[lane_arr],
+                n_seg=n_seg[lane_arr],
+                seg_off=seg_off[lane_arr],
+                ev_row=ev_rows,
+                n_events_rs=(n_events[lane_arr] if with_events
+                             else np.zeros((len(lane_arr), S), np.int64)),
+                ev_pos2x=ev_pos2x,
+                ev_type=ev_type,
+                ev_len=ev_len,
+                g_off=g.offsets[chrom_l],
+                g_len=g.lengths[chrom_l],
+                g_circ=np.ascontiguousarray(g.circular[chrom_l], np.uint8),
+                start_pos=pos[lane_arr],
+                genome_flat=g.flat,
+                fastq=sim.fastq,
+                write_errors=with_events,
+            )
+            self.fastx.flush()
+            self.fastx.f.write(fastx_bytes)
+            if with_events:
+                self.error_log.write_bytes(err_bytes)
+            if self.species_bases is not None:
+                sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
+                seg_mask = np.arange(S)[None, :] < n_seg[lane_arr][:, None]
+                np.add.at(self.species_bases, sp_rs[seg_mask],
+                          seg_mref[lane_arr][seg_mask])
+            return len(lanes)
+
+        for rank, b in enumerate(lanes):
+            ns = int(n_seg[b])
+            name = lane_name(rank, b)
             seq = reads[b, : total[b]]
             self.fastx.write(name, seq, quals[b, : total[b]] if sim.fastq else None)
 

@@ -97,7 +97,10 @@ def simulate_genome(
         )
     fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
     el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
-    writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
+    if chimeric:
+        writer = output.ChimericBatchWriter(fw, el, perfect=perfect)
+    else:
+        writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
     sim.run(n_aligned, writer, seed=seed)
     fw.close()
     el.close()

@@ -205,4 +205,146 @@ int64_t emit_batch(
   return 0;
 }
 
+// Chimeric batches: one record spans n_seg segments; events/genome metadata
+// are per (read, segment).  Mirrors the reference's chimeric ground-truth
+// logging (simulator.py:1355-1443) the way emit_batch mirrors the linear
+// path.  Per-(r,s) arrays are [k*S] row-major; ev_row selects the event rows
+// (the device lays events out segment-major as seg*B + lane).
+// Returns 0 ok, 1 fastx overflow, 2 err overflow.
+int64_t emit_chimeric_batch(
+    const uint8_t* reads, int64_t read_stride, const uint8_t* quals,
+    int64_t k, const int64_t* lane_idx, const char* names_buf,
+    const int64_t* name_off, const int64_t* total_len, const uint8_t* rev,
+    int64_t S, const int64_t* n_seg,
+    const int64_t* seg_off,      // [k*S] pre-reverse read-coord segment starts
+    const int64_t* ev_row,      // [k*S] row index into event arrays
+    const int64_t* n_events_rs,  // [k*S]
+    const int32_t* ev_pos2x, const int32_t* ev_type, const int32_t* ev_len,
+    int64_t e_stride,
+    const uint8_t* genome_flat, const int64_t* g_off, const int64_t* g_len,
+    const uint8_t* g_circ, const int64_t* start_pos,  // [k*S]
+    char* fastx_out, int64_t fastx_cap, int64_t* fastx_written,
+    char* err_out, int64_t err_cap, int64_t* err_written,
+    int32_t fastq, int32_t write_errors,
+    char* mid_scratch, int64_t mid_scratch_cap) {
+  init_comp();
+  char* fp = fastx_out;
+  char* ep = err_out;
+  char* const f_end = fastx_out + fastx_cap;
+  char* const e_end = err_out + err_cap;
+
+  for (int64_t r = 0; r < k; ++r) {
+    const int64_t lane = lane_idx[r];
+    const uint8_t* row = reads + lane * read_stride;
+    const int64_t total = total_len[r];
+    const char* name = names_buf + name_off[r];
+    const int64_t name_len = name_off[r + 1] - name_off[r];
+
+    const int64_t rec_max = 2 * name_len + (fastq ? 2 * total : total) + 8;
+    if (f_end - fp < rec_max) return 1;
+    *fp++ = fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    fp = put_bytes(fp, row, total);
+    *fp++ = '\n';
+    if (fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      fp = put_bytes(fp, quals + lane * read_stride, total);
+      *fp++ = '\n';
+    }
+
+    if (!write_errors) continue;
+    if (total > mid_scratch_cap) return 2;
+
+    // pre-reverse whole-read orientation (segments index into it)
+    const char* pre;
+    if (rev[r]) {
+      for (int64_t j = 0; j < total; ++j)
+        mid_scratch[j] = g_comp[row[total - 1 - j]];
+      pre = mid_scratch;
+    } else {
+      pre = reinterpret_cast<const char*>(row);
+    }
+
+    const int64_t ns = n_seg[r];
+    for (int64_t s = 0; s < ns; ++s) {
+      const int64_t rs = r * S + s;
+      const int64_t ne = n_events_rs[rs];
+      if (ne == 0) continue;
+      const char* mid = pre + seg_off[rs];
+      const int32_t* epx = ev_pos2x + ev_row[rs] * e_stride;
+      const int32_t* ety = ev_type + ev_row[rs] * e_stride;
+      const int32_t* eln = ev_len + ev_row[rs] * e_stride;
+      const int64_t goff = g_off[rs];
+      const int64_t glen = g_len[rs];
+      const bool circ = g_circ[rs] != 0;
+      const int64_t spos = start_pos[rs];
+
+      constexpr int64_t kStackEv = 1024;
+      int64_t rpos_stack[kStackEv];
+      int64_t* rpos = rpos_stack;
+      int64_t* rpos_heap = nullptr;
+      if (ne > kStackEv) {
+        rpos_heap = new int64_t[ne];
+        rpos = rpos_heap;
+      }
+      {
+        int64_t cum_del = 0, cum_ins = 0;
+        for (int64_t e = 0; e < ne; ++e) {
+          const int32_t t = ety[e];
+          const int64_t key = (epx[e] + 1) / 2;
+          const int64_t ref_start = (t == 1) ? key : epx[e] / 2;
+          rpos[e] = ref_start - cum_del + cum_ins;
+          if (t == 1) cum_ins += eln[e];
+          if (t == 2) cum_del += eln[e];
+        }
+      }
+
+      for (int64_t e = ne - 1; e >= 0; --e) {
+        const int32_t t = ety[e];
+        const int64_t len = eln[e];
+        if (len == 0) continue;
+        const int64_t key = (epx[e] + 1) / 2;
+        const int64_t line_max = name_len + 64 + 2 * len;
+        if (e_end - ep < line_max) {
+          if (rpos_heap) delete[] rpos_heap;
+          return 2;
+        }
+        ep = put_bytes(ep, name, name_len);
+        *ep++ = '\t';
+        ep = put_i64(ep, key);
+        *ep++ = '\t';
+        ep = put_bytes(ep, kTypeNames[t], kTypeLens[t]);
+        *ep++ = '\t';
+        ep = put_i64(ep, len);
+        *ep++ = '\t';
+        if (t == 1) {
+          for (int64_t j = 0; j < len; ++j) *ep++ = '-';
+        } else {
+          const int64_t p0 = spos + key;
+          if (circ) {
+            for (int64_t j = 0; j < len; ++j)
+              *ep++ = static_cast<char>(genome_flat[goff + (p0 + j) % glen]);
+          } else {
+            ep = put_bytes(ep, genome_flat + goff + p0, len);
+          }
+        }
+        *ep++ = '\t';
+        if (t == 2) {
+          for (int64_t j = 0; j < len; ++j) *ep++ = '-';
+        } else {
+          ep = put_bytes(ep, mid + rpos[e], len);
+        }
+        *ep++ = '\n';
+      }
+      if (rpos_heap) delete[] rpos_heap;
+    }
+  }
+
+  *fastx_written = fp - fastx_out;
+  *err_written = ep - err_out;
+  return 0;
+}
+
 }  // extern "C"

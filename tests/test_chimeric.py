@@ -115,6 +115,25 @@ def test_chimeric_writer_end_to_end(setup):
     el.close()
     assert got >= 60
 
+    # Python fallback path must produce byte-identical output to the C++
+    # emitter (same records, same error-log lines)
+    import nanosim_tpu.io.native as native_mod
+
+    if native_mod.get_lib() is not None:
+        fw2 = out_mod.FastxWriter(str(d / "chim_py.fasta"), False)
+        el2 = out_mod.ErrorLogWriter(str(d / "chim_py_err"))
+        w2 = out_mod.ChimericBatchWriter(fw2, el2)
+        w2._emitter.lib = None  # force the pure-Python path
+        sim2 = ChimericGenomeSimulator(genome, prof, batch=64)
+        got2 = sim2.run(60, w2, seed=4)
+        fw2.close()
+        el2.close()
+        assert got2 == got
+        assert open(str(d / "chim_py.fasta"), "rb").read() == open(
+            str(d / "chim_aligned_reads.fasta"), "rb").read()
+        assert open(str(d / "chim_py_err"), "rb").read() == open(
+            str(d / "chim_err"), "rb").read()
+
     from refshim.oracle import parse_fastx_records
 
     records = parse_fastx_records(str(d / "chim_aligned_reads.fasta"))

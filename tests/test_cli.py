@@ -50,6 +50,27 @@ def test_simulate_genome_cli(tmp_path):
         assert f.readline().startswith("Seq_name\t")
 
 
+def test_simulate_genome_chimeric_cli(tmp_path):
+    from nanosim_tpu.profiles import fixtures
+
+    prefix = str(tmp_path / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=120)
+    ref_fa = str(tmp_path / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [20000, 12000], seed=5)
+    out = str(tmp_path / "simc")
+    res = _run(
+        [
+            "simulate", "genome", "-rg", ref_fa, "-c", prefix, "-o", out,
+            "-n", "40", "--seed", "1", "--batch", "64", "--chimeric",
+        ]
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    names = [l for l in open(out + "_aligned_reads.fasta") if l.startswith(">")]
+    assert len(names) >= 30
+    assert any("chimeric" in n for n in names)
+    assert os.path.getsize(out + "_aligned_error_profile") > 0
+
+
 def test_simulate_validation_errors(tmp_path):
     res = _run(["simulate", "genome", "-rg", "x.fa", "--perfect", "--chimeric"])
     assert res.returncode != 0
