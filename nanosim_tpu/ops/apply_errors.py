@@ -230,13 +230,21 @@ def fused_read(
     idx = jnp.where(in_mid, src_mid, Lr + ht_idx)
 
     parts = jnp.concatenate([ref_seg, ht_bases], axis=1)
-    if use_pallas:
+    if use_pallas == "packed":
+        # 2-bit payload: gather packed code words (8x narrower one-hot)
+        from . import pallas_gather
+
+        code = pallas_gather.gather_codes(
+            _ascii_to_code(parts).astype(jnp.int32), idx
+        ).astype(jnp.uint8)
+    elif use_pallas:
         from . import pallas_gather
 
         base = pallas_gather.gather_u8(parts, idx)
+        code = _ascii_to_code(base)
     else:
         base = jnp.take_along_axis(parts, idx, axis=1)
-    code = _ascii_to_code(base)
+        code = _ascii_to_code(base)
 
     mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)
     mis_code = (code + jnp.minimum(mis_off, 3)) % 4

@@ -100,6 +100,41 @@ def gather_u8(parts: jax.Array, idx: jax.Array, interpret: bool = False) -> jax.
     return out[:B, :L].astype(jnp.uint8)
 
 
+# --- packed-code gather ------------------------------------------------------
+#
+# A major share of the one-hot formulation's cost scales with P (the one-hot
+# width): the [TILE, P] one-hot build and the [TILE, P] @ [P, 128] matmul.
+# For read assembly the payload is a 2-bit base code, so packing 4 codes per
+# byte shrinks P 4x while REUSING the byte kernel unchanged (no new Mosaic
+# constructs to mis-legalize); the 2-bit field extraction runs as plain XLA
+# elementwise ops on the fetched byte.
+
+PACK = 4  # codes per byte
+
+
+def pack_codes(codes: jax.Array) -> jax.Array:
+    """[B, W] 2-bit codes -> [B, ceil(W/4)] packed uint8 bytes (code k of
+    byte w is bits [2k, 2k+2); base index = 4w + k)."""
+    B, W = codes.shape
+    pad = (-W) % PACK
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, pad)))
+    c = codes.astype(jnp.int32).reshape(B, (W + pad) // PACK, PACK)
+    shifts = (jnp.arange(PACK, dtype=jnp.int32) * 2)[None, None, :]
+    return jnp.sum(c << shifts, axis=2, dtype=jnp.int32).astype(jnp.uint8)
+
+
+def gather_codes(codes: jax.Array, idx: jax.Array, interpret: bool = False) -> jax.Array:
+    """take_along_axis(codes, idx, axis=1) for 2-bit codes: 4-per-byte
+    packing + the byte one-hot kernel + XLA field extraction.
+    codes: [B, W] integer 0..3; idx clipped to [0, W).  Returns [B, L] i32."""
+    idx = idx.astype(jnp.int32)
+    words = pack_codes(codes)  # [B, ceil(W/4)] u8
+    byte = gather_u8(words, idx >> 2, interpret=interpret)
+    sub = (idx & 3).astype(jnp.uint8) * 2
+    return ((byte >> sub) & 3).astype(jnp.int32)
+
+
 _SUPPORTED = None
 
 
@@ -130,3 +165,43 @@ def supported() -> bool:
 
 def usable_for(width: int) -> bool:
     return supported() and (width + 127) // 128 <= MAX_P
+
+
+_PACKED_SUPPORTED = None
+
+
+def packed_supported() -> bool:
+    """Probe the packed-code kernel (variable shifts etc. may not legalize
+    on every Mosaic toolchain; fall back to the byte kernel if not)."""
+    global _PACKED_SUPPORTED
+    if _PACKED_SUPPORTED is None:
+        import os
+
+        if os.environ.get("NANOSIM_TPU_NO_PALLAS") or os.environ.get(
+            "NANOSIM_TPU_NO_PACKED_GATHER"
+        ):
+            _PACKED_SUPPORTED = False
+            return False
+        try:
+            if jax.default_backend() not in ("tpu", "axon"):
+                _PACKED_SUPPORTED = False
+                return False
+            import numpy as np
+
+            rng = np.random.RandomState(0)
+            codes = rng.randint(0, 4, (ROWS, 2048)).astype(np.int32)
+            idx = rng.randint(0, 2048, (ROWS, TILE)).astype(np.int32)
+            out = np.asarray(gather_codes(jnp.asarray(codes), jnp.asarray(idx)))
+            want = np.take_along_axis(codes, idx, axis=1)
+            _PACKED_SUPPORTED = bool((out == want).all())
+        except Exception:
+            _PACKED_SUPPORTED = False
+    return _PACKED_SUPPORTED
+
+
+def gather_mode(width: int):
+    """Best available gather implementation for a parts row of `width`:
+    'packed' (2-bit one-hot kernel), True (byte kernel), or False (XLA)."""
+    if packed_supported():
+        return "packed"
+    return usable_for(width)

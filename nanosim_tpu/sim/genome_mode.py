@@ -449,12 +449,12 @@ class GenomeSimulator:
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(genome)
 
-    def _pallas_gather_ok(self, l_cap: int) -> bool:
+    def _pallas_gather_ok(self, l_cap: int):
         from ..ops import pallas_gather
         from . import extract
 
         width = l_cap + extract.CHUNK + self.ht_cap
-        return pallas_gather.usable_for(width)
+        return pallas_gather.gather_mode(width)
 
     def batch_fn(self):
         return functools.partial(

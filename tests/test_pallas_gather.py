@@ -30,3 +30,25 @@ def test_gather_u8_odd_batch():
         pallas_gather.gather_u8(jnp.asarray(parts), jnp.asarray(idx), interpret=True)
     )
     np.testing.assert_array_equal(out, np.take_along_axis(parts, idx, axis=1))
+
+
+def test_pack_codes():
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, (3, 21), dtype=np.int32)
+    words = np.asarray(pallas_gather.pack_codes(jnp.asarray(codes)))
+    assert words.shape == (3, 3)
+    for b in range(3):
+        for i in range(21):
+            assert (words[b, i // 8] >> (2 * (i % 8))) & 3 == codes[b, i]
+
+
+def test_gather_codes_matches_take_along_axis():
+    rng = np.random.default_rng(10)
+    for B, W, L in [(8, 1000, 1024), (16, 23040, 2048), (5, 300, 77)]:
+        codes = rng.integers(0, 4, (B, W), dtype=np.int32)
+        idx = rng.integers(0, W, (B, L), dtype=np.int32)
+        out = np.asarray(
+            pallas_gather.gather_codes(jnp.asarray(codes), jnp.asarray(idx), interpret=True)
+        )
+        exp = np.take_along_axis(codes, idx, axis=1)
+        np.testing.assert_array_equal(out, exp, err_msg=f"{(B, W, L)}")
