@@ -34,12 +34,13 @@ def test_gather_u8_odd_batch():
 
 def test_pack_codes():
     rng = np.random.default_rng(9)
+    P = pallas_gather.PACK
     codes = rng.integers(0, 4, (3, 21), dtype=np.int32)
     words = np.asarray(pallas_gather.pack_codes(jnp.asarray(codes)))
-    assert words.shape == (3, 3)
+    assert words.shape == (3, -(-21 // P))
     for b in range(3):
         for i in range(21):
-            assert (words[b, i // 8] >> (2 * (i % 8))) & 3 == codes[b, i]
+            assert (words[b, i // P] >> (2 * (i % P))) & 3 == codes[b, i]
 
 
 def test_gather_codes_matches_take_along_axis():
