@@ -97,6 +97,20 @@ def characterize_genome(
         )
         return
 
+    if aligner == "LAST" and not g_alnm:
+        # LAST path: lastdb+lastal -> best-hit MAF -> MAF-based models
+        # (read_analysis.py:177-201)
+        maf_path = prefix + "_genome_alnm.maf"
+        _log("Running LAST")
+        align.run_last(ref_g, read_file, maf_path, prefix)
+        unaligned_len, strandness = align.besthit_and_unaligned(read_file, maf_path, prefix)
+        num_aligned = lengths.head_align_tail(prefix, "maf", "genome")
+        _finalize_common(
+            prefix, unaligned_len, strandness, num_aligned, [], "LAST",
+            fastq=False, model_fit=model_fit,
+        )
+        return
+
     sam_path = g_alnm
     if not sam_path:
         sam_path = prefix + "_genome_alnm.sam"
@@ -138,6 +152,7 @@ def characterize_metagenome(
     model_fit: bool = True,
     chimeric: bool = False,
     quantification: bool = False,
+    homopolymer=None,
     fastq: bool = False,
 ):
     """Metagenome characterization (read_analysis.py metagenome mode):
@@ -178,9 +193,16 @@ def characterize_metagenome(
         )
 
     num_aligned = lengths.head_align_tail(prefix, "sam", "metagenome")
+
+    hp_maf = None
+    if homopolymer is not None:
+        hp_maf = prefix + "_processed.maf"
+        _log("Building pairwise MAF for homopolymer analysis")
+        align.sam_to_maf(prefix + "_primary.sam", hp_maf, meta_ref)
+
     _finalize_common(
         prefix, unaligned_len, strandness, num_aligned, unaligned_bq, "minimap2",
-        fastq=fastq, model_fit=model_fit,
+        fastq=fastq, model_fit=model_fit, homopolymer=homopolymer, hp_maf=hp_maf,
     )
 
 
@@ -198,6 +220,7 @@ def characterize_transcriptome(
     model_ir: bool = True,
     homopolymer=None,
     quantification: bool = False,
+    normalize: bool = False,
     fastq: bool = False,
 ):
     """Transcriptome characterization (read_analysis.py:707-830): align to
@@ -220,7 +243,8 @@ def characterize_transcriptome(
     _log("Processing transcriptome alignments")
     meta = {"tpm": {}} if quantification else None
     unaligned_len, strandness, unaligned_bq = primary.primary_and_unaligned_chimeric(
-        t_sam, prefix + "_transcriptome", metagenome_list=meta, fastq=fastq
+        t_sam, prefix + "_transcriptome", metagenome_list=meta, fastq=fastq,
+        normalize=normalize,
     )
     if g_sam:
         _log("Processing genome alignments")
@@ -313,10 +337,17 @@ def detect_ir(
     read_file: str = "",
     ref_g: str = "",
     ref_t: str = "",
+    aligner: str = "minimap2",
     num_threads: int = 1,
 ):
     """Intron-retention detection only (read_analysis.py detect_ir mode);
-    aligns the reads itself when only references are supplied."""
+    aligns the reads itself when only references are supplied.
+
+    The -a flag is accepted for surface parity; alignment always runs
+    minimap2 (the reference's LAST branch feeds a MAF into its pysam-based
+    IR model, model_intron_retention.py:35, and cannot complete)."""
+    if aligner == "LAST":
+        _log("detect_ir: using minimap2 (LAST output is not consumable by the IR model)")
     if not g_alnm:
         g_alnm = prefix + "_genome_alnm.sam"
         align.run_minimap2(ref_g, read_file, g_alnm, "splice", num_threads)

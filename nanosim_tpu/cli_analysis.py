@@ -34,8 +34,10 @@ def build_parser():
     g.add_argument("-ga", "--g_alnm", default="", help="Pre-computed genome alignment (sam/maf)")
     g.add_argument("-o", "--output", default="training")
     g.add_argument("-c", "--chimeric", action="store_true", default=False)
-    g.add_argument("-hp", "--homopolymer", type=int, default=None,
-                   help="Minimum homopolymer length for modeling")
+    g.add_argument("-hp", "--homopolymer", action="store_true", default=False,
+                   help="Analyze homopolymer lengths")
+    g.add_argument("--min_homopolymer_len", type=int, default=5,
+                   help="Minimum length of homopolymers to analyze (Default = 5 bp)")
     g.add_argument("--fastq", action="store_true", default=False)
     g.add_argument("--no_model_fit", dest="model_fit", action="store_false", default=True)
     g.add_argument("-t", "--num_threads", type=int, default=1)
@@ -49,9 +51,14 @@ def build_parser():
     t.add_argument("-ga", "--g_alnm", default="")
     t.add_argument("-ta", "--t_alnm", default="")
     t.add_argument("-o", "--output", default="training")
-    t.add_argument("-hp", "--homopolymer", type=int, default=None)
+    t.add_argument("-hp", "--homopolymer", action="store_true", default=False,
+                   help="Analyze homopolymer lengths")
+    t.add_argument("--min_homopolymer_len", type=int, default=5,
+                   help="Minimum length of homopolymers to analyze (Default = 5 bp)")
     t.add_argument("--fastq", action="store_true", default=False)
     t.add_argument("-q", "--quantification", action="store_true", default=False)
+    t.add_argument("-n", "--normalize", action="store_true", default=False,
+                   help="Normalize by transcript length")
     t.add_argument("--no_model_fit", dest="model_fit", action="store_false", default=True)
     t.add_argument("--no_intron_retention", dest="model_ir", action="store_false", default=True)
     t.add_argument("-t", "--num_threads", type=int, default=1)
@@ -63,6 +70,10 @@ def build_parser():
     m.add_argument("-o", "--output", default="training")
     m.add_argument("-c", "--chimeric", action="store_true", default=False)
     m.add_argument("-q", "--quantification", action="store_true", default=False)
+    m.add_argument("-hp", "--homopolymer", action="store_true", default=False,
+                   help=argparse.SUPPRESS)
+    m.add_argument("--min_homopolymer_len", type=int, default=5,
+                   help=argparse.SUPPRESS)
     m.add_argument("--fastq", action="store_true", default=False)
     m.add_argument("--no_model_fit", dest="model_fit", action="store_false", default=True)
     m.add_argument("-t", "--num_threads", type=int, default=1)
@@ -76,7 +87,8 @@ def build_parser():
     q.add_argument("-ta", "--t_alnm", default="")
     q.add_argument("-ga", "--g_alnm", default="")
     q.add_argument("-o", "--output", default="expression")
-    q.add_argument("--no_normalize", dest="normalize", action="store_false", default=True)
+    q.add_argument("-n", "--normalize", action="store_true", default=False,
+                   help="Normalize by transcript length")
     q.add_argument("-t", "--num_threads", type=int, default=1)
 
     ir = sub.add_parser("detect_ir", help="Detect intron retention events")
@@ -84,6 +96,7 @@ def build_parser():
     ir.add_argument("-i", "--read", default="")
     ir.add_argument("-rg", "--ref_g", default="")
     ir.add_argument("-rt", "--ref_t", default="")
+    ir.add_argument("-a", "--aligner", choices=["minimap2", "LAST"], default="minimap2")
     ir.add_argument("-ga", "--g_alnm", default="")
     ir.add_argument("-ta", "--t_alnm", default="")
     ir.add_argument("-o", "--output", default="ir")
@@ -101,6 +114,10 @@ def main(argv=None):
 
     from .characterization import main as char_main
 
+    # -hp is a switch; --min_homopolymer_len sets the modeled run length
+    # (read_analysis.py:281-283).  Internally homopolymer=None means off.
+    hp = getattr(args, "min_homopolymer_len", 5) if getattr(args, "homopolymer", False) else None
+
     if args.mode == "genome":
         char_main.characterize_genome(
             args.read,
@@ -111,7 +128,7 @@ def main(argv=None):
             num_threads=args.num_threads,
             model_fit=args.model_fit,
             chimeric=args.chimeric,
-            homopolymer=args.homopolymer,
+            homopolymer=hp,
             fastq=args.fastq,
         )
     elif args.mode == "transcriptome":
@@ -126,8 +143,9 @@ def main(argv=None):
             num_threads=args.num_threads,
             model_fit=args.model_fit,
             model_ir=args.model_ir,
-            homopolymer=args.homopolymer,
+            homopolymer=hp,
             quantification=args.quantification,
+            normalize=args.normalize,
             fastq=args.fastq,
         )
     elif args.mode == "metagenome":
@@ -140,6 +158,7 @@ def main(argv=None):
             model_fit=args.model_fit,
             chimeric=args.chimeric,
             quantification=args.quantification,
+            homopolymer=hp,
             fastq=args.fastq,
         )
     elif args.mode == "quantify":
@@ -163,6 +182,7 @@ def main(argv=None):
             read_file=args.read,
             ref_g=args.ref_g,
             ref_t=args.ref_t,
+            aligner=args.aligner,
             num_threads=args.num_threads,
         )
 
