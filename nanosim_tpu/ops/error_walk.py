@@ -66,6 +66,24 @@ def _uniforms(walk_keys, t, n):
     )(walk_keys)
 
 
+def _bulk_uniforms(walk_keys, n_steps, n):
+    """All per-step uniforms in one batched threefry pass: [B, n_steps, n].
+
+    Bit-identical to calling `_uniforms(walk_keys, t, n)` for t in
+    range(n_steps) — the per-(lane, step) stream stays fold_in(key, t) — but
+    hashed in bulk OUTSIDE the sequential walk loop, where it vectorizes,
+    instead of serializing ~3 threefry rounds into every loop step.
+    """
+    ts = jnp.arange(n_steps, dtype=jnp.int32)
+    return jax.vmap(
+        lambda k: jax.vmap(
+            lambda t: jax.random.uniform(
+                jax.random.fold_in(k, t), (n,), dtype=jnp.float32
+            )
+        )(ts)
+    )(walk_keys)
+
+
 @functools.partial(jax.jit, static_argnames=("max_events",))
 def error_walk(
     slot_keys: jax.Array,  # [B, 2]
@@ -85,12 +103,15 @@ def error_walk(
     fm = first_match.invert(jnp.zeros(B, jnp.int32), u0)
     prev_match = jnp.maximum(fm, 2)
 
+    # per-step uniforms for t in 1..E, hashed in bulk (see _bulk_uniforms)
+    U = _bulk_uniforms(walk_keys, E + 1, 3)
+
     def sub_step(t, st):
         (pos, middle_ref, l_new, prev_state, prev_match, n_events,
          ecnt_mis, ecnt_ins, ecnt_match, ev_pos2x, ev_type, ev_len) = st
         active = pos < middle_ref
 
-        us = _uniforms(walk_keys, t, 3)
+        us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 3))[:, 0, :]
         u_err, u_len, u_match = us[:, 0], us[:, 1], us[:, 2]
 
         etype = trans.sample(prev_state, u_err)
@@ -202,12 +223,13 @@ def unaligned_walk(
     B = m_ref.shape[0]
     E = max_steps
     walk_keys = rng.site_keys(slot_keys, rng.SITE_UNALIGNED_WALK)
+    U = _bulk_uniforms(walk_keys, E, 2)
 
     def sub_step(t, st):
         (pos, middle_ref, l_new, n_steps, ev_pos2x, ev_type, ev_len) = st
         active = pos < middle_ref
 
-        us = _uniforms(walk_keys, t, 2)
+        us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 2))[:, 0, :]
         u_type, u_len = us[:, 0], us[:, 1]
         kind = (
             (u_type >= 0.4).astype(jnp.int32)
