@@ -174,7 +174,7 @@ def test_genome_circular(tmp_path):
         assert s[head : len(s) - tail] == mid, name
 
 
-def test_bucketed_matches_unbucketed(setup):
+def test_bucketed_matches_unbucketed_default_profile(setup):
     """Length bucketing must not change output at all: draws are slot-keyed
     and numbering is slot-ordered, so the small/large-bucket split is purely
     an execution-shape choice."""
