@@ -100,11 +100,11 @@ def plan_ref_capacity(p: ReadProfile, max_len: float, max_chrom: int, margin: fl
     return max(256, _round_up(int(cap), 256))
 
 
-def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
-    """Static walk-event budget: l_cap / E[match + error advance] * slack."""
+def estimate_mean_match(p: ReadProfile) -> float:
+    """Mean match-stretch length from the binned match ECDF (events per read
+    ~ length / (mean_match + 1))."""
     if p.match_markov is None:
-        return 64
-    # crude per-bin mean of the match ECDF value ranges, averaged
+        return 10.0
     means = []
     for lane in range(p.match_markov.n_bins):
         n = p.match_markov.n_entries[lane]
@@ -114,7 +114,23 @@ def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
         pw = np.diff(np.concatenate([[0.0], p.match_markov.p_hi[lane, :n]]))
         denom = pw.sum() or 1.0
         means.append(float((v * pw).sum() / denom))
-    mean_match = max(2.0, float(np.mean(means)) if means else 10.0)
+    return max(2.0, float(np.mean(means)) if means else 10.0)
+
+
+def estimate_mean_aligned(p: ReadProfile, default: float = 8000.0) -> float:
+    """Mean aligned-region length from the KDE's fitted points."""
+    kde = p.kde_aligned if p.kde_aligned is not None else p.kde_aligned_2d
+    if kde is None:
+        return default
+    col = kde.data[:, -1] if kde.data.shape[1] > 1 else kde.data[:, 0]
+    return float(np.mean(col))
+
+
+def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
+    """Static walk-event budget: l_cap / E[match + error advance] * slack."""
+    if p.match_markov is None:
+        return 64
+    mean_match = estimate_mean_match(p)
     budget = int(l_cap / (mean_match + 1.0) * slack) + 64
     return _round_up(min(budget, l_cap), 8)  # unroll-factor aligned
 

@@ -541,11 +541,21 @@ class GenomeSimulator:
             return self._run_bucketed(n_reads, writer, base, buckets)
 
         fn = self.batch_fn()
-        from .output import PipelinedFetcher
+        from .output import CompactFetcher, PipelinedFetcher
 
         with_events = getattr(writer, "error_log", None) is not None and not self.perfect
         hp_mode = with_events and self.kmer_bias is not None
-        fetcher = PipelinedFetcher(self.fastq, with_events, with_prehp=hp_mode)
+        if hp_mode:
+            # -hp needs the pre-resize middle buffer for the ground-truth log
+            fetcher = PipelinedFetcher(self.fastq, with_events, with_prehp=True)
+        else:
+            from .bundles import estimate_mean_aligned, estimate_mean_match
+
+            est_bases = estimate_mean_aligned(self.profile) * 1.1 + 64
+            est_events = est_bases / (estimate_mean_match(self.profile) + 1.0)
+            fetcher = CompactFetcher(
+                self.fastq, with_events, self.batch, est_bases, est_events
+            )
 
         def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)

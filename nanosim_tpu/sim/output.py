@@ -327,7 +327,7 @@ class GenomeBatchWriter:
         # -hp rewrites homopolymer runs AFTER the logged pass-1 mutation, so
         # the log must slice seq bases from the pre-resize middle buffer
         hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
-        if isinstance(out, PrefetchHandle):
+        if hasattr(out, "fetch"):
             d = out.fetch()
         else:
             d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)
@@ -344,6 +344,8 @@ class GenomeBatchWriter:
         if len(lanes) == 0:
             return 0
         with_events = self.error_log is not None and not self.perfect
+        if hasattr(d, "reads_flat"):  # CompactBatch
+            return self._write_flat(sim, d, lanes, accepted_so_far, with_events)
         hp_mode = with_events and "prehp" in d
 
         if self._emitter.available and not hp_mode:
@@ -389,6 +391,76 @@ class GenomeBatchWriter:
                     sim, name, b, head[b], total[b], l_new[b], rev[b],
                     chrom[b], pos[b], reads[b],
                     ev_valid[b], ev_type[b], ev_len[b], keys_all[b], rpos_all[b],
+                )
+        return len(lanes)
+
+    def _lane_names(self, sim, cb, lanes, accepted_so_far: int):
+        names = []
+        gnames = sim.genome_host.names
+        kind = "perfect" if self.perfect else "aligned"
+        chrom = cb.chrom
+        pos = cb.pos
+        rev = cb.rev
+        head = cb.head
+        middle_ref = cb.middle_ref
+        tail = cb.tail
+        for rank, b in enumerate(lanes):
+            idx = accepted_so_far + rank
+            strand = "R" if rev[b] else "F"
+            names.append(
+                f"{gnames[chrom[b]]}_{pos[b]}_{kind}_{idx}_{strand}"
+                f"_{head[b]}_{middle_ref[b]}_{tail[b]}"
+            )
+        return names
+
+    def _write_flat(self, sim, cb, lanes, accepted_so_far: int, with_events: bool) -> int:
+        """Emit a compacted batch (2-bit flat reads + packed events)."""
+        g = sim.genome_host
+        names = self._lane_names(sim, cb, lanes, accepted_so_far)
+        chrom = cb.chrom[lanes]
+        if self._emitter.available:
+            fastx_mv, err_mv = self._emitter.emit_flat(
+                cb, np.asarray(lanes, np.int64), names,
+                g_off=g.offsets[chrom], g_len=g.lengths[chrom],
+                g_circ=np.ascontiguousarray(g.circular[chrom], np.uint8),
+                genome_flat=g.flat, fastq=sim.fastq,
+                write_errors=with_events,
+            )
+            self.fastx.flush()
+            self.fastx.f.write(fastx_mv)
+            if with_events and self.error_log is not None:
+                self.error_log.write_bytes(err_mv)
+            return len(lanes)
+
+        # pure-python fallback (native emitter unavailable)
+        from . import compact as _c
+
+        reads = _c.decode_reads_ascii(cb, lanes)
+        for rank, b in enumerate(lanes):
+            name = names[rank]
+            seq = reads[rank]
+            q = None
+            if sim.fastq:
+                o = int(cb.qual_off[b])
+                q = cb.quals_flat[o : o + int(cb.total[b])]
+            self.fastx.write(name, seq, q)
+            if with_events:
+                ne = int(cb.n_events[b])
+                if ne == 0:
+                    continue
+                o = int(cb.ev_off[b])
+                w = cb.ev_flat[o : o + ne]
+                ev_pos2x = (w & np.uint32(0x1FFFF)).astype(np.int64)[None, :]
+                ev_type = (w >> np.uint32(30)).astype(np.int64)[None, :]
+                ev_len = ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)[None, :]
+                keys, rpos = event_read_positions(
+                    ev_pos2x, ev_type, ev_len, np.ones((1, ne), bool)
+                )
+                self._log_lane(
+                    sim, name, 0, int(cb.head[b]), int(cb.total[b]),
+                    int(cb.l_new[b]), bool(cb.rev[b]), int(cb.chrom[b]),
+                    int(cb.pos[b]), seq,
+                    np.ones(ne, bool), ev_type[0], ev_len[0], keys[0], rpos[0],
                 )
         return len(lanes)
 
@@ -760,6 +832,102 @@ class PipelinedFetcher:
         return d
 
 
+class CompactHandle:
+    """A dispatched batch plus its queued device-compaction program."""
+
+    def __init__(self, fetcher, out, buf_dev, caps):
+        self.fetcher = fetcher
+        self.out = out
+        self.buf_dev = buf_dev
+        self.caps = caps
+
+    def fetch(self):
+        return self.fetcher._fetch(self)
+
+
+class CompactFetcher:
+    """Single-round-trip batch fetcher via device-side compaction.
+
+    The padded-layout fetch (PipelinedFetcher) transfers quantized maximum
+    widths for every lane; this one transfers only the valid lanes' used
+    bytes (2-bit reads, packed u32 events) chunk-aligned, with metadata fused
+    into the same uint8 buffer — one np.asarray per batch.  Capacities are
+    estimated from profile statistics and bumped (with a repack) on the rare
+    batch that overflows.
+    """
+
+    MARGIN = 1.30
+
+    def __init__(self, fastq: bool, with_events: bool, batch: int,
+                 est_bases: float, est_events: float, pack_reads: bool = True):
+        from . import compact as _c
+
+        self._c = _c
+        self.fastq = fastq
+        self.with_events = with_events
+        self.pack_reads = pack_reads
+        B = batch
+        ch = _c.CHUNK
+        rb = (est_bases / 4.0 if pack_reads else est_bases)
+        self.nr_cap = self._tier(int(B * (rb / ch + 1) * self.MARGIN))
+        self.ne_cap = (
+            self._tier(int(B * (est_events * 4.0 / ch + 1) * self.MARGIN))
+            if with_events else 1
+        )
+        self.nq_cap = (
+            self._tier(int(B * (est_bases / ch + 1) * self.MARGIN)) if fastq else 1
+        )
+
+    @staticmethod
+    def _tier(n: int) -> int:
+        """Quantize capacities to sparse tiers (bounds recompiles)."""
+        t = 256
+        while t < n:
+            t = int(t * 1.5)
+        return t
+
+    def _dispatch(self, out):
+        caps = (self.nr_cap, self.ne_cap, self.nq_cap)
+        buf = self._c.compact_pack(
+            out.read, out.quals, out.valid, out.total_len, out.head, out.tail,
+            out.middle_ref, out.l_new, out.chrom, out.local_pos,
+            out.is_reversed, out.n_events,
+            getattr(out, "capacity_overflow", out.valid),
+            out.ev_pos2x, out.ev_type, out.ev_len,
+            nr_cap=caps[0], ne_cap=caps[1], nq_cap=caps[2],
+            fastq=self.fastq, with_events=self.with_events,
+            pack_reads=self.pack_reads,
+        )
+        return buf, caps
+
+    def dispatch(self, out) -> CompactHandle:
+        buf, caps = self._dispatch(out)
+        return CompactHandle(self, out, buf, caps)
+
+    def _fetch(self, h: CompactHandle):
+        buf = np.asarray(h.buf_dev)
+        B = h.out.read.shape[0]
+        caps = h.caps
+        cb, ok = self._c.decode_compact(
+            buf, B, caps[0], caps[1], caps[2], self.fastq, self.with_events,
+            self.pack_reads,
+        )
+        if not ok:
+            need_r, need_e, need_q = cb
+            self.nr_cap = max(self.nr_cap, self._tier(int(need_r * 1.1) + 1))
+            if self.with_events:
+                self.ne_cap = max(self.ne_cap, self._tier(int(need_e * 1.1) + 1))
+            if self.fastq:
+                self.nq_cap = max(self.nq_cap, self._tier(int(need_q * 1.1) + 1))
+            buf_dev, caps = self._dispatch(h.out)
+            cb, ok = self._c.decode_compact(
+                np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
+                self.fastq, self.with_events, self.pack_reads,
+            )
+            assert ok, "compaction overflow after capacity bump"
+        return cb
+
+
 class AsyncBatchWriter:
     """Pipelined wrapper around a batch writer.
 
@@ -807,7 +975,7 @@ class AsyncBatchWriter:
             raise self._exc
         with_events = self.error_log is not None and not self.perfect
         hp_mode = with_events and getattr(sim, "kmer_bias", None) is not None
-        if isinstance(out, PrefetchHandle):
+        if hasattr(out, "fetch"):
             d = out.fetch()
         else:
             d = fetch_batch(out, sim.fastq, with_events, with_prehp=hp_mode)

@@ -11,6 +11,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -60,9 +62,284 @@ void init_comp() {
 const char* kTypeNames[3] = {"mis", "ins", "del"};
 const int kTypeLens[3] = {3, 3, 3};
 
+// --- 2-bit packed read support (flat emitter) -------------------------------
+//
+// Packing convention (sim/compact.py): base index 4*w + j of a read lives in
+// bits [2j, 2j+2) of packed byte w; code 0/1/2/3 = A/C/G/T.
+
+const char kCode2Base[4] = {'A', 'C', 'G', 'T'};
+
+uint32_t g_dec4[256];     // packed byte -> 4 ASCII bases (little-endian u32)
+uint32_t g_dec4_rc[256];  // packed byte -> 4 complemented bases in REVERSE order
+bool g_dec_init = false;
+
+void init_dec() {
+  if (g_dec_init) return;
+  for (int v = 0; v < 256; ++v) {
+    char fwd[4], rc[4];
+    for (int j = 0; j < 4; ++j) {
+      const int c = (v >> (2 * j)) & 3;
+      fwd[j] = kCode2Base[c];
+      rc[3 - j] = kCode2Base[3 - c];
+    }
+    std::memcpy(&g_dec4[v], fwd, 4);
+    std::memcpy(&g_dec4_rc[v], rc, 4);
+  }
+  g_dec_init = true;
+}
+
+// Decode bases [start, start+n) of a packed read into dst (ASCII).
+inline void decode_span(const uint8_t* packed, int64_t start, int64_t n, char* dst) {
+  int64_t i = start;
+  char* p = dst;
+  // head: unaligned bases up to the next byte boundary
+  while ((i & 3) && n > 0) {
+    *p++ = kCode2Base[(packed[i >> 2] >> (2 * (i & 3))) & 3];
+    ++i;
+    --n;
+  }
+  // body: whole bytes via LUT (may write up to 3 bytes past n; callers
+  // guarantee slack in dst)
+  const uint8_t* bp = packed + (i >> 2);
+  int64_t nb = n >> 2;
+  for (int64_t b = 0; b < nb; ++b) {
+    uint32_t w = g_dec4[bp[b]];
+    std::memcpy(p, &w, 4);
+    p += 4;
+  }
+  i += nb << 2;
+  n -= nb << 2;
+  while (n > 0) {
+    *p++ = kCode2Base[(packed[i >> 2] >> (2 * (i & 3))) & 3];
+    ++i;
+    --n;
+  }
+}
+
+// Decode the reverse complement of packed bases [0, total) into dst.
+inline void decode_rc(const uint8_t* packed, int64_t total, char* dst) {
+  // pre[j] = comp(base(total - 1 - j)); walk source bytes from the end.
+  char* p = dst;
+  int64_t i = total;  // source index (exclusive)
+  // head: bring source index down to a byte boundary
+  while ((i & 3) && i > 0) {
+    --i;
+    *p++ = kCode2Base[3 - ((packed[i >> 2] >> (2 * (i & 3))) & 3)];
+  }
+  int64_t nb = i >> 2;
+  for (int64_t b = nb - 1; b >= 0; --b) {
+    uint32_t w = g_dec4_rc[packed[b]];
+    std::memcpy(p, &w, 4);
+    p += 4;
+  }
+}
+
+struct FlatArgs {
+  const uint8_t* reads_packed;
+  const int64_t* read_off;  // [k] byte offsets into reads_packed
+  const uint8_t* quals_flat;
+  const int64_t* qual_off;  // [k] byte offsets (fastq only)
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* total_len;
+  const int64_t* head;
+  const int64_t* l_new;
+  const uint8_t* rev;
+  const uint32_t* ev_flat;  // packed events: pos2x | len<<17 | type<<30
+  const int64_t* ev_off;    // [k] word offsets
+  const int64_t* n_events;
+  const uint8_t* genome_flat;
+  const int64_t* g_off;
+  const int64_t* g_len;
+  const uint8_t* g_circ;
+  const int64_t* start_pos;
+  const int64_t* ubf;  // [k+1] fastx upper-bound prefix (write offsets)
+  const int64_t* ube;  // [k+1] err upper-bound prefix
+  char* fastx_out;
+  char* err_out;
+  int fastq;
+  int write_errors;
+};
+
+// Format reads [r0, r1) at exact offsets ubf[r0] / ube[r0]; returns bytes
+// written into each stream via *fw / *ew.
+void emit_flat_range(const FlatArgs& a, int64_t r0, int64_t r1,
+                     std::vector<char>& mid_scratch, int64_t* fw, int64_t* ew) {
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* ep = a.err_out + a.ube[r0];
+  char* const fp0 = fp;
+  char* const ep0 = ep;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const uint8_t* packed = a.reads_packed + a.read_off[r];
+    const int64_t total = a.total_len[r];
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+
+    *fp++ = a.fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    decode_span(packed, 0, total, fp);  // <=3 bytes slack covered by bounds
+    fp += total;
+    *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      fp = put_bytes(fp, a.quals_flat + a.qual_off[r], total);
+      *fp++ = '\n';
+    }
+
+    if (!a.write_errors) continue;
+    const int64_t ne = a.n_events[r];
+    if (ne == 0) continue;
+
+    // middle segment (pre-reverse orientation), decoded once per read
+    const int64_t lnew = a.l_new[r];
+    if ((int64_t)mid_scratch.size() < total + 4) mid_scratch.resize(total + 4);
+    char* mid = mid_scratch.data();
+    if (a.rev[r]) {
+      decode_rc(packed, total, mid);
+      mid += a.head[r];
+    } else {
+      decode_span(packed, a.head[r], lnew, mid);
+    }
+
+    const uint32_t* ev = a.ev_flat + a.ev_off[r];
+    const int64_t goff = a.g_off[r];
+    const int64_t glen = a.g_len[r];
+    const bool circ = a.g_circ[r] != 0;
+    const int64_t spos = a.start_pos[r];
+
+    constexpr int64_t kStackEv = 2048;
+    int64_t rpos_stack[kStackEv];
+    int64_t* rpos = rpos_stack;
+    int64_t* rpos_heap = nullptr;
+    if (ne > kStackEv) {
+      rpos_heap = new int64_t[ne];
+      rpos = rpos_heap;
+    }
+    {
+      int64_t cum_del = 0, cum_ins = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const uint32_t w = ev[e];
+        const int64_t px = w & 0x1FFFF;
+        const int64_t len = (w >> 17) & 0x1FFF;
+        const int32_t t = w >> 30;
+        const int64_t key = (px + 1) / 2;
+        rpos[e] = ((t == 1) ? key : px / 2) - cum_del + cum_ins;
+        if (t == 1) cum_ins += len;
+        if (t == 2) cum_del += len;
+      }
+    }
+
+    for (int64_t e = ne - 1; e >= 0; --e) {
+      const uint32_t w = ev[e];
+      const int64_t len = (w >> 17) & 0x1FFF;
+      if (len == 0) continue;
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t key = (px + 1) / 2;
+      ep = put_bytes(ep, name, name_len);
+      *ep++ = '\t';
+      ep = put_i64(ep, key);
+      *ep++ = '\t';
+      ep = put_bytes(ep, kTypeNames[t], 3);
+      *ep++ = '\t';
+      ep = put_i64(ep, len);
+      *ep++ = '\t';
+      if (t == 1) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        const int64_t s = spos + key;
+        if (circ) {
+          for (int64_t j = 0; j < len; ++j)
+            *ep++ = static_cast<char>(a.genome_flat[goff + (s + j) % glen]);
+        } else {
+          ep = put_bytes(ep, a.genome_flat + goff + s, len);
+        }
+      }
+      *ep++ = '\t';
+      if (t == 2) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, mid + rpos[e], len);
+      }
+      *ep++ = '\n';
+    }
+    if (rpos_heap) delete[] rpos_heap;
+  }
+  *fw = fp - fp0;
+  *ew = ep - ep0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Flat-batch emitter: reads arrive 2-bit packed in one flat buffer (per-read
+// byte offsets), events packed u32 (pos2x | len<<17 | type<<30) in a flat
+// buffer (per-read word offsets).  Output offsets are EXACT upper-bound
+// prefixes (ubf/ube, computed caller-side), so ranges of reads format
+// independently -> multithreaded; the per-range outputs are compacted with
+// memmove afterwards.  Returns 0; writes final sizes to *fastx_written /
+// *err_written.  Caller guarantees fastx/err buffers >= ubf[k] / ube[k].
+int64_t emit_batch_flat(
+    const uint8_t* reads_packed, const int64_t* read_off,
+    const uint8_t* quals_flat, const int64_t* qual_off,
+    int64_t k, const char* names_buf, const int64_t* name_off,
+    const int64_t* total_len, const int64_t* head, const int64_t* l_new,
+    const uint8_t* rev,
+    const uint32_t* ev_flat, const int64_t* ev_off, const int64_t* n_events,
+    const uint8_t* genome_flat, const int64_t* g_off, const int64_t* g_len,
+    const uint8_t* g_circ, const int64_t* start_pos,
+    const int64_t* ubf, const int64_t* ube,
+    char* fastx_out, int64_t* fastx_written,
+    char* err_out, int64_t* err_written,
+    int32_t fastq, int32_t write_errors, int32_t n_threads) {
+  init_comp();
+  init_dec();
+  FlatArgs a{reads_packed, read_off, quals_flat, qual_off, names_buf,
+             name_off,     total_len, head,       l_new,    rev,
+             ev_flat,      ev_off,    n_events,   genome_flat,
+             g_off,        g_len,     g_circ,     start_pos,
+             ubf,          ube,       fastx_out,  err_out,
+             static_cast<int>(fastq), static_cast<int>(write_errors)};
+
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0), ews(T, 0);
+
+  if (T == 1) {
+    std::vector<char> mid;
+    emit_flat_range(a, 0, k, mid, &fws[0], &ews[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t) {
+      threads.emplace_back([&, t]() {
+        std::vector<char> mid;
+        emit_flat_range(a, r0s[t], r0s[t + 1], mid, &fws[t], &ews[t]);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  // compact the per-range outputs (ranges start at upper-bound offsets)
+  int64_t fpos = fws[0], epos = ews[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+    std::memmove(err_out + epos, err_out + a.ube[r0s[t]], ews[t]);
+    epos += ews[t];
+  }
+  *fastx_written = fpos;
+  *err_written = epos;
+  return 0;
+}
 
 // Returns 0 on success, 1 if fastx_out overflowed, 2 if err_out overflowed.
 // All per-read arrays (names, totals, ...) are indexed 0..k-1 in emission

@@ -1,0 +1,156 @@
+"""Compacted single-transfer fetch path: byte-identity vs the padded path.
+
+The CompactFetcher (device chunk compaction + flat C++ emitter) is purely an
+IO/layout optimization — FASTA/FASTQ records and the ground-truth error log
+must be byte-identical to the legacy padded fetch + per-row emitter.
+"""
+
+import filecmp
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "refshim"))
+
+from nanosim_tpu.io import PackedGenome
+from nanosim_tpu.profiles import fixtures, profile
+from nanosim_tpu.sim import compact, output as out_mod
+from nanosim_tpu.sim.genome_mode import GenomeSimulator
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cf")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=600, sd_read_len=250)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [30000, 12000], seed=5)
+    return d, prefix, ref_fa
+
+
+def _run(setup, tag, fetcher_kind, fastq=False, n=250, batch=128, seed=3,
+         use_async=False):
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq)
+    sim = GenomeSimulator(genome, prof, fastq=fastq, batch=batch)
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.genome_mode import run_prefetched
+    import jax.numpy as jnp
+
+    ext = ".fastq" if fastq else ".fasta"
+    rp = str(d / f"{tag}{ext}")
+    ep = str(d / f"{tag}.err")
+    fw = out_mod.FastxWriter(rp, fastq)
+    el = out_mod.ErrorLogWriter(ep)
+    w = out_mod.GenomeBatchWriter(fw, el)
+    if use_async:
+        w = out_mod.AsyncBatchWriter(w)
+
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    fn = sim.batch_fn()
+    if fetcher_kind == "compact":
+        fetcher = out_mod.CompactFetcher(fastq, True, batch, est_bases=700.0,
+                                         est_events=64.0)
+    else:
+        fetcher = out_mod.PipelinedFetcher(fastq, True)
+
+    def make_batch(slot_start):
+        slots = jnp.arange(slot_start, slot_start + batch, dtype=jnp.int64)
+        return fetcher.dispatch(fn(base, slots))
+
+    got = run_prefetched(make_batch, batch, n, w, sim)
+    if use_async:
+        w.close()
+    fw.close()
+    el.close()
+    assert got == n
+    return rp, ep
+
+
+def test_compact_matches_padded(setup):
+    rp1, ep1 = _run(setup, "padded", "padded")
+    rp2, ep2 = _run(setup, "compact", "compact")
+    assert filecmp.cmp(rp1, rp2, shallow=False), "FASTA records differ"
+    assert filecmp.cmp(ep1, ep2, shallow=False), "error logs differ"
+
+
+def test_compact_matches_padded_fastq(setup):
+    rp1, ep1 = _run(setup, "padded_q", "padded", fastq=True)
+    rp2, ep2 = _run(setup, "compact_q", "compact", fastq=True)
+    assert filecmp.cmp(rp1, rp2, shallow=False), "FASTQ records differ"
+    assert filecmp.cmp(ep1, ep2, shallow=False), "error logs differ"
+
+
+def test_compact_async_matches_sync(setup):
+    rp1, ep1 = _run(setup, "sync", "compact")
+    rp2, ep2 = _run(setup, "async", "compact", use_async=True)
+    assert filecmp.cmp(rp1, rp2, shallow=False)
+    assert filecmp.cmp(ep1, ep2, shallow=False)
+
+
+def test_capacity_overflow_repacks(setup):
+    """Absurdly low initial capacity estimates must bump + repack, not break."""
+    rp1, ep1 = _run(setup, "norm", "compact")
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+    sim = GenomeSimulator(genome, prof, batch=128)
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.genome_mode import run_prefetched
+    import jax.numpy as jnp
+
+    rp = str(d / "tiny.fasta")
+    ep = str(d / "tiny.err")
+    fw = out_mod.FastxWriter(rp, False)
+    el = out_mod.ErrorLogWriter(ep)
+    w = out_mod.GenomeBatchWriter(fw, el)
+    base = rng.base_key(3, rng.STREAM_ALIGNED)
+    fn = sim.batch_fn()
+    fetcher = out_mod.CompactFetcher(False, True, 128, est_bases=1.0, est_events=0.1)
+
+    def make_batch(slot_start):
+        slots = jnp.arange(slot_start, slot_start + 128, dtype=jnp.int64)
+        return fetcher.dispatch(fn(base, slots))
+
+    got = run_prefetched(make_batch, 128, 250, w, sim)
+    fw.close()
+    el.close()
+    assert got == 250
+    assert filecmp.cmp(rp1, rp, shallow=False)
+    assert filecmp.cmp(ep1, ep, shallow=False)
+
+
+def test_python_fallback_matches_native(setup, monkeypatch):
+    rp1, ep1 = _run(setup, "nat", "compact")
+    import nanosim_tpu.io.native as native_mod
+
+    monkeypatch.setattr(native_mod.NativeEmitter, "available", property(lambda self: False))
+    rp2, ep2 = _run(setup, "pyfb", "compact")
+    assert filecmp.cmp(rp1, rp2, shallow=False)
+    assert filecmp.cmp(ep1, ep2, shallow=False)
+
+
+def test_chunk_compact_roundtrip():
+    """Direct packer unit test: random lane prefixes survive the round trip."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    B, W = 16, 2048
+    rows = rs.randint(0, 256, (B, W)).astype(np.uint8)
+    lane_bytes = rs.randint(0, W + 1, B).astype(np.int32)
+    lane_bytes[3] = 0
+    cap = int(sum((int(b) + compact.CHUNK - 1) // compact.CHUNK for b in lane_bytes)) + 2
+    flat, need = compact._chunk_compact(jnp.asarray(rows), jnp.asarray(lane_bytes), cap)
+    flat = np.asarray(flat)
+    assert int(need) <= cap
+    nch = (lane_bytes + compact.CHUNK - 1) // compact.CHUNK
+    off = (np.cumsum(nch) - nch) * compact.CHUNK
+    for b in range(B):
+        n = int(lane_bytes[b])
+        got = flat[int(off[b]) : int(off[b]) + n]
+        np.testing.assert_array_equal(got, rows[b, :n])
