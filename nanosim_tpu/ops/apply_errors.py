@@ -265,6 +265,180 @@ def fused_read(
     return read, qclass, l_new, total
 
 
+def _pack_codes4(ascii_seq):
+    """[B, L] ASCII -> [B, ceil(L/4)] packed 2-bit codes (4/byte, LE)."""
+    B, L = ascii_seq.shape
+    pad = (-L) % 4
+    if pad:
+        ascii_seq = jnp.pad(ascii_seq, ((0, 0), (0, pad)))
+    c = _ascii_to_code(ascii_seq).reshape(B, (L + pad) // 4, 4)
+    return (
+        c[:, :, 0]
+        | (c[:, :, 1] << jnp.uint8(2))
+        | (c[:, :, 2] << jnp.uint8(4))
+        | (c[:, :, 3] << jnp.uint8(6))
+    )
+
+
+# random_bases draws over (A, T, C, G) — np.random.choice order
+# (seqops.random_bases) — map that choice index to 2-bit code A=0 C=1 G=2 T=3.
+def _choice_to_code(idx):
+    return jnp.where(idx == 0, jnp.uint8(0),
+                     jnp.where(idx == 1, jnp.uint8(3),
+                               jnp.where(idx == 2, jnp.uint8(1), jnp.uint8(2))))
+
+
+@functools.partial(jax.jit, static_argnames=("l_out", "ht_cap", "ht_site", "use_window"))
+def fused_read_v2(
+    events_pos2x: jax.Array,  # [B, E] int32
+    events_type: jax.Array,  # [B, E] int32 (0=mis 1=ins 2=del)
+    events_len: jax.Array,  # [B, E] int32
+    events_valid: jax.Array,  # [B, E] bool
+    middle_ref: jax.Array,  # [B] int32
+    head: jax.Array,  # [B] int32
+    tail: jax.Array,  # [B] int32
+    is_rev: jax.Array,  # [B] bool
+    ref_codes: jax.Array,  # [B, PB] uint8 packed 2-bit ref codes (IUPAC-resolved)
+    n_ref_codes: int,  # logical code count (< 4 * PB)
+    seg_off,  # [B] int32 or None — code offset of the segment in the row
+    sk: jax.Array,  # [B, 2] slot keys (head/tail base generation)
+    u_mis: jax.Array,  # [B, l_out] uniforms, substituted-base choice
+    u_ins: jax.Array,  # [B, l_out] uniforms, inserted-base choice
+    l_out: int,
+    ht_cap: int,
+    ht_site: int = 10,  # rng.SITE_HEAD_TAIL
+    use_window: bool = False,
+):
+    """fused_read, round 2: same output bytes, less device work.
+
+    vs fused_read:
+      * 3 scatters instead of 5 — span starts and deletion points share one
+        index array (a deletion's span is zero-width in read coordinates, so
+        its span-start is redefined to its deletion point), with the
+        ins/mis start flags packed into one word (at most one ins and one
+        mis span can START at a given output position — events advance
+        their read coordinate — so 1-bit fields cannot carry);
+      * head/tail bases are GENERATED at their output positions via
+        counter-addressed threefry (rng.uniform_at — bit-identical to
+        gathering the SITE_HEAD_TAIL pool), removing the ht concat and
+        keeping gather indices near-contiguous;
+      * the byte fetch runs on 2-bit packed codes, optionally through the
+        windowed Pallas one-hot kernel (ops/window_gather).
+
+    Returns (read, qclass, l_new, total, win_overflow[B]) — win_overflow
+    lanes exceeded the gather window (extreme local indel drift) and must be
+    re-run through a fallback program.
+    """
+    from . import rng as rng_mod
+
+    B, E = events_pos2x.shape
+    L = l_out
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, E))
+
+    is_mis = events_valid & (events_type == 0)
+    is_ins = events_valid & (events_type == 1)
+    is_del = events_valid & (events_type == 2)
+
+    start = events_pos2x // 2
+    ins_before = (events_pos2x + 1) // 2
+    dlen = jnp.where(is_del, events_len, 0)
+    ilen = jnp.where(is_ins, events_len, 0)
+    prior_del = jnp.cumsum(dlen, axis=1) - dlen
+    prior_ins = jnp.cumsum(ilen, axis=1) - ilen
+    ref_start = jnp.where(is_ins, ins_before, start)
+    rpos = ref_start - prior_del + prior_ins  # [B, E] middle read coords
+
+    tot_del = jnp.sum(dlen, axis=1)
+    tot_ins = jnp.sum(ilen, axis=1)
+    l_new = (middle_ref - tot_del + tot_ins).astype(jnp.int32)
+    total = head + l_new + tail
+
+    h = head[:, None]
+    n = l_new[:, None]
+    t = tail[:, None]
+    rev = is_rev[:, None]
+
+    # deletions are zero-width in read coords: give them b == a so their
+    # span start IS their deletion point (same index for both scatters)
+    a = rpos
+    b = jnp.where(is_del, rpos, rpos + events_len)
+    span_s = jnp.where(rev, n + t - b, h + a)
+    span_e = jnp.where(rev, n + t - a, h + b)
+
+    f_ins = is_ins.astype(jnp.int32)
+    f_mis = is_mis.astype(jnp.int32)
+    # flags pack into 13-bit fields (each holds a cumsum bounded by E;
+    # callers guarantee E <= 8191); del lengths ride their own scatter.
+    pk_flags = f_ins | (f_mis << 13)  # 13-bit fields: cumsum counts <= E <= 8191
+    acc_s = jnp.zeros((B, L + 1), jnp.int32).at[b_idx, jnp.clip(span_s, 0, L)].add(pk_flags)
+    acc_e = jnp.zeros((B, L + 1), jnp.int32).at[b_idx, jnp.clip(span_e, 0, L)].add(pk_flags)
+    del_pts = jnp.zeros((B, L + 1), jnp.int32).at[b_idx, jnp.clip(span_s, 0, L)].add(dlen)
+
+    cs = jnp.cumsum(acc_s[:, :L], axis=1)
+    ce = jnp.cumsum(acc_e[:, :L], axis=1)
+    ins_mask = (cs & 0x1FFF) > (ce & 0x1FFF)
+    mis_mask = ((cs >> 13) & 0x1FFF) > ((ce >> 13) & 0x1FFF)
+    Dcum = jnp.cumsum(del_pts[:, :L], axis=1)
+    D = jnp.where(rev, tot_del[:, None] - Dcum, Dcum)
+    Icum = jnp.cumsum(ins_mask.astype(jnp.int32), axis=1)
+    I = jnp.where(rev, tot_ins[:, None] - (Icum - ins_mask), Icum)
+
+    j_idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    in_mid = jnp.where(rev, (j_idx >= t) & (j_idx < t + n), (j_idx >= h) & (j_idx < h + n))
+    in_head = jnp.where(rev, j_idx >= n + t, j_idx < h)
+    in_read = j_idx < total[:, None]
+    m = jnp.where(rev, n + t - 1 - j_idx, j_idx - h)
+
+    src_mid = m - I + D
+    if seg_off is not None:
+        src_mid = src_mid + seg_off[:, None]
+    src_mid = jnp.clip(src_mid, 0, n_ref_codes - 1)
+
+    mid_fetch = in_mid & ~ins_mask  # positions that actually read the ref
+    win_overflow = jnp.zeros(B, bool)
+    if use_window:
+        from . import window_gather as wg
+
+        n_tiles = L // wg.TILE
+        assert L % wg.TILE == 0, "l_out must be padded to the gather tile"
+        ws, win_overflow = wg.window_starts(src_mid, mid_fetch, n_tiles)
+        byte = wg.gather_bytes_windowed(ref_codes, src_mid, ws)
+    else:
+        byte = jnp.take_along_axis(
+            ref_codes.astype(jnp.int32),
+            jnp.clip(src_mid >> 2, 0, ref_codes.shape[1] - 1),
+            axis=1,
+        )
+    code = ((byte >> ((src_mid & 3) * 2)) & 3).astype(jnp.uint8)
+
+    # head/tail bases generated at output coordinates (identical stream to
+    # the SITE_HEAD_TAIL pool draw)
+    ht_idx = jnp.where(
+        in_head,
+        jnp.where(rev, t + n + h - 1 - j_idx, j_idx),
+        jnp.where(rev, h + t - 1 - j_idx, j_idx - n),
+    )
+    u_ht = rng_mod.uniform_at(sk, ht_site, ht_idx, ht_cap)
+    ht_code = _choice_to_code(jnp.minimum(jnp.floor(u_ht * 4.0).astype(jnp.int32), 3))
+    code = jnp.where(in_mid, code, ht_code)
+
+    mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)
+    mis_code = (code + jnp.minimum(mis_off, 3)) % 4
+    ins_code = jnp.minimum(jnp.floor(u_ins * 4.0).astype(jnp.uint8), 3)
+    mid_ins = in_mid & ins_mask
+    mid_mis = in_mid & mis_mask & ~ins_mask
+    out_code = jnp.where(mid_mis, mis_code, code)
+    out_code = jnp.where(mid_ins, ins_code, out_code)
+    out_code = jnp.where(rev, 3 - out_code, out_code)
+
+    read = jnp.where(in_read, _code_to_ascii(out_code), jnp.uint8(0))
+    qclass = jnp.where(
+        mid_ins, CLASS_INS,
+        jnp.where(mid_mis, CLASS_MIS, jnp.where(in_mid, CLASS_MATCH, QCLASS_HT)),
+    )
+    return read, qclass, l_new, total, win_overflow
+
+
 # --- Base construction -----------------------------------------------------
 
 

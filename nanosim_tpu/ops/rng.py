@@ -99,6 +99,60 @@ def bits_per_slot(slot_keys_arr: jax.Array, site: int, shape=()) -> jax.Array:
     return jax.vmap(lambda k: jax.random.bits(k, shape, dtype=jnp.uint32))(ks)
 
 
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds), elementwise over broadcastable uint32
+    arrays — bit-identical to jax.random's threefry2x32 primitive (verified
+    in tests/test_ops.py).  Exists so draws can be computed at ARBITRARY
+    counter positions (jax.random only exposes dense iota counters), which
+    turns gathers from random-base pools into direct generation."""
+    rot0 = (13, 15, 26, 6)
+    rot1 = (17, 29, 16, 24)
+    k0 = k0.astype(jnp.uint32)
+    k1 = k1.astype(jnp.uint32)
+    k2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    x0 = x0.astype(jnp.uint32) + k0
+    x1 = x1.astype(jnp.uint32) + k1
+
+    def rnd(x0, x1, r):
+        x0 = x0 + x1
+        x1 = (x1 << r) | (x1 >> (32 - r))
+        return x0, x0 ^ x1
+
+    ks = (k0, k1, k2)
+    for i in range(5):
+        rots = rot0 if i % 2 == 0 else rot1
+        for r in rots:
+            x0, x1 = rnd(x0, x1, r)
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def _bits_to_uniform(bits):
+    """uint32 -> float32 in [0, 1), exactly as jax.random.uniform."""
+    f = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(f, jnp.float32) - jnp.float32(1.0)
+
+
+def uniform_at(slot_keys_arr: jax.Array, site: int, pos: jax.Array, n: int):
+    """uniform_per_slot(sk, site, (n,))[b, pos[b, ...]] WITHOUT materializing
+    or gathering the pool: the threefry block for each requested position is
+    computed directly.  Under jax's partitionable threefry (the default),
+    flat position p draws counter pair (0, p) and emits y0 ^ y1.
+
+    Bit-identical to the gathered form for pos in [0, n); out-of-range pos
+    are clamped.
+    """
+    ks = site_keys(slot_keys_arr, site)  # [B, 2]
+    B = ks.shape[0]
+    extra = (1,) * (pos.ndim - 1)
+    k0 = ks[:, 0].reshape(B, *extra).astype(jnp.uint32)
+    k1 = ks[:, 1].reshape(B, *extra).astype(jnp.uint32)
+    p = jnp.clip(pos, 0, n - 1).astype(jnp.uint32)
+    y0, y1 = _threefry2x32(k0, k1, jnp.zeros_like(p), p)
+    return _bits_to_uniform(y0 ^ y1)
+
+
 def uniform2_per_slot(slot_keys_arr: jax.Array, site: int, shape=()):
     """Two independent uniform(0,1) fields from ONE u32 draw per position
     (16-bit resolution each — ample for categorical/base choices, and half

@@ -64,7 +64,10 @@ class MultiHostGenomeRunner:
         self.host_id = host_id
         self.dev_per_host = self.n_dev // n_hosts
         self.shard = sim.batch // self.n_dev
-        self.fn = shard_sim_batch_numbered(sim.batch_fn(), self.mesh)
+        # full event budget: sharded accept-numbering cannot splice rescued
+        # lanes, so the canonical (full-budget) program runs directly —
+        # identical output to the single-host lean+rescue path by construction
+        self.fn = shard_sim_batch_numbered(sim.batch_fn(full_events=True), self.mesh)
 
     def my_devices(self):
         lo = self.host_id * self.dev_per_host

@@ -126,13 +126,25 @@ def estimate_mean_aligned(p: ReadProfile, default: float = 8000.0) -> float:
     return float(np.mean(col))
 
 
-def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 2.5) -> int:
-    """Static walk-event budget: l_cap / E[match + error advance] * slack."""
+def plan_event_budget(p: ReadProfile, l_cap: int, slack: float = 1.3) -> int:
+    """Static walk-event budget: l_cap / E[match + error advance] * slack.
+
+    The default is LEAN (event-buffer width drives the [B, E] walk buffers,
+    bulk uniforms, and the event->span scatters — all per-batch costs): lanes
+    whose walk overflows it are re-run through a full-budget program
+    (FULL_EVENT_SLACK) by the overflow-rescue path, so the budget is an
+    execution-shape choice, not an output-semantics one.
+    """
     if p.match_markov is None:
         return 64
     mean_match = estimate_mean_match(p)
     budget = int(l_cap / (mean_match + 1.0) * slack) + 64
     return _round_up(min(budget, l_cap), 8)  # unroll-factor aligned
+
+
+# Slack for the overflow-rescue program: effectively "unbounded" semantics
+# (a walk needing more than this is rejected identically by every shape).
+FULL_EVENT_SLACK = 2.8
 
 
 def plan_ht_capacity(p: ReadProfile, margin: float = 1.3) -> int:

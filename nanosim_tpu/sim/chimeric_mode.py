@@ -398,7 +398,7 @@ class ChimericGenomeSimulator:
         self.gap_cap = max(128, int(-(-min(gap_support * 1.4, 1e5) // 128) * 128))
         self.gap_steps = -(-(int(self.gap_cap * 1.3) + 64) // 8) * 8
         self.l_out = self.l_cap * 2 + self.gap_cap * 2 + self.ht_cap
-        self.e_max = plan_event_budget(profile, self.l_cap)
+        self.e_max = plan_event_budget(profile, self.l_cap, slack=2.5)
 
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(genome)

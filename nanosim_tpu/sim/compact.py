@@ -213,7 +213,7 @@ class CompactBatch:
         "valid", "total", "head", "tail", "middle_ref", "l_new", "chrom",
         "pos", "rev", "n_events", "cap_over",
         "reads_flat", "read_off", "ev_flat", "ev_off", "quals_flat", "qual_off",
-        "pack_reads",
+        "pack_reads", "needs",
     )
 
     def __getitem__(self, k):  # dict-style access for writer compatibility
@@ -242,6 +242,7 @@ def decode_compact(
         return (need_r, need_e, need_q), False
 
     cb = CompactBatch()
+    cb.needs = (need_r, need_e, need_q)
     m = meta[:B]
     cb.valid = m[:, 0].astype(bool)
     cb.total = m[:, 1]

@@ -282,18 +282,25 @@ def genome_batch(
     read_prehp = ref_seg
     if not perfect and kmer_bias is None:
         # fast path: mutation + head/tail assembly + strand flip fused into
-        # one [B, l_out] gather (apply_errors.fused_read); substitution and
-        # insertion uniforms are indexed by output position here
+        # one [B, l_out] pass over 2-bit packed codes (fused_read_v2);
+        # substitution/insertion uniforms are indexed by output position and
+        # head/tail bases generate at their output coordinates — both
+        # counter-addressed, so values are independent of buffer widths
         u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
         is_rev = u_strand > tables.strandness_rate
-        u_ht = rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))
-        ht_bases = seqops.random_bases(u_ht)
         u_mis_o, u_ins_o = rng.uniform2_per_slot(sk, rng.SITE_MIS_BASE, (l_out,))
-        read, qclass_out, l_new, total = apply_errors.fused_read(
+        n_ref_codes = ref_seg.shape[1]
+        ref_codes = apply_errors._pack_codes4(ref_seg)
+        pad = (-ref_codes.shape[1]) % 128
+        if pad:
+            ref_codes = jnp.pad(ref_codes, ((0, 0), (0, pad)))
+        use_window = bool(use_pallas_gather) and E <= 8191 and l_out % 1024 == 0
+        read, qclass_out, l_new, total, win_ov = apply_errors.fused_read_v2(
             ev_pos2x, ev_type, ev_len, ev_valid, middle_ref, head, tail,
-            is_rev, ref_seg, seg_off, ht_bases, u_mis_o, u_ins_o, l_out,
-            use_pallas=use_pallas_gather,
+            is_rev, ref_codes, n_ref_codes, seg_off, sk, u_mis_o, u_ins_o,
+            l_out, ht_cap, rng.SITE_HEAD_TAIL, use_window=use_window,
         )
+        cap_over |= win_ov
         quals = jnp.zeros((B, l_out), jnp.uint8)
         if fastq:
             u_q = rng.uniform_per_slot(sk, rng.SITE_QUAL, (l_out,))
@@ -387,6 +394,117 @@ def genome_batch(
     )
 
 
+class OverflowRescueWriter:
+    """Writer shim: lanes whose walk overflowed the lean event budget
+    (capacity_overflow) are re-run through a lazily-compiled full-budget
+    program and spliced back IN SLOT ORDER before emission, so the lean
+    budget is invisible in the output.  Overflow is rare (the lean budget
+    covers the drawn-length distribution with slack); the rescue program
+    compiles only on first use.
+    """
+
+    RESCUE_BATCH = 64
+
+    def __init__(self, sim, writer, base_key, make_fetcher):
+        self.sim = sim
+        self.inner = writer
+        self.base = base_key
+        self.make_fetcher = make_fetcher  # () -> fresh fetcher for rescue runs
+        self._fn = None
+        self._fetcher = None
+        self.error_log = getattr(writer, "error_log", None)
+        self.perfect = getattr(writer, "perfect", False)
+
+    def _rescue(self, slots):
+        """Run overflow slots through the full-budget program.
+
+        Returns {slot: (fetched, lane)} for slots that produced valid reads.
+        """
+        from .bundles import FULL_EVENT_SLACK, plan_event_budget
+
+        sim = self.sim
+        if self._fn is None:
+            self._fn = functools.partial(
+                genome_batch,
+                genome=sim.genome_dev,
+                tables=sim.tables,
+                l_cap=sim.l_cap,
+                l_out=sim.l_out,
+                ht_cap=sim.ht_cap,
+                e_max=plan_event_budget(sim.profile, sim.l_cap, slack=FULL_EVENT_SLACK),
+                fastq=sim.fastq,
+                perfect=sim.perfect,
+                circular_dna=sim.circular_dna,
+                min_len=sim.min_len,
+                max_len=sim.max_len,
+                median_len=sim.median_len,
+                sd_len=sim.sd_len,
+                kmer_bias=sim.kmer_bias,
+                hp_r_max=max(128, sim.l_cap // 32),
+                use_pallas_gather=False,  # rescue must not re-trigger window overflow
+            )
+            self._fetcher = self.make_fetcher()
+        out = {}
+        B = self.RESCUE_BATCH
+        for i in range(0, len(slots), B):
+            ch = np.asarray(slots[i : i + B], np.int64)
+            n_real = len(ch)
+            if n_real < B:
+                ch = np.concatenate([ch, np.full(B - n_real, ch[-1], np.int64)])
+            d = self._fetcher.dispatch(self._fn(self.base, jnp.asarray(ch))).fetch()
+            valid = np.asarray(d["valid"])
+            for lane in range(n_real):
+                if valid[lane]:
+                    out[int(ch[lane])] = (d, lane)
+        return out
+
+    def write_batch(self, sim, handle, accepted_so_far: int, quota: int) -> int:
+        d = handle.fetch() if hasattr(handle, "fetch") else handle
+        cap = np.asarray(d["cap_over"])
+        valid = np.asarray(d["valid"])
+        if not cap.any():
+            lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+            return self.inner.write_run(sim, d, lanes, accepted_so_far)
+
+        slots = handle.slots
+        rescued = self._rescue(slots[cap])
+        # interleave in slot order: runs of primary lanes + rescued singletons
+        n = 0
+        run_lanes = []
+        for lane in range(len(slots)):
+            if accepted_so_far + n + len(run_lanes) >= quota:
+                break
+            if valid[lane]:
+                run_lanes.append(lane)
+            elif cap[lane]:
+                r = rescued.get(int(slots[lane]))
+                if r is None:
+                    continue
+                if run_lanes:
+                    n += self.inner.write_run(
+                        sim, d, np.asarray(run_lanes, np.int64), accepted_so_far + n
+                    )
+                    run_lanes = []
+                d2, lane2 = r
+                n += self.inner.write_run(
+                    sim, d2, np.asarray([lane2], np.int64), accepted_so_far + n
+                )
+        if run_lanes:
+            run_lanes = run_lanes[: quota - accepted_so_far - n]
+            n += self.inner.write_run(
+                sim, d, np.asarray(run_lanes, np.int64), accepted_so_far + n
+            )
+        return n
+
+    def drain(self):
+        if hasattr(self.inner, "drain"):
+            self.inner.drain()
+
+    def close(self):
+        if hasattr(self.inner, "close"):
+            self.inner.close()
+
+
 def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim, max_batches=None) -> int:
     """Double-buffered accept loop: batch N+1 is dispatched (JAX async)
     before batch N's host-side writing blocks on its transfers, overlapping
@@ -443,20 +561,30 @@ class GenomeSimulator:
 
         self.l_cap = l_cap or plan_ref_capacity(profile, max_len, genome.max_chrom)
         self.ht_cap = plan_ht_capacity(profile)
-        self.l_out = self.l_cap + self.ht_cap
+        # l_out padded to the windowed-gather tile; harmless otherwise (the
+        # per-position RNG is counter-addressed, so width never changes draws)
+        self.l_out = -(-(self.l_cap + self.ht_cap) // 1024) * 1024
         self.e_max = plan_event_budget(profile, self.l_cap)
 
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(genome)
 
     def _pallas_gather_ok(self, l_cap: int):
-        from ..ops import pallas_gather
-        from . import extract
+        from ..ops import window_gather
 
-        width = l_cap + extract.CHUNK + self.ht_cap
-        return pallas_gather.gather_mode(width)
+        return window_gather.supported()
 
-    def batch_fn(self):
+    def batch_fn(self, full_events: bool = False):
+        """full_events=True uses the full (rescue-grade) event budget in ONE
+        program — canonical semantics without a rescue pass; used by runners
+        that cannot splice rescued lanes (multi-host sharded numbering)."""
+        from .bundles import FULL_EVENT_SLACK
+
+        e_max = (
+            plan_event_budget(self.profile, self.l_cap, slack=FULL_EVENT_SLACK)
+            if full_events
+            else self.e_max
+        )
         return functools.partial(
             genome_batch,
             genome=self.genome_dev,
@@ -464,7 +592,7 @@ class GenomeSimulator:
             l_cap=self.l_cap,
             l_out=self.l_out,
             ht_cap=self.ht_cap,
-            e_max=self.e_max,
+            e_max=e_max,
             fastq=self.fastq,
             perfect=self.perfect,
             circular_dna=self.circular_dna,
@@ -507,7 +635,7 @@ class GenomeSimulator:
                 genome=self.genome_dev,
                 tables=self.tables,
                 l_cap=lc,
-                l_out=lc + self.ht_cap,
+                l_out=-(-(lc + self.ht_cap) // 1024) * 1024,
                 ht_cap=self.ht_cap,
                 e_max=plan_event_budget(self.profile, lc),
                 fastq=self.fastq,
@@ -547,21 +675,25 @@ class GenomeSimulator:
         hp_mode = with_events and self.kmer_bias is not None
         if hp_mode:
             # -hp needs the pre-resize middle buffer for the ground-truth log
-            fetcher = PipelinedFetcher(self.fastq, with_events, with_prehp=True)
+            make_fetcher = lambda: PipelinedFetcher(self.fastq, with_events, with_prehp=True)
         else:
             from .bundles import estimate_mean_aligned, estimate_mean_match
 
             est_bases = estimate_mean_aligned(self.profile) * 1.1 + 64
             est_events = est_bases / (estimate_mean_match(self.profile) + 1.0)
-            fetcher = CompactFetcher(
+            make_fetcher = lambda: CompactFetcher(
                 self.fastq, with_events, self.batch, est_bases, est_events
             )
+        fetcher = make_fetcher()
+        wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
 
         def make_batch(slot_start):
-            slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            return fetcher.dispatch(fn(base, slots))
+            slots = np.arange(slot_start, slot_start + self.batch, dtype=np.int64)
+            h = fetcher.dispatch(fn(base, jnp.asarray(slots)))
+            h.slots = slots
+            return h
 
-        return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)
+        return run_prefetched(make_batch, self.batch, n_reads, wrapped, self, max_batches)
 
     def _run_bucketed(self, n_reads: int, writer, base, buckets) -> int:
         """Block-synchronous bucket scheduler.
@@ -577,6 +709,30 @@ class GenomeSimulator:
         """
         small, big = buckets[0], buckets[-1]
         fns = self.bucket_fns(buckets)
+        # rescue program: big bucket width + full event budget (must match the
+        # flat path's overflow semantics exactly)
+        from .bundles import FULL_EVENT_SLACK
+
+        RESCUE = -1
+        fns[RESCUE] = functools.partial(
+            genome_batch,
+            genome=self.genome_dev,
+            tables=self.tables,
+            l_cap=big,
+            l_out=-(-(big + self.ht_cap) // 1024) * 1024,
+            ht_cap=self.ht_cap,
+            e_max=plan_event_budget(self.profile, big, slack=FULL_EVENT_SLACK),
+            fastq=self.fastq,
+            perfect=self.perfect,
+            circular_dna=self.circular_dna,
+            min_len=self.min_len,
+            max_len=self.max_len,
+            median_len=self.median_len,
+            sd_len=self.sd_len,
+            kmer_bias=self.kmer_bias,
+            hp_r_max=max(128, big // 32),
+            use_pallas_gather=False,  # rescue must not re-trigger window overflow
+        )
         thresh = (small - self.BUCKET_PAD) / self.BUCKET_MARGIN
 
         from .output import PipelinedFetcher
@@ -585,7 +741,7 @@ class GenomeSimulator:
         hp_mode = with_events and self.kmer_bias is not None
         fetchers = {
             lc: PipelinedFetcher(self.fastq, with_events, with_prehp=hp_mode)
-            for lc in buckets
+            for lc in list(buckets) + [RESCUE]
         }
 
         @jax.jit
@@ -640,20 +796,18 @@ class GenomeSimulator:
                 d = h.fetch()
                 for lane in range(n_real):
                     if d["cap_over"][lane]:
-                        # big-bucket overflow is a true reject (nothing larger
-                        # to rerun in); only small-bucket lanes get replayed
-                        if lc != big:
-                            rerun_slots.append(ch[lane])
+                        rerun_slots.append(ch[lane])
                     elif d["valid"][lane]:
                         entries.append((ch[lane], d, lane))
             dispatched = nxt
 
-            # rerun small-bucket capacity overflows in the big bucket (rare:
-            # routing leaves BUCKET_MARGIN headroom, so this stalls the
-            # pipeline only for extreme walk-inflation outliers)
+            # rerun capacity overflows (width or walk budget) through the
+            # full-budget rescue program — identical semantics to the flat
+            # path's OverflowRescueWriter (rare: routing and the lean event
+            # budget both carry slack)
             if rerun_slots:
                 for h, ch, n_real, lc in dispatch_chunks(
-                    np.asarray(rerun_slots, np.int64), big
+                    np.asarray(rerun_slots, np.int64), RESCUE
                 ):
                     d = h.fetch()
                     for lane in range(n_real):

@@ -856,7 +856,11 @@ class CompactFetcher:
     batch that overflows.
     """
 
-    MARGIN = 1.30
+    # first batch: generous margin (estimates only); then lock to the
+    # observed need + LOCKED_MARGIN (batch sums concentrate hard: the std of
+    # sum-of-chunks over B lanes is well under 1%)
+    FIRST_MARGIN = 1.35
+    LOCKED_MARGIN = 1.06
 
     def __init__(self, fastq: bool, with_events: bool, batch: int,
                  est_bases: float, est_events: float, pack_reads: bool = True):
@@ -866,25 +870,34 @@ class CompactFetcher:
         self.fastq = fastq
         self.with_events = with_events
         self.pack_reads = pack_reads
+        self._locked = False
         B = batch
         ch = _c.CHUNK
         rb = (est_bases / 4.0 if pack_reads else est_bases)
-        self.nr_cap = self._tier(int(B * (rb / ch + 1) * self.MARGIN))
+        self.nr_cap = self._tier(int(B * (rb / ch + 1) * self.FIRST_MARGIN))
         self.ne_cap = (
-            self._tier(int(B * (est_events * 4.0 / ch + 1) * self.MARGIN))
+            self._tier(int(B * (est_events * 4.0 / ch + 1) * self.FIRST_MARGIN))
             if with_events else 1
         )
         self.nq_cap = (
-            self._tier(int(B * (est_bases / ch + 1) * self.MARGIN)) if fastq else 1
+            self._tier(int(B * (est_bases / ch + 1) * self.FIRST_MARGIN)) if fastq else 1
         )
 
     @staticmethod
     def _tier(n: int) -> int:
-        """Quantize capacities to sparse tiers (bounds recompiles)."""
-        t = 256
-        while t < n:
-            t = int(t * 1.5)
-        return t
+        """Round capacities up to 256-chunk steps (bounds recompiles while
+        keeping the transferred buffer tight)."""
+        return max(256, -(-n // 256) * 256)
+
+    def _lock(self, need_r, need_e, need_q):
+        """Shrink capacities to the first observed batch's need (the full
+        capacity is what crosses the link, so slack = wasted bandwidth)."""
+        self.nr_cap = self._tier(int(need_r * self.LOCKED_MARGIN) + 1)
+        if self.with_events:
+            self.ne_cap = self._tier(int(need_e * self.LOCKED_MARGIN) + 1)
+        if self.fastq:
+            self.nq_cap = self._tier(int(need_q * self.LOCKED_MARGIN) + 1)
+        self._locked = True
 
     def _dispatch(self, out):
         caps = (self.nr_cap, self.ne_cap, self.nq_cap)
@@ -919,12 +932,15 @@ class CompactFetcher:
                 self.ne_cap = max(self.ne_cap, self._tier(int(need_e * 1.1) + 1))
             if self.fastq:
                 self.nq_cap = max(self.nq_cap, self._tier(int(need_q * 1.1) + 1))
+            self._locked = True
             buf_dev, caps = self._dispatch(h.out)
             cb, ok = self._c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
                 self.fastq, self.with_events, self.pack_reads,
             )
             assert ok, "compaction overflow after capacity bump"
+        elif not self._locked:
+            self._lock(*cb.needs)
         return cb
 
 

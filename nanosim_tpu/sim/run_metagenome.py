@@ -190,7 +190,7 @@ class MetagenomeSimulator:
             self.gap_cap = 128
         self.gap_steps = -(-(int(self.gap_cap * 1.3) + 64) // 8) * 8
         self.l_out = self.l_cap * (2 if chimeric else 1) + self.gap_cap * 2 + self.ht_cap
-        self.e_max = plan_event_budget(profile, self.l_cap)
+        self.e_max = plan_event_budget(profile, self.l_cap, slack=2.5)
 
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_metagenome(mset)

@@ -196,7 +196,7 @@ class TranscriptomeSimulator:
         self.l_cap = plan_ref_capacity(profile, max_len, transcriptome.max_chrom)
         self.ht_cap = plan_ht_capacity(profile)
         self.l_out = self.l_cap + self.ht_cap + 512  # + polyA slack
-        self.e_max = plan_event_budget(profile, self.l_cap)
+        self.e_max = plan_event_budget(profile, self.l_cap, slack=2.5)
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(transcriptome)
         self.kw = dict(

@@ -135,6 +135,32 @@ def test_python_fallback_matches_native(setup, monkeypatch):
     assert filecmp.cmp(ep1, ep2, shallow=False)
 
 
+def test_overflow_rescue_matches_full_budget(setup):
+    """A pathologically lean event budget must change NOTHING: overflow lanes
+    are re-run through the full-budget program and spliced back in slot
+    order (OverflowRescueWriter)."""
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+
+    outs = {}
+    for tag, e_max in (("normal", None), ("lean8", 8), ("lean32", 32)):
+        sim = GenomeSimulator(genome, prof, batch=64)
+        if e_max is not None:
+            sim.e_max = e_max
+        rp = str(d / f"resc_{tag}.fasta")
+        ep = str(d / f"resc_{tag}.err")
+        fw = out_mod.FastxWriter(rp, False)
+        el = out_mod.ErrorLogWriter(ep)
+        got = sim.run(200, out_mod.GenomeBatchWriter(fw, el), seed=7)
+        fw.close()
+        el.close()
+        assert got == 200
+        outs[tag] = (open(rp, "rb").read(), open(ep, "rb").read())
+    assert outs["lean8"] == outs["normal"]
+    assert outs["lean32"] == outs["normal"]
+
+
 def test_chunk_compact_roundtrip():
     """Direct packer unit test: random lane prefixes survive the round trip."""
     import jax.numpy as jnp
