@@ -108,7 +108,7 @@ def error_walk(
 
     def sub_step(t, st):
         (pos, middle_ref, l_new, prev_state, prev_match, n_events,
-         ecnt_mis, ecnt_ins, ecnt_match, ev_pos2x, ev_type, ev_len) = st
+         ecnt_mis, ecnt_ins, ecnt_match, ev_word) = st
         active = pos < middle_ref
 
         us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 3))[:, 0, :]
@@ -138,11 +138,18 @@ def error_walk(
 
         # write the event at this lane's current event index (= t - 1 for
         # every active lane, a prefix per lane); inactive-lane columns hold
-        # garbage masked out by the prefix validity
+        # garbage masked out by the prefix validity.  The three fields pack
+        # into ONE u32 word (pos2x 17 | len 13 | type 2) so the loop carries
+        # a single [B, E] buffer and performs one update per step.
+        # layout: pos2x 19 bits (reads to 262k bases) | len 11 bits (mixture
+        # tables cap lengths at 1024) | type 2 bits
         col = t - 1
-        ev_pos2x = jax.lax.dynamic_update_slice(ev_pos2x, e_pos2x[:, None], (jnp.int32(0), col))
-        ev_type = jax.lax.dynamic_update_slice(ev_type, etype[:, None], (jnp.int32(0), col))
-        ev_len = jax.lax.dynamic_update_slice(ev_len, elen[:, None], (jnp.int32(0), col))
+        word = (
+            e_pos2x.astype(jnp.uint32)
+            | (elen.astype(jnp.uint32) << jnp.uint32(19))
+            | (etype.astype(jnp.uint32) << jnp.uint32(30))
+        )
+        ev_word = jax.lax.dynamic_update_slice(ev_word, word[:, None], (jnp.int32(0), col))
 
         upd = lambda new, old: jnp.where(active, new, old)
         return (
@@ -155,7 +162,7 @@ def error_walk(
             upd(ecnt_mis + jnp.where(etype == E_MIS, elen, 0), ecnt_mis),
             upd(ecnt_ins + jnp.where(is_ins, elen, 0), ecnt_ins),
             upd(ecnt_match + mstep, ecnt_match),
-        ) + (ev_pos2x, ev_type, ev_len)
+        ) + (ev_word,)
 
     def cond(carry):
         i, st = carry
@@ -179,15 +186,16 @@ def error_walk(
         zero,
         zero,
         jnp.minimum(prev_match, m_ref),  # ecnt_match (first match)
-        jnp.zeros((B, E), jnp.int32),
-        jnp.zeros((B, E), jnp.int32),
-        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.uint32),
     )
     assert E % UNROLL == 0, "max_events must be a multiple of the unroll factor"
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init_st))
     (pos, middle_ref, l_new, _, _, n_events, ecnt_mis, ecnt_ins, ecnt_match,
-     ev_pos2x, ev_type, ev_len) = st
+     ev_word) = st
 
+    ev_pos2x = (ev_word & jnp.uint32(0x7FFFF)).astype(jnp.int32)
+    ev_type = (ev_word >> jnp.uint32(30)).astype(jnp.int32)
+    ev_len = ((ev_word >> jnp.uint32(19)) & jnp.uint32(0x7FF)).astype(jnp.int32)
     ev_valid = jnp.arange(E, dtype=jnp.int32)[None, :] < n_events[:, None]
     return WalkResult(
         events_pos2x=ev_pos2x,
@@ -226,7 +234,7 @@ def unaligned_walk(
     U = _bulk_uniforms(walk_keys, E, 2)
 
     def sub_step(t, st):
-        (pos, middle_ref, l_new, n_steps, ev_pos2x, ev_type, ev_len) = st
+        (pos, middle_ref, l_new, n_steps, ev_word) = st
         active = pos < middle_ref
 
         us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 2))[:, 0, :]
@@ -252,9 +260,12 @@ def unaligned_walk(
         middle_ref_n = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
 
         col = t
-        ev_pos2x = jax.lax.dynamic_update_slice(ev_pos2x, e_pos2x[:, None], (jnp.int32(0), col))
-        ev_type = jax.lax.dynamic_update_slice(ev_type, etype[:, None], (jnp.int32(0), col))
-        ev_len = jax.lax.dynamic_update_slice(ev_len, e_len_store[:, None], (jnp.int32(0), col))
+        word = (
+            e_pos2x.astype(jnp.uint32)
+            | (e_len_store.astype(jnp.uint32) << jnp.uint32(19))
+            | (etype.astype(jnp.uint32) << jnp.uint32(30))
+        )
+        ev_word = jax.lax.dynamic_update_slice(ev_word, word[:, None], (jnp.int32(0), col))
 
         upd = lambda new, old: jnp.where(active, new, old)
         return (
@@ -262,9 +273,7 @@ def unaligned_walk(
             upd(middle_ref_n, middle_ref),
             upd(l_new_n, l_new),
             upd(n_steps + 1, n_steps),
-            ev_pos2x,
-            ev_type,
-            ev_len,
+            ev_word,
         )
 
     def cond(carry):
@@ -283,14 +292,15 @@ def unaligned_walk(
         m_ref,
         m_ref,
         zero,
-        jnp.zeros((B, E), jnp.int32),
-        jnp.zeros((B, E), jnp.int32),
-        jnp.zeros((B, E), jnp.int32),
+        jnp.zeros((B, E), jnp.uint32),
     )
     assert E % UNROLL == 0, "max_steps must be a multiple of the unroll factor"
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
-    pos, middle_ref, l_new, n_steps, ev_pos2x, ev_type, ev_len = st
+    pos, middle_ref, l_new, n_steps, ev_word = st
 
+    ev_pos2x = (ev_word & jnp.uint32(0x7FFFF)).astype(jnp.int32)
+    ev_type = (ev_word >> jnp.uint32(30)).astype(jnp.int32)
+    ev_len = ((ev_word >> jnp.uint32(19)) & jnp.uint32(0x7FF)).astype(jnp.int32)
     ev_valid = (jnp.arange(E, dtype=jnp.int32)[None, :] < n_steps[:, None]) & (ev_len > 0)
     return WalkResult(
         events_pos2x=ev_pos2x,
