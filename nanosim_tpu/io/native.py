@@ -48,8 +48,84 @@ def get_lib():
             lib.emit_batch.restype = ctypes.c_int64
             lib.emit_chimeric_batch.restype = ctypes.c_int64
             lib.emit_batch_flat.restype = ctypes.c_int64
+            lib.replay_walk_batch.restype = ctypes.c_int64
             _lib = lib
     return _lib
+
+
+class WalkReplayer:
+    """Host-side replay of the aligned-read error walk (C++).
+
+    Regenerates each accepted lane's event list from (seed, slot) with a
+    bit-identical threefry stream and the same inverse-CDF tables the device
+    uses, then verifies against the device's per-lane checksum.  Lanes that
+    fail verification (possible only through cross-platform f32 arithmetic
+    corner cases in the ECDF inversion) are reported so the caller can
+    re-fetch their events from the device.
+    """
+
+    def __init__(self, profile, seed: int, stream: int, site_walk: int, e_guard: int):
+        from ..ops import tables as dev_tables
+
+        self.lib = get_lib()
+        self.seed = seed
+        self.stream = stream
+        self.site_walk = site_walk
+        self.e_guard = e_guard
+
+        fm, mm = profile.first_match, profile.match_markov
+        f32 = lambda a: np.ascontiguousarray(a, np.float32)
+        i32 = lambda a: np.ascontiguousarray(a, np.int32)
+        self.fm = (i32(fm.bin_lo), f32(fm.p_lo), f32(fm.p_hi), f32(fm.v_lo),
+                   f32(fm.v_hi), i32(fm.n_entries), fm.p_lo.shape[0], fm.p_lo.shape[1])
+        self.mm = (i32(mm.bin_lo), f32(mm.p_lo), f32(mm.p_hi), f32(mm.v_lo),
+                   f32(mm.v_hi), i32(mm.n_entries), mm.p_lo.shape[0], mm.p_lo.shape[1])
+        p = profile.mix_params
+        n_max = 1024
+        self.mix = f32(np.stack([
+            dev_tables._pois_geom_cdf(p.mis[0], p.mis[2], p.mis[3], n_max),
+            dev_tables._wei_geom_cdf(p.ins[0], p.ins[1], p.ins[2], p.ins[3], n_max),
+            dev_tables._wei_geom_cdf(p.dele[0], p.dele[1], p.dele[2], p.dele[3], n_max),
+        ]))
+        self.mix_n = n_max
+        self.trans = f32(np.cumsum(profile.trans_error, axis=1))
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def replay(self, slots, lane_do, m_ref, n_events, checksums, ev_out, ev_off):
+        """Fill ev_out (uint32 flat buffer) at ev_off word offsets for lanes
+        with lane_do set; returns ok[B] bool (verified lanes)."""
+        B = len(slots)
+        ok = np.zeros(B, np.uint8)
+        fm = self.fm
+        mm = self.mm
+        self.lib.replay_walk_batch(
+            ctypes.c_int64(self.seed), ctypes.c_int64(self.stream),
+            ctypes.c_int64(self.site_walk), ctypes.c_int64(B),
+            _ptr(np.ascontiguousarray(slots, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(lane_do, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(m_ref, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(n_events, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(checksums, np.uint32), ctypes.c_uint32),
+            _ptr(fm[0], ctypes.c_int32), _ptr(fm[1], ctypes.c_float),
+            _ptr(fm[2], ctypes.c_float), _ptr(fm[3], ctypes.c_float),
+            _ptr(fm[4], ctypes.c_float), _ptr(fm[5], ctypes.c_int32),
+            ctypes.c_int64(fm[6]), ctypes.c_int64(fm[7]),
+            _ptr(mm[0], ctypes.c_int32), _ptr(mm[1], ctypes.c_float),
+            _ptr(mm[2], ctypes.c_float), _ptr(mm[3], ctypes.c_float),
+            _ptr(mm[4], ctypes.c_float), _ptr(mm[5], ctypes.c_int32),
+            ctypes.c_int64(mm[6]), ctypes.c_int64(mm[7]),
+            _ptr(self.mix, ctypes.c_float), ctypes.c_int64(self.mix_n),
+            _ptr(self.trans, ctypes.c_float),
+            _ptr(ev_out, ctypes.c_uint32),
+            _ptr(np.ascontiguousarray(ev_off, np.int64), ctypes.c_int64),
+            ctypes.c_int64(self.e_guard),
+            _ptr(ok, ctypes.c_uint8),
+            ctypes.c_int32(min(4, os.cpu_count() or 1)),
+        )
+        return ok.astype(bool)
 
 
 def _ptr(a, ctype):

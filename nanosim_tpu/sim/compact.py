@@ -36,9 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 512  # bytes per aligned chunk (reads/quals); events use 128 u32 words
+CHUNK = 256  # bytes per aligned chunk (reads/quals); events use 64 u32 words
 
-META_COLS = 11  # valid,total,head,tail,middle_ref,l_new,chrom,pos,rev,n_events,cap_over
+# valid,total,head,tail,middle_ref,l_new,chrom,pos,rev,n_events,cap_over,
+# m_ref_init, ev_checksum (walk-replay verification)
+META_COLS = 13
 
 
 def _le_bytes64(x):
@@ -110,7 +112,10 @@ def _chunk_compact(rows_bytes, lane_bytes, cap_chunks):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nr_cap", "ne_cap", "nq_cap", "fastq", "with_events", "pack_reads"),
+    static_argnames=(
+        "nr_cap", "ne_cap", "nq_cap", "fastq", "with_events", "pack_reads",
+        "with_checksum",
+    ),
 )
 def compact_pack(
     read,  # [B, l_out] uint8 ASCII, final orientation
@@ -129,13 +134,15 @@ def compact_pack(
     ev_pos2x,  # [B, E] int32
     ev_type,
     ev_len,
+    m_ref_init=None,  # [B] int32 (walk replay) or None
     *,
     nr_cap: int,  # read capacity, CHUNK-byte chunks
-    ne_cap: int,  # event capacity, 128-word chunks
+    ne_cap: int,  # event capacity, CHUNK-byte chunks
     nq_cap: int,  # qual capacity, CHUNK-byte chunks (0 unless fastq)
     fastq: bool,
     with_events: bool,
     pack_reads: bool = True,
+    with_checksum: bool = False,
 ) -> jax.Array:
     """ONE uint8 transfer buffer:
 
@@ -186,9 +193,24 @@ def compact_pack(
         parts.append(flat_q)
 
     # --- metadata (built last so the chunk-count row is available) ---
+    mref_col = m_ref_init if m_ref_init is not None else jnp.zeros(B, jnp.int32)
+    if with_checksum:
+        # order-sensitive 32-bit checksum over the packed event words (the
+        # host walk replay recomputes it; mismatching lanes re-fetch exactly)
+        w = (
+            ev_pos2x.astype(jnp.uint32)
+            | (ev_len.astype(jnp.uint32) << jnp.uint32(17))
+            | (ev_type.astype(jnp.uint32) << jnp.uint32(30))
+        )
+        e_i = jnp.arange(w.shape[1], dtype=jnp.uint32)[None, :]
+        terms = (w + jnp.uint32(1)) * (jnp.uint32(2) * e_i + jnp.uint32(1))
+        mask = e_i.astype(jnp.int32) < n_events[:, None]
+        cksum = jnp.sum(jnp.where(mask, terms, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    else:
+        cksum = jnp.zeros(B, jnp.uint32)
     cols = [valid, total, head, tail, middle_ref, l_new, chrom, local_pos,
-            is_rev, n_events, cap_over]
-    meta = jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)  # [B, 11]
+            is_rev, n_events, cap_over, mref_col, cksum]
+    meta = jnp.stack([c.astype(jnp.int64) for c in cols], axis=1)  # [B, 13]
     tail_row = (
         jnp.zeros((1, META_COLS), jnp.int64)
         .at[0, 0].set(need_r.astype(jnp.int64))
@@ -213,7 +235,7 @@ class CompactBatch:
         "valid", "total", "head", "tail", "middle_ref", "l_new", "chrom",
         "pos", "rev", "n_events", "cap_over",
         "reads_flat", "read_off", "ev_flat", "ev_off", "quals_flat", "qual_off",
-        "pack_reads", "needs",
+        "pack_reads", "needs", "m_ref", "ev_checksum",
     )
 
     def __getitem__(self, k):  # dict-style access for writer compatibility
@@ -255,6 +277,8 @@ def decode_compact(
     cb.rev = m[:, 8].astype(bool)
     cb.n_events = m[:, 9]
     cb.cap_over = m[:, 10].astype(bool)
+    cb.m_ref = m[:, 11]
+    cb.ev_checksum = m[:, 12].astype(np.uint32)
     cb.pack_reads = pack_reads
 
     v = cb.valid.astype(np.int64)

@@ -55,6 +55,9 @@ class BatchOut(NamedTuple):
     # capacity overflow (walk budget / l_cap / l_out exceeded): the slot is
     # NOT statistically rejected — it must be rerun in a larger bucket
     capacity_overflow: jax.Array
+    # the walk's INPUT length (clipped KDE draw) — with the slot id this
+    # fully determines the event list, enabling host-side walk replay
+    m_ref_init: jax.Array = None
 
 
 def _ndtri(q):
@@ -330,6 +333,7 @@ def genome_batch(
             n_events=n_events,
             read_prehp=read_prehp,
             capacity_overflow=cap_over,
+            m_ref_init=m_ref,
         )
     if perfect:
         read_mid = ref_seg
@@ -391,6 +395,7 @@ def genome_batch(
         n_events=n_events,
         read_prehp=read_prehp,
         capacity_overflow=cap_over,
+        m_ref_init=m_ref,
     )
 
 
@@ -675,16 +680,31 @@ class GenomeSimulator:
         hp_mode = with_events and self.kmer_bias is not None
         if hp_mode:
             # -hp needs the pre-resize middle buffer for the ground-truth log
-            make_fetcher = lambda: PipelinedFetcher(self.fastq, with_events, with_prehp=True)
+            make_fetcher = lambda replay=False: PipelinedFetcher(
+                self.fastq, with_events, with_prehp=True)
         else:
-            from .bundles import estimate_mean_aligned, estimate_mean_match
+            from .bundles import FULL_EVENT_SLACK, estimate_mean_aligned, estimate_mean_match
 
             est_bases = estimate_mean_aligned(self.profile) * 1.1 + 64
             est_events = est_bases / (estimate_mean_match(self.profile) + 1.0)
-            make_fetcher = lambda: CompactFetcher(
-                self.fastq, with_events, self.batch, est_bases, est_events
+            replayer = None
+            p = self.profile
+            if (with_events and not self.perfect
+                    and p.first_match is not None and p.match_markov is not None
+                    and p.mix_params is not None and p.trans_error is not None):
+                from ..io.native import WalkReplayer, get_lib
+
+                if get_lib() is not None:
+                    replayer = WalkReplayer(
+                        self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                        e_guard=plan_event_budget(self.profile, self.l_cap,
+                                                  slack=FULL_EVENT_SLACK),
+                    )
+            make_fetcher = lambda replay=False: CompactFetcher(
+                self.fastq, with_events, self.batch, est_bases, est_events,
+                replayer=replayer if replay else None,
             )
-        fetcher = make_fetcher()
+        fetcher = make_fetcher(replay=True)
         wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
 
         def make_batch(slot_start):

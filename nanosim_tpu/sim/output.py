@@ -863,13 +863,19 @@ class CompactFetcher:
     LOCKED_MARGIN = 1.06
 
     def __init__(self, fastq: bool, with_events: bool, batch: int,
-                 est_bases: float, est_events: float, pack_reads: bool = True):
+                 est_bases: float, est_events: float, pack_reads: bool = True,
+                 replayer=None):
         from . import compact as _c
 
         self._c = _c
         self.fastq = fastq
         self.with_events = with_events
         self.pack_reads = pack_reads
+        # with a walk replayer, events are REGENERATED host-side and verified
+        # against the device checksum — the event stream stays off the link
+        self.replayer = replayer if (with_events and replayer is not None
+                                     and replayer.available) else None
+        self.transfer_events = with_events and self.replayer is None
         self._locked = False
         B = batch
         ch = _c.CHUNK
@@ -893,23 +899,26 @@ class CompactFetcher:
         """Shrink capacities to the first observed batch's need (the full
         capacity is what crosses the link, so slack = wasted bandwidth)."""
         self.nr_cap = self._tier(int(need_r * self.LOCKED_MARGIN) + 1)
-        if self.with_events:
+        if self.transfer_events:
             self.ne_cap = self._tier(int(need_e * self.LOCKED_MARGIN) + 1)
         if self.fastq:
             self.nq_cap = self._tier(int(need_q * self.LOCKED_MARGIN) + 1)
         self._locked = True
 
-    def _dispatch(self, out):
-        caps = (self.nr_cap, self.ne_cap, self.nq_cap)
+    def _dispatch(self, out, force_events: bool = False):
+        transfer_events = self.transfer_events or force_events
+        caps = (self.nr_cap, self.ne_cap if transfer_events else 1, self.nq_cap)
         buf = self._c.compact_pack(
             out.read, out.quals, out.valid, out.total_len, out.head, out.tail,
             out.middle_ref, out.l_new, out.chrom, out.local_pos,
             out.is_reversed, out.n_events,
             getattr(out, "capacity_overflow", out.valid),
             out.ev_pos2x, out.ev_type, out.ev_len,
+            getattr(out, "m_ref_init", None),
             nr_cap=caps[0], ne_cap=caps[1], nq_cap=caps[2],
-            fastq=self.fastq, with_events=self.with_events,
+            fastq=self.fastq, with_events=transfer_events,
             pack_reads=self.pack_reads,
+            with_checksum=self.replayer is not None and not force_events,
         )
         return buf, caps
 
@@ -922,13 +931,13 @@ class CompactFetcher:
         B = h.out.read.shape[0]
         caps = h.caps
         cb, ok = self._c.decode_compact(
-            buf, B, caps[0], caps[1], caps[2], self.fastq, self.with_events,
+            buf, B, caps[0], caps[1], caps[2], self.fastq, self.transfer_events,
             self.pack_reads,
         )
         if not ok:
             need_r, need_e, need_q = cb
             self.nr_cap = max(self.nr_cap, self._tier(int(need_r * 1.1) + 1))
-            if self.with_events:
+            if self.transfer_events:
                 self.ne_cap = max(self.ne_cap, self._tier(int(need_e * 1.1) + 1))
             if self.fastq:
                 self.nq_cap = max(self.nq_cap, self._tier(int(need_q * 1.1) + 1))
@@ -936,12 +945,47 @@ class CompactFetcher:
             buf_dev, caps = self._dispatch(h.out)
             cb, ok = self._c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
-                self.fastq, self.with_events, self.pack_reads,
+                self.fastq, self.transfer_events, self.pack_reads,
             )
             assert ok, "compaction overflow after capacity bump"
         elif not self._locked:
             self._lock(*cb.needs)
+        if self.replayer is not None:
+            self._replay_events(h, cb)
         return cb
+
+    def _replay_events(self, h: CompactHandle, cb):
+        """Regenerate event lists host-side; fall back to an exact device
+        fetch for any lane failing checksum verification."""
+        _c = self._c
+        B = len(cb.valid)
+        v = cb.valid & ~cb.cap_over
+        ev_bytes = np.where(v, 4 * cb.n_events, 0)
+        ch = -(-ev_bytes // _c.CHUNK)
+        off_words = (np.cumsum(ch) - ch) * (_c.CHUNK // 4)
+        total_words = int(ch.sum()) * (_c.CHUNK // 4)
+        ev_out = np.zeros(max(total_words, 1), np.uint32)
+        okl = self.replayer.replay(
+            h.slots, v.astype(np.uint8), cb.m_ref, cb.n_events,
+            cb.ev_checksum, ev_out, off_words,
+        )
+        if bool((okl | ~v).all()):
+            cb.ev_flat = ev_out
+            cb.ev_off = off_words
+            return
+        # rare exact fallback: pull the device's own event stream
+        for _ in range(3):
+            buf_dev, caps = self._dispatch(h.out, force_events=True)
+            cb2, ok = _c.decode_compact(
+                np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
+                self.fastq, True, self.pack_reads,
+            )
+            if ok:
+                cb.ev_flat = cb2.ev_flat
+                cb.ev_off = cb2.ev_off
+                return
+            self.ne_cap = max(self.ne_cap, self._tier(int(cb2[1] * 1.15) + 1))
+        raise RuntimeError("event fallback transfer kept overflowing")
 
 
 class AsyncBatchWriter:

@@ -9,6 +9,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC fastwriter.cpp -o libfastwriter.so
 // Interface: plain C, consumed via ctypes (no pybind11 in this image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -133,6 +134,110 @@ inline void decode_rc(const uint8_t* packed, int64_t total, char* dst) {
     p += 4;
   }
 }
+
+// --- JAX-compatible threefry-2x32 + error-walk replay ----------------------
+//
+// The ground-truth error log needs the walk's event list, but shipping it
+// from the device costs ~45% of the host-link bytes.  The walk is a pure
+// function of (seed, stream, slot, site) under the framework's counter-based
+// RNG contract, so the host REPLAYS it: threefry here is bit-identical to
+// jax._src.prng (20 rounds, rotation schedule 13/15/26/6 + 17/29/16/24), and
+// draws use the partitionable counter layout (block (0, p), output y0 ^ y1).
+// The one cross-platform risk is the f32 ECDF-inversion arithmetic (XLA may
+// fuse/contract differently); every lane therefore carries a device-computed
+// checksum over its event words, and mismatching lanes are re-fetched from
+// the device (exact), keeping output byte-correct regardless.
+
+namespace walkreplay {
+
+struct Key {
+  uint32_t k0, k1;
+};
+
+inline void tf_block(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
+                     uint32_t* y0, uint32_t* y1) {
+  static const uint32_t R0[4] = {13, 15, 26, 6}, R1[4] = {17, 29, 16, 24};
+  const uint32_t ks[3] = {k0, k1, k0 ^ k1 ^ 0x1BD11BDAu};
+  x0 += ks[0];
+  x1 += ks[1];
+  for (int i = 0; i < 5; ++i) {
+    const uint32_t* rot = (i % 2 == 0) ? R0 : R1;
+    for (int r = 0; r < 4; ++r) {
+      x0 += x1;
+      x1 = (x1 << rot[r]) | (x1 >> (32 - rot[r]));
+      x1 ^= x0;
+    }
+    x0 += ks[(i + 1) % 3];
+    x1 += ks[(i + 2) % 3] + static_cast<uint32_t>(i + 1);
+  }
+  *y0 = x0;
+  *y1 = x1;
+}
+
+inline Key fold_in(Key k, uint32_t data) {
+  Key o;
+  tf_block(k.k0, k.k1, 0u, data, &o.k0, &o.k1);
+  return o;
+}
+
+inline float bits_to_uniform(uint32_t b) {
+  uint32_t f = (b >> 9) | 0x3F800000u;
+  float out;
+  std::memcpy(&out, &f, 4);
+  return out - 1.0f;
+}
+
+// jax.random.uniform(key, (n,)) position p: block (0, p), bits = y0 ^ y1
+inline float uniform_at(Key k, uint32_t pos) {
+  uint32_t y0, y1;
+  tf_block(k.k0, k.k1, 0u, pos, &y0, &y1);
+  return bits_to_uniform(y0 ^ y1);
+}
+
+struct Ecdf {
+  const int32_t* bin_lo;  // [n_bins]
+  const float* p_lo;      // [n_bins, J]
+  const float* p_hi;
+  const float* v_lo;
+  const float* v_hi;
+  const int32_t* n_entries;
+  int64_t n_bins, J;
+
+  int select_bin(int32_t value) const {
+    // searchsorted(bin_lo, value, side='right') - 1, clipped
+    int64_t lo = 0, hi = n_bins;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (bin_lo[mid] <= value) lo = mid + 1; else hi = mid;
+    }
+    int64_t idx = lo - 1;
+    if (idx < 0) idx = 0;
+    if (idx >= n_bins) idx = n_bins - 1;
+    return static_cast<int>(idx);
+  }
+
+  int32_t invert(int lane, float p) const {
+    const float* ph = p_hi + lane * J;
+    // first j with p_hi >= p
+    int64_t lo = 0, hi = J;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (ph[mid] < p) lo = mid + 1; else hi = mid;
+    }
+    int64_t j = lo;
+    int64_t nmax = n_entries[lane] - 1;
+    if (j > nmax) j = nmax;
+    float plo = p_lo[lane * J + j];
+    float phi = ph[j];
+    float vlo = v_lo[lane * J + j];
+    float vhi = v_hi[lane * J + j];
+    // identical op order to tables.EcdfDevice.invert
+    float val = std::floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo);
+    return static_cast<int32_t>(val);
+  }
+};
+
+}  // namespace walkreplay
 
 struct FlatArgs {
   const uint8_t* reads_packed;
@@ -277,6 +382,111 @@ void emit_flat_range(const FlatArgs& a, int64_t r0, int64_t r1,
 }  // namespace
 
 extern "C" {
+
+// Replay the aligned-read error walks for a batch of lanes and verify each
+// against its device-computed checksum.  Writes packed event words
+// (pos2x | len << 17 | type << 30) at ev_off[lane] (word offsets) for lanes
+// with ok[lane] == 1.  Layout matches a with-events compact transfer, so the
+// flat emitter consumes the result unchanged.
+int64_t replay_walk_batch(
+    int64_t seed, int64_t stream, int64_t site_walk,
+    int64_t B, const int64_t* slots, const uint8_t* lane_do,
+    const int64_t* m_ref, const int64_t* n_events_meta,
+    const uint32_t* checksums,
+    // first_match ECDF (single bin)
+    const int32_t* fm_bin_lo, const float* fm_p_lo, const float* fm_p_hi,
+    const float* fm_v_lo, const float* fm_v_hi, const int32_t* fm_n_entries,
+    int64_t fm_bins, int64_t fm_J,
+    // match markov ECDF
+    const int32_t* mm_bin_lo, const float* mm_p_lo, const float* mm_p_hi,
+    const float* mm_v_lo, const float* mm_v_hi, const int32_t* mm_n_entries,
+    int64_t mm_bins, int64_t mm_J,
+    // mixtures + transitions
+    const float* mix_cdf, int64_t mix_n, const float* trans_cum,
+    uint32_t* ev_out, const int64_t* ev_off, int64_t e_guard,
+    uint8_t* ok_out, int32_t n_threads) {
+  using walkreplay::Ecdf;
+  using walkreplay::Key;
+  Ecdf fm{fm_bin_lo, fm_p_lo, fm_p_hi, fm_v_lo, fm_v_hi, fm_n_entries, fm_bins, fm_J};
+  Ecdf mm{mm_bin_lo, mm_p_lo, mm_p_hi, mm_v_lo, mm_v_hi, mm_n_entries, mm_bins, mm_J};
+
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(stream));
+
+  auto run_range = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      if (!lane_do[b]) {
+        ok_out[b] = 0;
+        continue;
+      }
+      const int64_t n_exp = n_events_meta[b];
+      uint32_t* ev = ev_out + ev_off[b];
+      Key wk = walkreplay::fold_in(
+          walkreplay::fold_in(base, static_cast<uint32_t>(slots[b])),
+          static_cast<uint32_t>(site_walk));
+      Key k0 = walkreplay::fold_in(wk, 0u);
+      float u0 = walkreplay::uniform_at(k0, 0u);
+      int64_t fmatch = fm.invert(0, u0);
+      int64_t prev = fmatch < 2 ? 2 : fmatch;
+      int64_t pos = prev, mid = m_ref[b];
+      int state = 0;
+      uint32_t sum = 0;
+      int64_t e = 0;
+      uint32_t t = 1;
+      bool fail = false;
+      while (pos < mid) {
+        if (e >= n_exp || e >= e_guard) {
+          fail = true;
+          break;
+        }
+        Key kt = walkreplay::fold_in(wk, t);
+        float ue = walkreplay::uniform_at(kt, 0u);
+        float ul = walkreplay::uniform_at(kt, 1u);
+        float um = walkreplay::uniform_at(kt, 2u);
+        const float* cum = trans_cum + state * 3;
+        int etype = (cum[0] < ue) + (cum[1] < ue) + (cum[2] < ue);
+        if (etype > 2) etype = 2;
+        const float* cdf = mix_cdf + etype * mix_n;
+        int64_t lo = 0, hi = mix_n;
+        while (lo < hi) {
+          int64_t m = (lo + hi) / 2;
+          if (cdf[m] < ul) lo = m + 1; else hi = m;
+        }
+        int64_t elen = lo + 1;
+        const bool is_ins = etype == 1;
+        const int64_t e_pos2x = is_ins ? 2 * pos - 1 : 2 * pos;
+        const int64_t pos_after = pos + (is_ins ? 0 : elen);
+        if (!is_ins && pos_after > mid) mid = pos_after;
+        int64_t mstep = mm.invert(mm.select_bin(static_cast<int32_t>(prev)), um);
+        if (prev == 0 && mstep == 0) mstep = 1;
+        if (pos_after + mstep > mid) mid = pos_after + mstep;
+        const uint32_t word = static_cast<uint32_t>(e_pos2x)
+            | (static_cast<uint32_t>(elen) << 17)
+            | (static_cast<uint32_t>(etype) << 30);
+        ev[e] = word;
+        sum += (word + 1u) * (2u * static_cast<uint32_t>(e) + 1u);
+        state = etype + 1 + (mstep == 0 ? 3 : 0);
+        prev = mstep;
+        pos = pos_after + mstep;
+        ++t;
+        ++e;
+      }
+      ok_out[b] = (!fail && e == n_exp && sum == checksums[b]) ? 1 : 0;
+    }
+  };
+
+  int T = n_threads < 1 ? 1 : n_threads;
+  if (T <= 1 || B < 64) {
+    run_range(0, B);
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < T; ++i)
+      threads.emplace_back(run_range, B * i / T, B * (i + 1) / T);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
 
 // Flat-batch emitter: reads arrive 2-bit packed in one flat buffer (per-read
 // byte offsets), events packed u32 (pos2x | len<<17 | type<<30) in a flat

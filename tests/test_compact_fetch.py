@@ -161,6 +161,84 @@ def test_overflow_rescue_matches_full_budget(setup):
     assert outs["lean32"] == outs["normal"]
 
 
+def test_walk_replay_matches_device_events(setup):
+    """The C++ walk replay must regenerate the exact event stream the device
+    computed (same threefry, same tables, checksum-verified), and a run with
+    replay must be byte-identical to one that transfers events."""
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+    sim = GenomeSimulator(genome, prof, batch=128)
+
+    import jax.numpy as jnp
+
+    from nanosim_tpu.io.native import WalkReplayer
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.bundles import FULL_EVENT_SLACK, plan_event_budget
+
+    seed = 5
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    fn = sim.batch_fn()
+    out = fn(base, jnp.arange(128, dtype=jnp.int64))
+    replayer = WalkReplayer(
+        prof, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+        e_guard=plan_event_budget(prof, sim.l_cap, slack=FULL_EVENT_SLACK),
+    )
+    assert replayer.available
+
+    fe = out_mod.CompactFetcher(False, True, 128, 700.0, 64.0)  # transfers events
+    fr = out_mod.CompactFetcher(False, True, 128, 700.0, 64.0, replayer=replayer)
+    assert fr.replayer is not None
+    he = fe.dispatch(out)
+    hr = fr.dispatch(out)
+    hr.slots = np.arange(128, dtype=np.int64)
+    cbe = he.fetch()
+    cbr = hr.fetch()
+    v = cbe.valid & ~cbe.cap_over
+    for b in np.nonzero(v)[0]:
+        ne = int(cbe.n_events[b])
+        ee = cbe.ev_flat[int(cbe.ev_off[b]) : int(cbe.ev_off[b]) + ne]
+        rr = cbr.ev_flat[int(cbr.ev_off[b]) : int(cbr.ev_off[b]) + ne]
+        np.testing.assert_array_equal(ee, rr)
+
+
+def test_walk_replay_checksum_fallback(setup, monkeypatch):
+    """A replay/checksum mismatch must silently fall back to the exact
+    device event stream (corrupt the replay verdict to force it)."""
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+
+    def run_full(tag):
+        sim = GenomeSimulator(genome, prof, batch=64)
+        rp = str(d / f"{tag}.fasta")
+        ep = str(d / f"{tag}.err")
+        fw = out_mod.FastxWriter(rp, False)
+        el = out_mod.ErrorLogWriter(ep)
+        got = sim.run(150, out_mod.GenomeBatchWriter(fw, el), seed=6)
+        fw.close()
+        el.close()
+        assert got == 150
+        return rp, ep
+
+    rp1, ep1 = run_full("rep_ok")
+
+    from nanosim_tpu.io import native as native_mod
+
+    real_replay = native_mod.WalkReplayer.replay
+
+    def corrupted(self, slots, lane_do, m_ref, n_events, checksums, ev_out, ev_off):
+        ok = real_replay(self, slots, lane_do, m_ref, n_events, checksums, ev_out, ev_off)
+        ok = ok.copy()
+        ok[: len(ok) // 2] = False  # force fallback
+        return ok
+
+    monkeypatch.setattr(native_mod.WalkReplayer, "replay", corrupted)
+    rp2, ep2 = run_full("rep_fb")
+    assert filecmp.cmp(rp1, rp2, shallow=False)
+    assert filecmp.cmp(ep1, ep2, shallow=False)
+
+
 def test_chunk_compact_roundtrip():
     """Direct packer unit test: random lane prefixes survive the round trip."""
     import jax.numpy as jnp
