@@ -26,27 +26,6 @@ from ..profiles.error_model import MixtureParams
 from ..profiles.kde import KdeModel
 
 
-def _row_searchsorted(table: jax.Array, rows: jax.Array, x: jax.Array) -> jax.Array:
-    """Per-lane searchsorted: first j with table[rows[b], j] >= x[b].
-
-    Equals sum(table[rows] < x[:, None], axis=-1) but via log2(J) [B]-sized
-    gather steps instead of a J-wide pass — the inner samplers run inside
-    the sequential walk loop, where J-wide row scans dominate the step cost.
-    """
-    J = table.shape[-1]
-    lo = jnp.zeros(rows.shape, jnp.int32)
-    hi = jnp.full(rows.shape, J, jnp.int32)
-    n_iter = max(1, int(np.ceil(np.log2(J + 1))))
-    for _ in range(n_iter):
-        go_on = lo < hi
-        mid = (lo + hi) // 2  # <= hi - 1 <= J - 1 while lo < hi
-        v = table[rows, jnp.minimum(mid, J - 1)]
-        less = v < x
-        lo = jnp.where(go_on & less, mid + 1, lo)
-        hi = jnp.where(go_on & ~less, mid, hi)
-    return lo
-
-
 def _register(cls, data_fields, static_fields=()):
     jax.tree_util.register_pytree_node(
         cls,
@@ -92,10 +71,12 @@ class EcdfDevice:
         Matches floor((p-plo)/(phi-plo)*(vhi-vlo)+vlo) with interval
         p_lo < p <= p_hi (simulator.py:1843-1849, 1894-1898).
         """
-        j = _row_searchsorted(self.p_hi, lane, p)  # first j with p_hi >= p
+        p_hi = self.p_hi[lane]  # [B, J]
+        j = jnp.sum(p_hi < p[:, None], axis=-1)  # first j with p_hi >= p
         j = jnp.minimum(j, self.n_entries[lane] - 1)
+        b = jnp.arange(lane.shape[0])
         plo = self.p_lo[lane, j]
-        phi = self.p_hi[lane, j]
+        phi = p_hi[b, j]
         vlo = self.v_lo[lane, j]
         vhi = self.v_hi[lane, j]
         val = jnp.floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo)
@@ -151,7 +132,8 @@ class MixtureDevice:
 
     def sample(self, etype: jax.Array, u: jax.Array) -> jax.Array:
         """[B] error types, [B] uniforms -> [B] int32 lengths >= 1."""
-        idx = _row_searchsorted(self.cdf, etype, u)
+        rows = self.cdf[etype]  # [B, n_max]
+        idx = jnp.sum(rows < u[:, None], axis=-1)
         return (idx + 1).astype(jnp.int32)
 
 
