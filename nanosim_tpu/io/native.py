@@ -66,6 +66,7 @@ class WalkReplayer:
 
     def __init__(self, profile, seed: int, stream: int, site_walk: int, e_guard: int):
         from ..ops import tables as dev_tables
+        from ..profiles.ecdf import exact_breakpoints
 
         self.lib = get_lib()
         self.seed = seed
@@ -73,13 +74,16 @@ class WalkReplayer:
         self.site_walk = site_walk
         self.e_guard = e_guard
 
-        fm, mm = profile.first_match, profile.match_markov
         f32 = lambda a: np.ascontiguousarray(a, np.float32)
         i32 = lambda a: np.ascontiguousarray(a, np.int32)
-        self.fm = (i32(fm.bin_lo), f32(fm.p_lo), f32(fm.p_hi), f32(fm.v_lo),
-                   f32(fm.v_hi), i32(fm.n_entries), fm.p_lo.shape[0], fm.p_lo.shape[1])
-        self.mm = (i32(mm.bin_lo), f32(mm.p_lo), f32(mm.p_hi), f32(mm.v_lo),
-                   f32(mm.v_hi), i32(mm.n_entries), mm.p_lo.shape[0], mm.p_lo.shape[1])
+
+        def ecdf_blob(t):
+            breaks, vals, n_bk = exact_breakpoints(t)
+            return (i32(t.bin_lo), f32(breaks), i32(vals), i32(n_bk),
+                    breaks.shape[0], breaks.shape[1])
+
+        self.fm = ecdf_blob(profile.first_match)
+        self.mm = ecdf_blob(profile.match_markov)
         p = profile.mix_params
         n_max = 1024
         self.mix = f32(np.stack([
@@ -110,13 +114,11 @@ class WalkReplayer:
             _ptr(np.ascontiguousarray(n_events, np.int64), ctypes.c_int64),
             _ptr(np.ascontiguousarray(checksums, np.uint32), ctypes.c_uint32),
             _ptr(fm[0], ctypes.c_int32), _ptr(fm[1], ctypes.c_float),
-            _ptr(fm[2], ctypes.c_float), _ptr(fm[3], ctypes.c_float),
-            _ptr(fm[4], ctypes.c_float), _ptr(fm[5], ctypes.c_int32),
-            ctypes.c_int64(fm[6]), ctypes.c_int64(fm[7]),
+            _ptr(fm[2], ctypes.c_int32), _ptr(fm[3], ctypes.c_int32),
+            ctypes.c_int64(fm[4]), ctypes.c_int64(fm[5]),
             _ptr(mm[0], ctypes.c_int32), _ptr(mm[1], ctypes.c_float),
-            _ptr(mm[2], ctypes.c_float), _ptr(mm[3], ctypes.c_float),
-            _ptr(mm[4], ctypes.c_float), _ptr(mm[5], ctypes.c_int32),
-            ctypes.c_int64(mm[6]), ctypes.c_int64(mm[7]),
+            _ptr(mm[2], ctypes.c_int32), _ptr(mm[3], ctypes.c_int32),
+            ctypes.c_int64(mm[4]), ctypes.c_int64(mm[5]),
             _ptr(self.mix, ctypes.c_float), ctypes.c_int64(self.mix_n),
             _ptr(self.trans, ctypes.c_float),
             _ptr(ev_out, ctypes.c_uint32),

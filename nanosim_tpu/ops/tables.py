@@ -39,24 +39,29 @@ def _register(cls, data_fields, static_fields=()):
 
 @dataclasses.dataclass
 class EcdfDevice:
-    """Batched inverse-CDF lookup for a binned ECDF profile."""
+    """Batched inverse-CDF lookup for a binned ECDF profile.
+
+    Compiled to EXACT f32 breakpoints (profiles/ecdf.exact_breakpoints):
+    inversion is pure f32 comparisons + one gather, so the result is
+    bit-identical across TPU / CPU XLA / the C++ walk replay AND matches the
+    reference's float64 floor arithmetic by construction.
+    """
 
     bin_lo: jax.Array  # [n_bins] int32
-    p_lo: jax.Array  # [n_bins, J] f32
-    p_hi: jax.Array  # [n_bins, J] f32 (padded with 2.0)
-    v_lo: jax.Array  # [n_bins, J] f32
-    v_hi: jax.Array  # [n_bins, J] f32
-    n_entries: jax.Array  # [n_bins] int32
+    breaks: jax.Array  # [n_bins, K] f32 (padded with 2.0)
+    vals: jax.Array  # [n_bins, K] int32
+    n_bk: jax.Array  # [n_bins] int32
 
     @classmethod
     def from_table(cls, t: EcdfTable) -> "EcdfDevice":
+        from ..profiles.ecdf import exact_breakpoints
+
+        breaks, vals, n_bk = exact_breakpoints(t)
         return cls(
             bin_lo=jnp.asarray(t.bin_lo, jnp.int32),
-            p_lo=jnp.asarray(t.p_lo, jnp.float32),
-            p_hi=jnp.asarray(t.p_hi, jnp.float32),
-            v_lo=jnp.asarray(t.v_lo, jnp.float32),
-            v_hi=jnp.asarray(t.v_hi, jnp.float32),
-            n_entries=jnp.asarray(t.n_entries, jnp.int32),
+            breaks=jnp.asarray(breaks),
+            vals=jnp.asarray(vals),
+            n_bk=jnp.asarray(n_bk),
         )
 
     def select_bin(self, value: jax.Array) -> jax.Array:
@@ -68,22 +73,17 @@ class EcdfDevice:
     def invert(self, lane: jax.Array, p: jax.Array) -> jax.Array:
         """Batched CDF inversion: [B] lanes, [B] uniforms -> [B] int32 values.
 
-        Matches floor((p-plo)/(phi-plo)*(vhi-vlo)+vlo) with interval
-        p_lo < p <= p_hi (simulator.py:1843-1849, 1894-1898).
+        value = vals[count(breaks <= p) - 1] (count 0 — a p at or below the
+        distribution's support, where the reference's own scan matches no
+        interval — clamps to the first segment).
         """
-        p_hi = self.p_hi[lane]  # [B, J]
-        j = jnp.sum(p_hi < p[:, None], axis=-1)  # first j with p_hi >= p
-        j = jnp.minimum(j, self.n_entries[lane] - 1)
-        b = jnp.arange(lane.shape[0])
-        plo = self.p_lo[lane, j]
-        phi = p_hi[b, j]
-        vlo = self.v_lo[lane, j]
-        vhi = self.v_hi[lane, j]
-        val = jnp.floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo)
-        return val.astype(jnp.int32)
+        rows = self.breaks[lane]  # [B, K]
+        cnt = jnp.sum((rows <= p[:, None]).astype(jnp.int32), axis=-1)
+        idx = jnp.clip(cnt - 1, 0, self.n_bk[lane] - 1)
+        return self.vals[lane, idx]
 
 
-_register(EcdfDevice, ("bin_lo", "p_lo", "p_hi", "v_lo", "v_hi", "n_entries"))
+_register(EcdfDevice, ("bin_lo", "breaks", "vals", "n_bk"))
 
 
 def _pois_geom_cdf(lam, p, w, n_max):

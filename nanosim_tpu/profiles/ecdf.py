@@ -153,6 +153,92 @@ def parse_ecdf_lines(lines) -> EcdfTable:
     )
 
 
+def exact_breakpoints(t: EcdfTable, max_p: float = 1.0):
+    """Compile an EcdfTable to EXACT float32 inverse-CDF breakpoints.
+
+    The reference inverts its ECDFs with float64 arithmetic
+    (``floor((p-plo)/(phi-plo)*(vhi-vlo)+vlo)``, simulator.py:1843-1849); a
+    device re-implementation in f32 diverges at integer-crossing edges, which
+    breaks both bit-identity against the reference and the host walk replay.
+    This precompiles, per bin, the exact step function p -> value over the
+    f32 uniforms: ``value(p) = vals[count(breaks <= p) - 1]`` where breaks[k]
+    is the SMALLEST f32 p whose f64 reference inversion yields vals[k].
+    Sampling then needs only f32 comparisons — identical on every platform.
+
+    Returns (breaks [n_bins, K] f32 padded with 2.0, vals [n_bins, K] i32,
+    n_bk [n_bins] i32).
+    """
+    n_bins = t.n_bins
+    all_breaks, all_vals = [], []
+    for b in range(n_bins):
+        n = int(t.n_entries[b])
+        breaks, vals = [], []
+        for j in range(n):
+            plo = float(t.p_lo[b, j])
+            phi = float(t.p_hi[b, j])
+            vlo = float(t.v_lo[b, j])
+            vhi = float(t.v_hi[b, j])
+
+            def g(p):
+                return np.floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo)
+
+            # smallest f32 strictly greater than plo (entry interval is
+            # (plo, phi] in the reference's f64 scan)
+            x0 = np.float32(plo)
+            while float(x0) <= plo:
+                x0 = np.nextafter(x0, np.float32(np.inf))
+            x_hi = np.float32(phi)  # largest f32 <= phi
+            while float(x_hi) > phi:
+                x_hi = np.nextafter(x_hi, np.float32(-np.inf))
+            if float(x0) > float(x_hi):
+                continue  # no f32 point falls inside this entry
+            v_first = int(g(float(x0)))
+            if not vals or vals[-1] != v_first or not breaks:
+                breaks.append(np.float32(x0))
+                vals.append(v_first)
+            elif vals and vals[-1] == v_first:
+                pass  # continues the previous segment
+            # subsequent integer crossings within the entry
+            v_last = int(g(float(x_hi)))
+            for v in range(v_first + 1, v_last + 1):
+                # smallest f32 x in (plo, phi] with g(x) >= v
+                if vhi == vlo:
+                    break
+                x_est = plo + (v - vlo) * (phi - plo) / (vhi - vlo)
+                x = np.float32(x_est)
+                # walk down to the first failing, then up to first passing
+                for _ in range(64):
+                    prev = np.nextafter(x, np.float32(-np.inf))
+                    if float(prev) <= plo or g(float(prev)) < v:
+                        break
+                    x = prev
+                for _ in range(64):
+                    if float(x) > plo and g(float(x)) >= v and float(x) <= phi:
+                        break
+                    x = np.nextafter(x, np.float32(np.inf))
+                if float(x) > phi:
+                    break
+                val_here = int(g(float(x)))
+                if vals and vals[-1] == val_here and breaks:
+                    continue
+                breaks.append(np.float32(x))
+                vals.append(val_here)
+        all_breaks.append(breaks)
+        all_vals.append(vals)
+
+    K = max(1, max(len(x) for x in all_breaks))
+    breaks_arr = np.full((n_bins, K), 2.0, np.float32)
+    vals_arr = np.zeros((n_bins, K), np.int32)
+    n_bk = np.zeros(n_bins, np.int32)
+    for b in range(n_bins):
+        k = len(all_breaks[b])
+        n_bk[b] = k
+        if k:
+            breaks_arr[b, :k] = all_breaks[b]
+            vals_arr[b, :k] = all_vals[b]
+    return breaks_arr, vals_arr, n_bk
+
+
 def read_ecdf_file(path: str) -> EcdfTable:
     with open(path) as f:
         return parse_ecdf_lines(f)

@@ -194,14 +194,15 @@ inline float uniform_at(Key k, uint32_t pos) {
   return bits_to_uniform(y0 ^ y1);
 }
 
+// Exact-breakpoint ECDF (profiles/ecdf.exact_breakpoints): inversion is pure
+// f32 comparisons + lookup — bit-identical to the device (no float
+// arithmetic to diverge).
 struct Ecdf {
   const int32_t* bin_lo;  // [n_bins]
-  const float* p_lo;      // [n_bins, J]
-  const float* p_hi;
-  const float* v_lo;
-  const float* v_hi;
-  const int32_t* n_entries;
-  int64_t n_bins, J;
+  const float* breaks;    // [n_bins, K] padded with 2.0
+  const int32_t* vals;    // [n_bins, K]
+  const int32_t* n_bk;    // [n_bins]
+  int64_t n_bins, K;
 
   int select_bin(int32_t value) const {
     // searchsorted(bin_lo, value, side='right') - 1, clipped
@@ -217,23 +218,18 @@ struct Ecdf {
   }
 
   int32_t invert(int lane, float p) const {
-    const float* ph = p_hi + lane * J;
-    // first j with p_hi >= p
-    int64_t lo = 0, hi = J;
+    const float* bk = breaks + lane * K;
+    // count of breaks <= p (breaks ascending, padded with 2.0 > any p)
+    int64_t lo = 0, hi = K;
     while (lo < hi) {
       int64_t mid = (lo + hi) / 2;
-      if (ph[mid] < p) lo = mid + 1; else hi = mid;
+      if (bk[mid] <= p) lo = mid + 1; else hi = mid;
     }
-    int64_t j = lo;
-    int64_t nmax = n_entries[lane] - 1;
-    if (j > nmax) j = nmax;
-    float plo = p_lo[lane * J + j];
-    float phi = ph[j];
-    float vlo = v_lo[lane * J + j];
-    float vhi = v_hi[lane * J + j];
-    // identical op order to tables.EcdfDevice.invert
-    float val = std::floor((p - plo) / (phi - plo) * (vhi - vlo) + vlo);
-    return static_cast<int32_t>(val);
+    int64_t idx = lo - 1;
+    if (idx < 0) idx = 0;
+    int64_t nmax = n_bk[lane] - 1;
+    if (idx > nmax) idx = nmax;
+    return vals[lane * K + idx];
   }
 };
 
@@ -393,22 +389,20 @@ int64_t replay_walk_batch(
     int64_t B, const int64_t* slots, const uint8_t* lane_do,
     const int64_t* m_ref, const int64_t* n_events_meta,
     const uint32_t* checksums,
-    // first_match ECDF (single bin)
-    const int32_t* fm_bin_lo, const float* fm_p_lo, const float* fm_p_hi,
-    const float* fm_v_lo, const float* fm_v_hi, const int32_t* fm_n_entries,
-    int64_t fm_bins, int64_t fm_J,
-    // match markov ECDF
-    const int32_t* mm_bin_lo, const float* mm_p_lo, const float* mm_p_hi,
-    const float* mm_v_lo, const float* mm_v_hi, const int32_t* mm_n_entries,
-    int64_t mm_bins, int64_t mm_J,
+    // first_match ECDF (exact breakpoints; single bin)
+    const int32_t* fm_bin_lo, const float* fm_breaks, const int32_t* fm_vals,
+    const int32_t* fm_n_bk, int64_t fm_bins, int64_t fm_K,
+    // match markov ECDF (exact breakpoints)
+    const int32_t* mm_bin_lo, const float* mm_breaks, const int32_t* mm_vals,
+    const int32_t* mm_n_bk, int64_t mm_bins, int64_t mm_K,
     // mixtures + transitions
     const float* mix_cdf, int64_t mix_n, const float* trans_cum,
     uint32_t* ev_out, const int64_t* ev_off, int64_t e_guard,
     uint8_t* ok_out, int32_t n_threads) {
   using walkreplay::Ecdf;
   using walkreplay::Key;
-  Ecdf fm{fm_bin_lo, fm_p_lo, fm_p_hi, fm_v_lo, fm_v_hi, fm_n_entries, fm_bins, fm_J};
-  Ecdf mm{mm_bin_lo, mm_p_lo, mm_p_hi, mm_v_lo, mm_v_hi, mm_n_entries, mm_bins, mm_J};
+  Ecdf fm{fm_bin_lo, fm_breaks, fm_vals, fm_n_bk, fm_bins, fm_K};
+  Ecdf mm{mm_bin_lo, mm_breaks, mm_vals, mm_n_bk, mm_bins, mm_K};
 
   Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(seed) >> 32),
                static_cast<uint32_t>(static_cast<uint64_t>(seed) & 0xFFFFFFFFu)};
