@@ -30,6 +30,29 @@ import jax.numpy as jnp
 CLASS_MATCH, CLASS_MIS, CLASS_INS = 0, 1, 2
 
 
+def effective_lens(ev_pos2x, ev_type, ev_len, ev_valid):
+    """Reference dict-overwrite semantics for duplicate insertion keys.
+
+    The reference stores events as `e_dict[pos - 0.5] = [type, len]`
+    (simulator.py:1880-1882): consecutive insertions separated by zero-length
+    matches share the key, so every one but the LAST is silently overwritten
+    — it contributes to error_list's l_new (the first length filter) but is
+    never spliced into the read nor logged.  Mirror that by zeroing the
+    length of any insertion whose successor is an insertion with the same
+    position key.  (mis/del advance the position, so only insertions can
+    collide; colliding events are always adjacent.)
+    """
+    nxt_ins = jnp.concatenate(
+        [(ev_type[:, 1:] == 1) & ev_valid[:, 1:], jnp.zeros_like(ev_valid[:, :1])],
+        axis=1,
+    )
+    nxt_same = jnp.concatenate(
+        [ev_pos2x[:, 1:] == ev_pos2x[:, :-1], jnp.zeros_like(ev_valid[:, :1])], axis=1
+    )
+    dead = (ev_type == 1) & ev_valid & nxt_ins & nxt_same
+    return jnp.where(dead, 0, ev_len)
+
+
 class GatherMap(NamedTuple):
     """Per-output-base construction recipe.
 
@@ -62,6 +85,7 @@ def build_gather_map(
     L = l_read
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], events_pos2x.shape)
 
+    events_len = effective_lens(events_pos2x, events_type, events_len, events_valid)
     is_mis = events_valid & (events_type == 0)
     is_ins = events_valid & (events_type == 1)
     is_del = events_valid & (events_type == 2)
@@ -159,6 +183,7 @@ def fused_read(
     ht_cap = ht_bases.shape[1]
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, E))
 
+    events_len = effective_lens(events_pos2x, events_type, events_len, events_valid)
     is_mis = events_valid & (events_type == 0)
     is_ins = events_valid & (events_type == 1)
     is_del = events_valid & (events_type == 2)
@@ -335,6 +360,7 @@ def fused_read_v2(
     L = l_out
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, E))
 
+    events_len = effective_lens(events_pos2x, events_type, events_len, events_valid)
     is_mis = events_valid & (events_type == 0)
     is_ins = events_valid & (events_type == 1)
     is_del = events_valid & (events_type == 2)

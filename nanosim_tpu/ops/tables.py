@@ -151,9 +151,13 @@ class TransErrorDevice:
         return cls(cum=jnp.asarray(np.cumsum(probs, axis=1), jnp.float32))
 
     def sample(self, state: jax.Array, u: jax.Array) -> jax.Array:
-        """[B] state indices, [B] uniforms -> [B] error type (0/1/2)."""
+        """[B] state indices, [B] uniforms -> [B] error type (0/1/2).
+
+        `<=` matches the reference's half-open intervals `k[0] <= p < k[1]`
+        (error_list, simulator.py:1860-1863) at exact boundary values.
+        """
         rows = self.cum[state]
-        return jnp.minimum(jnp.sum(rows < u[:, None], axis=-1), 2).astype(jnp.int32)
+        return jnp.minimum(jnp.sum(rows <= u[:, None], axis=-1), 2).astype(jnp.int32)
 
 
 _register(TransErrorDevice, ("cum",))

@@ -235,7 +235,7 @@ class CompactBatch:
         "valid", "total", "head", "tail", "middle_ref", "l_new", "chrom",
         "pos", "rev", "n_events", "cap_over",
         "reads_flat", "read_off", "ev_flat", "ev_off", "quals_flat", "qual_off",
-        "pack_reads", "needs", "m_ref", "ev_checksum",
+        "pack_reads", "needs", "m_ref", "ev_checksum", "slots",
     )
 
     def __getitem__(self, k):  # dict-style access for writer compatibility

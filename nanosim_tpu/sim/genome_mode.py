@@ -456,7 +456,9 @@ class OverflowRescueWriter:
             n_real = len(ch)
             if n_real < B:
                 ch = np.concatenate([ch, np.full(B - n_real, ch[-1], np.int64)])
-            d = self._fetcher.dispatch(self._fn(self.base, jnp.asarray(ch))).fetch()
+            h = self._fetcher.dispatch(self._fn(self.base, jnp.asarray(ch)))
+            h.slots = ch
+            d = h.fetch()
             valid = np.asarray(d["valid"])
             for lane in range(n_real):
                 if valid[lane]:

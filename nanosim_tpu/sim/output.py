@@ -81,12 +81,25 @@ class ErrorLogWriter:
         self.f.close()
 
 
+def effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid):
+    """numpy twin of ops.apply_errors.effective_lens (reference dict-overwrite
+    semantics: of consecutive same-key insertions only the LAST survives)."""
+    nxt_ins = np.zeros_like(ev_valid)
+    nxt_ins[:, :-1] = (ev_type[:, 1:] == 1) & ev_valid[:, 1:]
+    nxt_same = np.zeros_like(ev_valid)
+    nxt_same[:, :-1] = ev_pos2x[:, 1:] == ev_pos2x[:, :-1]
+    dead = (ev_type == 1) & ev_valid & nxt_ins & nxt_same
+    return np.where(dead, 0, ev_len)
+
+
 def event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid):
     """Per-event read-coordinate starts (vectorized over [B, E]).
 
     read_start(e) = ref_start(e) - (deleted bases before e) + (inserted bases
     before e); events arrive in ascending position order from the walk.
+    Overwritten duplicate insertions count as length 0.
     """
+    ev_len = effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid)
     is_ins = ev_valid & (ev_type == 1)
     is_del = ev_valid & (ev_type == 2)
     dlen = np.where(is_del, ev_len, 0)
@@ -96,7 +109,7 @@ def event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid):
     key = (ev_pos2x + 1) // 2  # ceil of the reference's float key
     ref_start = ev_pos2x // 2
     ref_start = np.where(is_ins, key, ref_start)
-    return key, ref_start - prior_del + prior_ins
+    return key, ref_start - prior_del + prior_ins, ev_len
 
 
 def _pow2_at_least(x: int, lo: int, hi: int) -> int:
@@ -373,7 +386,7 @@ class GenomeBatchWriter:
             ev_type = d["ev_type"]
             ev_len = d["ev_len"]
             ev_valid = d["ev_valid"]
-            keys_all, rpos_all = event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid)
+            keys_all, rpos_all, ev_len = event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid)
 
         for rank, b in enumerate(lanes):
             idx = accepted_so_far + rank
@@ -453,7 +466,7 @@ class GenomeBatchWriter:
                 ev_pos2x = (w & np.uint32(0x1FFFF)).astype(np.int64)[None, :]
                 ev_type = (w >> np.uint32(30)).astype(np.int64)[None, :]
                 ev_len = ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)[None, :]
-                keys, rpos = event_read_positions(
+                keys, rpos, ev_len = event_read_positions(
                     ev_pos2x, ev_type, ev_len, np.ones((1, ne), bool)
                 )
                 self._log_lane(
@@ -466,7 +479,7 @@ class GenomeBatchWriter:
 
     def _log_hp_batch(self, sim, d, lanes, accepted_so_far: int):
         """Pre-hp ground-truth log (mid rows are direct pass-1 buffers)."""
-        keys_all, rpos_all = event_read_positions(
+        keys_all, rpos_all, eff_len_all = event_read_positions(
             d["ev_pos2x"], d["ev_type"], d["ev_len"], d["ev_valid"]
         )
         g = sim.genome_host
@@ -488,7 +501,7 @@ class GenomeBatchWriter:
             spos = d["pos"][b]
             keys_v = keys_all[b, :ne]
             types_v = d["ev_type"][b, :ne]
-            lens_v = d["ev_len"][b, :ne]
+            lens_v = eff_len_all[b, :ne]
             rpos_v = rpos_all[b, :ne]
             refs, seqs, tnames = [], [], []
             keep = lens_v > 0
@@ -950,6 +963,7 @@ class CompactFetcher:
             assert ok, "compaction overflow after capacity bump"
         elif not self._locked:
             self._lock(*cb.needs)
+        cb.slots = getattr(h, "slots", None)
         if self.replayer is not None:
             self._replay_events(h, cb)
         return cb
@@ -1222,13 +1236,13 @@ class ChimericBatchWriter:
                         mid_row = prehp[flat]
                     evv = np.zeros(ev_pos2x.shape[1], bool)
                     evv[:ne] = True
-                    keys, rpos = event_read_positions(
+                    keys, rpos, eff = event_read_positions(
                         ev_pos2x[flat : flat + 1],
                         ev_type[flat : flat + 1],
                         ev_len[flat : flat + 1],
                         evv[None, :],
                     )
-                    keys, rpos = keys[0], rpos[0]
+                    keys, rpos, eff = keys[0], rpos[0], eff[0]
                     if hp_mode:
                         mid = mid_row
                     else:
@@ -1240,7 +1254,7 @@ class ChimericBatchWriter:
                     refs, seqs, tnames = [], [], []
                     kept_rows = []
                     for e in range(ne):
-                        k, t, ln = int(keys[e]), int(ev_type[flat, e]), int(ev_len[flat, e])
+                        k, t, ln = int(keys[e]), int(ev_type[flat, e]), int(eff[e])
                         if ln == 0:
                             continue
                         kept_rows.append(e)
@@ -1261,6 +1275,6 @@ class ChimericBatchWriter:
                         tnames.append(_ETYPE_NAMES[t])
                     kr = np.asarray(kept_rows, int)
                     self.error_log.write_read_events(
-                        name, keys[kr], tnames, ev_len[flat][kr], refs, seqs
+                        name, keys[kr], tnames, eff[kr], refs, seqs
                     )
         return len(lanes)

@@ -98,7 +98,7 @@ class TrxBatchWriter:
             mid = pre[head : head + l_new]
         evv = np.zeros(len(ev_p), bool)
         evv[:ne] = True
-        keys, rpos = output.event_read_positions(
+        keys, rpos, _eff = output.event_read_positions(
             ev_p[None, :], ev_t[None, :], ev_l[None, :], evv[None, :]
         )
         keys, rpos = keys[0], rpos[0]

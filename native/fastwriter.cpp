@@ -319,12 +319,24 @@ void emit_flat_range(const FlatArgs& a, int64_t r0, int64_t r1,
       rpos_heap = new int64_t[ne];
       rpos = rpos_heap;
     }
+    // effective length: of consecutive same-key insertions only the LAST
+    // survives (reference dict-overwrite, simulator.py:1880-1882)
+    auto eff_len = [&](int64_t e) -> int64_t {
+      const uint32_t w = ev[e];
+      const int64_t len = (w >> 17) & 0x1FFF;
+      const int32_t t = w >> 30;
+      if (t == 1 && e + 1 < ne) {
+        const uint32_t w2 = ev[e + 1];
+        if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+      }
+      return len;
+    };
     {
       int64_t cum_del = 0, cum_ins = 0;
       for (int64_t e = 0; e < ne; ++e) {
         const uint32_t w = ev[e];
         const int64_t px = w & 0x1FFFF;
-        const int64_t len = (w >> 17) & 0x1FFF;
+        const int64_t len = eff_len(e);
         const int32_t t = w >> 30;
         const int64_t key = (px + 1) / 2;
         rpos[e] = ((t == 1) ? key : px / 2) - cum_del + cum_ins;
@@ -335,7 +347,7 @@ void emit_flat_range(const FlatArgs& a, int64_t r0, int64_t r1,
 
     for (int64_t e = ne - 1; e >= 0; --e) {
       const uint32_t w = ev[e];
-      const int64_t len = (w >> 17) & 0x1FFF;
+      const int64_t len = eff_len(e);
       if (len == 0) continue;
       const int64_t px = w & 0x1FFFF;
       const int32_t t = w >> 30;
@@ -439,7 +451,7 @@ int64_t replay_walk_batch(
         float ul = walkreplay::uniform_at(kt, 1u);
         float um = walkreplay::uniform_at(kt, 2u);
         const float* cum = trans_cum + state * 3;
-        int etype = (cum[0] < ue) + (cum[1] < ue) + (cum[2] < ue);
+        int etype = (cum[0] <= ue) + (cum[1] <= ue) + (cum[2] <= ue);
         if (etype > 2) etype = 2;
         const float* cdf = mix_cdf + etype * mix_n;
         int64_t lo = 0, hi = mix_n;
@@ -627,6 +639,13 @@ int64_t emit_batch(
       rpos_heap = new int64_t[ne];
       rpos = rpos_heap;
     }
+    auto eff_len = [&](int64_t e) -> int64_t {
+      // dict-overwrite semantics: consecutive same-key insertions keep only
+      // the last (simulator.py:1880-1882)
+      if (ety[e] == 1 && e + 1 < ne && ety[e + 1] == 1 && epx[e + 1] == epx[e])
+        return 0;
+      return eln[e];
+    };
     {
       int64_t cum_del = 0, cum_ins = 0;
       for (int64_t e = 0; e < ne; ++e) {
@@ -634,15 +653,15 @@ int64_t emit_batch(
         const int64_t key = (epx[e] + 1) / 2;
         const int64_t ref_start = (t == 1) ? key : epx[e] / 2;
         rpos[e] = ref_start - cum_del + cum_ins;
-        if (t == 1) cum_ins += eln[e];
+        if (t == 1) cum_ins += eff_len(e);
         if (t == 2) cum_del += eln[e];
       }
     }
 
     for (int64_t e = ne - 1; e >= 0; --e) {
       const int32_t t = ety[e];
-      const int64_t len = eln[e];
-      if (len == 0) continue;  // match placeholder (unaligned walk)
+      const int64_t len = eff_len(e);
+      if (len == 0) continue;  // match placeholder / overwritten dup ins
       const int64_t key = (epx[e] + 1) / 2;
       const int64_t line_max = name_len + 64 + 2 * len;
       if (e_end - ep < line_max) {
@@ -770,6 +789,11 @@ int64_t emit_chimeric_batch(
         rpos_heap = new int64_t[ne];
         rpos = rpos_heap;
       }
+      auto eff_len = [&](int64_t e) -> int64_t {
+        if (ety[e] == 1 && e + 1 < ne && ety[e + 1] == 1 && epx[e + 1] == epx[e])
+          return 0;  // overwritten duplicate insertion
+        return eln[e];
+      };
       {
         int64_t cum_del = 0, cum_ins = 0;
         for (int64_t e = 0; e < ne; ++e) {
@@ -777,14 +801,14 @@ int64_t emit_chimeric_batch(
           const int64_t key = (epx[e] + 1) / 2;
           const int64_t ref_start = (t == 1) ? key : epx[e] / 2;
           rpos[e] = ref_start - cum_del + cum_ins;
-          if (t == 1) cum_ins += eln[e];
+          if (t == 1) cum_ins += eff_len(e);
           if (t == 2) cum_del += eln[e];
         }
       }
 
       for (int64_t e = ne - 1; e >= 0; --e) {
         const int32_t t = ety[e];
-        const int64_t len = eln[e];
+        const int64_t len = eff_len(e);
         if (len == 0) continue;
         const int64_t key = (epx[e] + 1) / 2;
         const int64_t line_max = name_len + 64 + 2 * len;

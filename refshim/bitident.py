@@ -1,0 +1,309 @@
+"""Bit-identity harness: drive the REFERENCE simulator with this framework's
+RNG stream and compare outputs byte-for-byte (BASELINE.md north star).
+
+The reference's own randomness is irreproducible (it re-seeds from OS entropy
+before each worker fork, simulator.py:1590-1592), so the "fixed seed mapping"
+is OURS: every primitive draw the reference consumes is replaced by the value
+our counter-based (seed, slot, site) stream produces for the same decision.
+The reference's LOGIC — ECDF inversion on its parsed model dicts, the error
+walk's state/overshoot bookkeeping, string splicing in mutate_read, ground
+truth logging, extraction scanning, reverse complement, record formatting —
+all runs untouched; only the primitive draws are fed.  Byte-equal output
+files then prove our kernels implement the same transforms.
+
+Feeding model, per ACCEPTED slot (our rejected slots never reach the
+reference, so its rejection-retry bookkeeping never fires; its min/max-length
+filters still run and would desync the comparison if our acceptance logic
+were wrong):
+
+  random.random():  u_strand, then the walk uniforms U(t, 0) / U(t, 2)
+  mm.pois_geom / mm.wei_geom:  our event lengths (type cross-checked)
+  random.randint:   our position draws, one per boundary-rejection retry
+  random.choice:    our substituted / inserted bases (reverse event order,
+                    exactly as mutate_read consumes them)
+  np.random.choice: our head / tail base strings
+  get_length_kde / get_lengths_and_ht_ratios:  our accepted slots' values
+
+This module never copies reference code — it imports and executes it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from refshim.oracle import import_reference_simulator
+
+
+class FeedExhausted(Exception):
+    pass
+
+
+class Desync(Exception):
+    pass
+
+
+class _Feed:
+    """Tagged value queues with strict order checking."""
+
+    def __init__(self):
+        self.q = []  # list of (tag, value)
+        self.pos = 0
+
+    def push(self, tag, value):
+        self.q.append((tag, value))
+
+    def pop(self, tag):
+        if self.pos >= len(self.q):
+            raise FeedExhausted(f"feed exhausted wanting {tag}")
+        t, v = self.q[self.pos]
+        if t != tag:
+            raise Desync(f"reference asked for {tag}, feed has {t} at {self.pos}")
+        self.pos += 1
+        return v
+
+
+class _RandomProxy:
+    """Stands in for the `random` module inside the reference simulator."""
+
+    def __init__(self, feed: _Feed):
+        self._feed = feed
+
+    def random(self):
+        return float(self._feed.pop("random"))
+
+    def randint(self, a, b):
+        v = int(self._feed.pop("randint"))
+        if not (a <= v <= b):
+            raise Desync(f"randint({a},{b}) fed {v}")
+        return v
+
+    def choice(self, seq):
+        v = self._feed.pop("choice")
+        if v not in seq:
+            raise Desync(f"choice from {seq} fed {v!r}")
+        return v
+
+    def seed(self, *a, **k):
+        pass
+
+
+class _NpRandomProxy:
+    def __init__(self, feed: _Feed):
+        self._feed = feed
+
+    def choice(self, seq, n=None):
+        v = self._feed.pop("npchoice")
+        if n is not None and len(v) != n:
+            raise Desync(f"np.random.choice n={n} fed {len(v)}")
+        return np.asarray(list(v))
+
+    def seed(self, *a, **k):
+        pass
+
+    def __getattr__(self, name):  # geometric etc. must not be reached
+        raise Desync(f"unexpected np.random.{name} call")
+
+
+class _NpProxy:
+    """numpy passthrough with a fed `random` submodule."""
+
+    def __init__(self, feed: _Feed):
+        self.random = _NpRandomProxy(feed)
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+
+class _MixProxy:
+    """Stands in for the reference's `mixed_model` import: error lengths are
+    fed from our event list, with the distribution family cross-checked
+    against our event type."""
+
+    def __init__(self, feed: _Feed):
+        self._feed = feed
+
+    def pois_geom(self, *a):
+        t, v = self._feed.pop("mix")
+        if t != 0:
+            raise Desync(f"reference drew pois_geom (mis) but our event type is {t}")
+        return int(v)
+
+    def wei_geom(self, *a):
+        t, v = self._feed.pop("mix")
+        if t not in (1, 2):
+            raise Desync(f"reference drew wei_geom (indel) but our event type is {t}")
+        return int(v)
+
+
+_COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _prereverse(read_bytes: bytes, rev: bool) -> bytes:
+    return read_bytes[::-1].translate(_COMP) if rev else read_bytes
+
+
+def build_feed(records, profile, genome, seed: int) -> _Feed:
+    """Build the primitive-draw feed for a list of accepted-read records.
+
+    Each record: dict with slot, m_ref (walk input length), n_events,
+    ev_pos2x/ev_type/ev_len (np arrays, length n_events), head, tail, l_new,
+    total, rev, chrom, pos, read (np.uint8 final orientation), remainder
+    implicit (head+tail), and middle_ref.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.output import event_read_positions
+
+    feed = _Feed()
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.asarray(np.array([r["slot"] for r in records], np.int64))
+    sk = rng.slot_keys(base, slots)
+    n = len(records)
+
+    # strand + walk uniforms (bulk, CPU)
+    u_strand = np.asarray(rng.uniform_per_slot(sk, rng.SITE_STRAND))
+    wk = rng.site_keys(sk, rng.SITE_WALK)
+    max_e = max((int(r["n_events"]) for r in records), default=0)
+    ts = jnp.arange(max_e + 1, dtype=jnp.int32)
+    U = np.asarray(
+        jax.vmap(
+            lambda k: jax.vmap(
+                lambda t: jax.random.uniform(jax.random.fold_in(k, t), (3,), dtype=jnp.float32)
+            )(ts)
+        )(wk)
+    )  # [n, max_e+1, 3]
+
+    # position draws (8 retry rounds, f64 uniforms as the device does)
+    pos_keys = rng.site_keys(sk, rng.SITE_POSITION)
+    upos = np.asarray(
+        jax.vmap(
+            lambda k: jax.vmap(
+                lambda r: jax.random.uniform(jax.random.fold_in(k, r), dtype=jnp.float64)
+            )(jnp.arange(8))
+        )(pos_keys)
+    )  # [n, 8]
+    glen = genome.total_len
+    g_offsets = np.asarray(genome.offsets)
+    g_lengths = np.asarray(genome.lengths)
+
+    for i, r in enumerate(records):
+        feed.push("random", u_strand[i])  # is_reversed
+
+        ne = int(r["n_events"])
+        feed.push("random", U[i, 0, 0])  # first match
+        for e in range(ne):
+            feed.push("random", U[i, e + 1, 0])  # error type
+            feed.push("mix", (int(r["ev_type"][e]), int(r["ev_len"][e])))
+            feed.push("random", U[i, e + 1, 2])  # next match
+
+        # extraction: global positions until one fits the accepted chromosome
+        m_ref_final = int(r["middle_ref"])
+        for rr in range(8):
+            gpos = min(int(upos[i, rr] * (glen + 1)), glen)
+            c = int(np.searchsorted(g_offsets, gpos, side="right")) - 1
+            c = min(max(c, 0), len(g_lengths) - 1)
+            lp = gpos - int(g_offsets[c])
+            fits = lp + m_ref_final <= int(g_lengths[c])
+            feed.push("randint", gpos)
+            if fits:
+                if c != int(r["chrom"]) or lp != int(r["pos"]):
+                    raise Desync(
+                        f"slot {r['slot']}: position replay ({c},{lp}) != recorded "
+                        f"({int(r['chrom'])},{int(r['pos'])})"
+                    )
+                break
+        else:
+            raise Desync(f"slot {r['slot']}: no fitting position in 8 draws")
+
+        # mutate_read consumes substituted/inserted bases in REVERSE event
+        # order; values are the bases our pipeline actually emitted
+        pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
+        head, l_new = int(r["head"]), int(r["l_new"])
+        mid = pre[head : head + l_new]
+        if ne:
+            keys, rpos, eff = event_read_positions(
+                r["ev_pos2x"][None, :], r["ev_type"][None, :], r["ev_len"][None, :],
+                np.ones((1, ne), bool),
+            )
+            order = np.argsort(-(r["ev_pos2x"].astype(np.int64)), kind="stable")
+            for e in order:
+                t = int(r["ev_type"][e])
+                ln = int(eff[0, e])  # 0 for overwritten duplicate insertions
+                rp = int(rpos[0, e])
+                if t == 2:
+                    continue
+                for j in range(ln):
+                    feed.push("choice", chr(mid[rp + j]))
+
+        feed.push("npchoice", pre[:head].decode())
+        feed.push("npchoice", pre[head + l_new : int(r["total"])].decode())
+    return feed
+
+
+def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
+                      seed: int, out_dir: str, n_reads: int, fastq: bool = False):
+    """Run the reference's genome pipeline fed with our stream; returns paths
+    (reads_file, error_file)."""
+    sim = import_reference_simulator()
+    feed = build_feed(records, profile, genome, seed)
+
+    import multiprocessing as mp
+
+    saved = {k: getattr(sim, k, None) for k in
+             ("random", "np", "mm", "get_length_kde", "get_lengths_and_ht_ratios")}
+    try:
+        # the reference's own profile loader populates its module globals
+        sim.read_profile(ref_fa, [n_reads], model_prefix, False, "genome", None,
+                         fastq=fastq)
+
+        # quantize the transition intervals to OUR f32 cumulative bounds (the
+        # contract quantization): widths in file order -> f64 cumsum -> f32,
+        # rebuilt as contiguous half-open intervals with the last one open
+        # (matching our min(count(cum <= u), 2))
+        for state, d in sim.trans_error_pr.items():
+            items = sorted(d.items())
+            widths = [float(k[1]) - float(k[0]) for k, _ in items]
+            bounds = np.cumsum(np.asarray(widths, np.float64)).astype(np.float32)
+            newd = {}
+            prev = 0.0
+            for idx, ((k, v), b) in enumerate(zip(items, bounds)):
+                hi = 2.0 if idx == len(items) - 1 else float(b)
+                newd[(prev, hi)] = v
+                prev = float(b)
+            sim.trans_error_pr[state] = newd
+        sim.strandness_rate = float(np.float32(sim.strandness_rate))
+
+        lengths = np.asarray([float(r["m_ref"]) for r in records])
+        remainders = np.asarray([float(r["head"] + r["tail"]) for r in records])
+        ratios = np.asarray([
+            (r["head"] / (r["head"] + r["tail"])) if (r["head"] + r["tail"]) else 0.5
+            for r in records
+        ])
+
+        sim.random = _RandomProxy(feed)
+        sim.np = _NpProxy(feed)
+        sim.mm = _MixProxy(feed)
+        sim.get_length_kde = lambda kde, num, log=False, flatten=True: lengths
+        sim.get_lengths_and_ht_ratios = lambda n: (list(remainders), list(ratios))
+        sim.total_simulated = mp.Value("i", 0)
+
+        out_reads = os.path.join(
+            out_dir, "ref_out_aligned_reads." + ("fastq" if fastq else "fasta"))
+        out_error = os.path.join(out_dir, "ref_out_error_profile")
+        sim.simulation_aligned_genome(
+            "linear", 50, float("inf"), None, None, out_reads, out_error,
+            None, fastq, len(records),
+        )
+        if feed.pos != len(feed.q):
+            raise Desync(f"feed not fully consumed: {feed.pos}/{len(feed.q)}")
+        return out_reads, out_error
+    finally:
+        for k, v in saved.items():
+            setattr(sim, k, v)
