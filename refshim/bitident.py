@@ -119,6 +119,23 @@ class _NpProxy:
         return getattr(np, name)
 
 
+class _QualsProxy:
+    """Stands in for model_base_qualities: pool draws are fed lists whose
+    pop() order yields our per-position quality values."""
+
+    def __init__(self, feed: _Feed):
+        self._feed = feed
+
+    def predict_base_qualities(self, sd, loc, scale, n):
+        v = self._feed.pop("quals")
+        if len(v) != n:
+            raise Desync(f"qual pool size {n} fed {len(v)} values")
+        return list(v)
+
+    def __getattr__(self, name):
+        raise Desync(f"unexpected model_base_quals.{name} call")
+
+
 class _MixProxy:
     """Stands in for the reference's `mixed_model` import: error lengths are
     fed from our event list, with the distribution family cross-checked
@@ -227,11 +244,18 @@ def build_feed(records, profile, genome, seed: int) -> _Feed:
         pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
         head, l_new = int(r["head"]), int(r["l_new"])
         mid = pre[head : head + l_new]
+        fastq = r.get("quals") is not None
+        keys = rpos = eff = None
         if ne:
             keys, rpos, eff = event_read_positions(
                 r["ev_pos2x"][None, :], r["ev_type"][None, :], r["ev_len"][None, :],
                 np.ones((1, ne), bool),
             )
+
+        if fastq:
+            _push_qual_pools(feed, r, mid, keys, rpos, eff)
+
+        if ne:
             order = np.argsort(-(r["ev_pos2x"].astype(np.int64)), kind="stable")
             for e in order:
                 t = int(r["ev_type"][e])
@@ -242,9 +266,90 @@ def build_feed(records, profile, genome, seed: int) -> _Feed:
                 for j in range(ln):
                     feed.push("choice", chr(mid[rp + j]))
 
+        if fastq:
+            q = r["quals"]
+            preq = bytes(q[::-1]) if r["rev"] else bytes(q)
+            ht = [int(x) - 33 for x in preq[:head] + preq[head + l_new : int(r["total"])]]
+            feed.push("quals", ht)
+
         feed.push("npchoice", pre[:head].decode())
         feed.push("npchoice", pre[head + l_new : int(r["total"])].decode())
     return feed
+
+
+def _push_qual_pools(feed, r, mid, keys, rpos, eff):
+    """Feed the mis/ins/match quality pools for one read.
+
+    The reference sizes the pools from error_list's e_count tallies (which
+    include overwritten duplicate insertions and the first-match cap), then
+    pops them per base while splicing in reverse event order; pop() takes
+    the LAST element, so pools are built in reverse pop order with our
+    per-position qualities as values.  Unpopped slack (dead insertions) is
+    padded at the FRONT.
+    """
+    ne = int(r["n_events"])
+    m_ref = int(r["m_ref"])
+    middle_f = int(r["middle_ref"])
+    raw_len = r["ev_len"].astype(np.int64) if ne else np.zeros(0, np.int64)
+    typ = r["ev_type"].astype(np.int64) if ne else np.zeros(0, np.int64)
+    mis_total = int(raw_len[typ == 0].sum())
+    ins_total = int(raw_len[typ == 1].sum())
+    del_total = int(raw_len[typ == 2].sum())
+    if ne:
+        first = int(r["ev_pos2x"][0]) // 2 if typ[0] != 1 else (int(r["ev_pos2x"][0]) + 1) // 2
+    else:
+        first = middle_f
+    match_total = min(first, m_ref) + (middle_f - first - mis_total - del_total)
+
+    # our middle qualities in pre-reverse orientation
+    q = r["quals"]
+    preq = bytes(q[::-1]) if r["rev"] else bytes(q)
+    head, l_new = int(r["head"]), int(r["l_new"])
+    midq = [int(x) - 33 for x in preq[head : head + l_new]]
+
+    # simulate the pop sequence: quals[s] (construction order) = final
+    # reversed index l_new-1-s; record (pool, value) per pop
+    pops = {"mis": [], "ins": [], "match": []}
+    s = 0
+
+    def pop(pool):
+        nonlocal s
+        pops[pool].append(midq[l_new - 1 - s])
+        s += 1
+
+    prev = middle_f
+    if ne:
+        order = np.argsort(-(r["ev_pos2x"].astype(np.int64)), kind="stable")
+        for e in order:
+            t = int(typ[e])
+            ln = int(eff[0, e])
+            key = int(keys[0, e])
+            err_end = key + ln if t != 1 else key
+            err_quals_n = ln if t in (0, 1) else 0
+            # matches AFTER the error (between err_end and prev)
+            n_match = prev - err_end
+            for _ in range(max(n_match, 0)):
+                pop("match")
+            for _ in range(err_quals_n):
+                pop("mis" if t == 0 else "ins")
+            prev = key
+    # leading matches (remaining pool drained at the end by the reference)
+    while s < l_new and len(pops["match"]) < match_total:
+        pop("match")
+    if s != l_new:
+        raise Desync(
+            f"slot {r['slot']}: qual pop simulation used {s} of {l_new} positions")
+
+    def pool_list(name, total):
+        vals = pops[name]
+        if len(vals) > total:
+            raise Desync(f"slot {r['slot']}: {name} pool popped {len(vals)} > {total}")
+        # pad unpopped slack at the front; reverse pop order at the back
+        return [1] * (total - len(vals)) + vals[::-1]
+
+    feed.push("quals", pool_list("mis", mis_total))
+    feed.push("quals", pool_list("ins", ins_total))
+    feed.push("quals", pool_list("match", match_total))
 
 
 def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
@@ -257,7 +362,8 @@ def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
     import multiprocessing as mp
 
     saved = {k: getattr(sim, k, None) for k in
-             ("random", "np", "mm", "get_length_kde", "get_lengths_and_ht_ratios")}
+             ("random", "np", "mm", "get_length_kde", "get_lengths_and_ht_ratios",
+              "model_base_quals")}
     try:
         # the reference's own profile loader populates its module globals
         sim.read_profile(ref_fa, [n_reads], model_prefix, False, "genome", None,
@@ -290,6 +396,8 @@ def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
         sim.random = _RandomProxy(feed)
         sim.np = _NpProxy(feed)
         sim.mm = _MixProxy(feed)
+        if fastq:
+            sim.model_base_quals = _QualsProxy(feed)
         sim.get_length_kde = lambda kde, num, log=False, flatten=True: lengths
         sim.get_lengths_and_ht_ratios = lambda n: (list(remainders), list(ratios))
         sim.total_simulated = mp.Value("i", 0)

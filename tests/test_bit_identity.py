@@ -40,6 +40,10 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
             ne = int(d.n_events[b])
             o = int(d.ev_off[b])
             w = d.ev_flat[o : o + ne]
+            quals = None
+            if self.fastx.fastq:
+                qo = int(d.qual_off[b])
+                quals = np.array(d.quals_flat[qo : qo + int(d.total[b])], np.uint8)
             self.records.append(dict(
                 slot=int(d.slots[b]),
                 m_ref=int(d.m_ref[b]),
@@ -56,6 +60,7 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
                 chrom=int(d.chrom[b]),
                 pos=int(d.pos[b]),
                 read=np.array(reads[rank], np.uint8),
+                quals=quals,
             ))
         return super().write_run(sim, d, lanes, accepted_so_far)
 
@@ -70,17 +75,16 @@ def setup(tmp_path_factory):
     return d, prefix, ref_fa
 
 
-def test_bit_identity_genome_fasta(setup):
+def _run_bit_identity(setup, fastq: bool, seed: int, n: int):
     d, prefix, ref_fa = setup
-    seed = 11
-    n = 120
     genome = PackedGenome.from_fasta(ref_fa)
-    prof = profile.load_profile(prefix, mode="genome")
-    sim = GenomeSimulator(genome, prof, batch=64)
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq)
+    sim = GenomeSimulator(genome, prof, batch=64, fastq=fastq)
 
-    ours_reads = str(d / "ours.fasta")
-    ours_err = str(d / "ours.err")
-    fw = out_mod.FastxWriter(ours_reads, False)
+    ext = "fastq" if fastq else "fasta"
+    ours_reads = str(d / f"ours_{ext}.{ext}")
+    ours_err = str(d / f"ours_{ext}.err")
+    fw = out_mod.FastxWriter(ours_reads, fastq)
     el = out_mod.ErrorLogWriter(ours_err)
     w = RecordingWriter(fw, el)
     got = sim.run(n, w, seed=seed)
@@ -92,16 +96,24 @@ def test_bit_identity_genome_fasta(setup):
     from refshim.bitident import run_reference_fed
 
     ref_reads, ref_err = run_reference_fed(
-        prefix, ref_fa, w.records, prof, genome, seed, str(d), n,
+        prefix, ref_fa, w.records, prof, genome, seed, str(d), n, fastq=fastq,
     )
 
     ours_b = open(ours_reads, "rb").read()
     ref_b = open(ref_reads, "rb").read()
     if ours_b != ref_b:
-        # localize the first divergent record for the failure message
-        a_recs = ours_b.split(b">")
-        r_recs = ref_b.split(b">")
+        sep = b"@" if fastq else b">"
+        a_recs = ours_b.split(sep)
+        r_recs = ref_b.split(sep)
         for i, (x, y) in enumerate(zip(a_recs, r_recs)):
             assert x == y, f"record {i} differs:\nOURS: {x[:300]}\nREF : {y[:300]}"
         assert len(a_recs) == len(r_recs)
     assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
+
+
+def test_bit_identity_genome_fasta(setup):
+    _run_bit_identity(setup, fastq=False, seed=11, n=120)
+
+
+def test_bit_identity_genome_fastq(setup):
+    _run_bit_identity(setup, fastq=True, seed=23, n=100)
