@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fastq", action="store_true", default=False)
     g.add_argument("--chimeric", action="store_true", default=False)
     g.add_argument("-t", "--num_threads", type=int, default=1)
+    g.add_argument("--num_hosts", type=int, default=1,
+                       help="shard the run over N cooperating host processes")
+    g.add_argument("--host_id", type=int, default=0,
+                       help="this process's rank in a multi-host run")
+    g.add_argument("--coordinator", default=None,
+                       help="jax.distributed coordinator address (real pods)")
     g.add_argument("--batch", type=int, default=256, help="device batch size")
 
     t = sub.add_parser("transcriptome", help="Run the simulator on transcriptome mode")
@@ -69,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--polya", default=None)
     t.add_argument("--fastq", action="store_true", default=False)
     t.add_argument("-t", "--num_threads", type=int, default=1)
+    t.add_argument("--num_hosts", type=int, default=1,
+                       help="shard the run over N cooperating host processes")
+    t.add_argument("--host_id", type=int, default=0,
+                       help="this process's rank in a multi-host run")
+    t.add_argument("--coordinator", default=None,
+                       help="jax.distributed coordinator address (real pods)")
     t.add_argument("--uracil", action="store_true", default=False)
     t.add_argument("--batch", type=int, default=256)
 
@@ -91,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--fastq", action="store_true", default=False)
     m.add_argument("--chimeric", action="store_true", default=False)
     m.add_argument("-t", "--num_threads", type=int, default=1)
+    m.add_argument("--num_hosts", type=int, default=1,
+                       help="shard the run over N cooperating host processes")
+    m.add_argument("--host_id", type=int, default=0,
+                       help="this process's rank in a multi-host run")
+    m.add_argument("--coordinator", default=None,
+                       help="jax.distributed coordinator address (real pods)")
     m.add_argument("--batch", type=int, default=256)
 
     return parser
@@ -165,6 +183,9 @@ def main(argv=None):
             sd_len=sd,
             seed=seed,
             batch=args.batch,
+            n_hosts=args.num_hosts,
+            host_id=args.host_id,
+            coordinator=args.coordinator,
         )
 
     elif args.mode == "transcriptome":
@@ -208,6 +229,9 @@ def main(argv=None):
             max_len=args.max_len,
             seed=seed,
             batch=args.batch,
+            n_hosts=args.num_hosts,
+            host_id=args.host_id,
+            coordinator=args.coordinator,
         )
 
     elif args.mode == "metagenome":
@@ -243,6 +267,9 @@ def main(argv=None):
             sd_len=args.sd_len,
             seed=seed,
             batch=args.batch,
+            n_hosts=args.num_hosts,
+            host_id=args.host_id,
+            coordinator=args.coordinator,
         )
 
 

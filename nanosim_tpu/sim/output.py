@@ -1120,9 +1120,13 @@ class ChimericBatchWriter:
 
         self._emitter = NativeEmitter()
 
-    def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
-        valid = np.asarray(out.valid)
-        lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int,
+                    lanes=None, start=None) -> int:
+        if lanes is None:
+            valid = np.asarray(out.valid)
+            lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+        if start is not None:
+            accepted_so_far = start
         if len(lanes) == 0:
             return 0
         reads = np.asarray(out.read)

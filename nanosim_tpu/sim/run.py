@@ -42,9 +42,19 @@ def simulate_genome(
     sd_len: Optional[float] = None,
     seed: int = 0,
     batch: int = 256,
+    n_hosts: int = 1,
+    host_id: int = 0,
+    coordinator: Optional[str] = None,
 ) -> dict:
     """Genome-mode simulation (reference main genome branch,
-    simulator.py:2226-2320).  Returns counters for reporting."""
+    simulator.py:2226-2320).  Returns counters for reporting.
+
+    Multi-host (n_hosts > 1): this process simulates its share of the
+    sharded slot schedule and writes `{out}_h{host_id}` files; concatenating
+    the per-host shards reproduces the single-host output (the TPU-native
+    analog of the reference's per-worker subfiles).  The unaligned pass runs
+    on host 0 only.
+    """
     _log("Read in reference")
     genome = PackedGenome.from_fasta(ref_g, dna_type=dna_type)
     if dna_type == "circular" and genome.n_chrom > 1:
@@ -95,17 +105,37 @@ def simulate_genome(
             batch=batch,
             kmer_bias=kmer_bias,
         )
-    fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
-    el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
-    if chimeric:
-        writer = output.ChimericBatchWriter(fw, el, perfect=perfect)
-    else:
-        writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
-    sim.run(n_aligned, writer, seed=seed)
-    fw.close()
-    el.close()
+    if n_hosts > 1:
+        from ..parallel import (
+            MultiHostGenomeRunner, MultiHostModeRunner, init_distributed,
+        )
 
-    if not perfect and n_unaligned > 0:
+        init_distributed(coordinator, n_hosts if coordinator else None, host_id)
+        tag = f"_h{host_id}"
+        fw = output.FastxWriter(out + "_aligned_reads" + tag + ext, fastq)
+        el = output.ErrorLogWriter(
+            out + "_aligned_error_profile" + tag, header=(host_id == 0))
+        if chimeric:
+            writer = output.ChimericBatchWriter(fw, el, perfect=perfect)
+            runner = MultiHostModeRunner(sim, n_hosts, host_id)
+        else:
+            writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
+            runner = MultiHostGenomeRunner(sim, n_hosts, host_id)
+        runner.run(n_aligned, writer, seed=seed)
+        fw.close()
+        el.close()
+    else:
+        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
+        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
+        if chimeric:
+            writer = output.ChimericBatchWriter(fw, el, perfect=perfect)
+        else:
+            writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
+        sim.run(n_aligned, writer, seed=seed)
+        fw.close()
+        el.close()
+
+    if not perfect and n_unaligned > 0 and host_id == 0:
         _log("Start simulation of random reads")
         usim = UnalignedSimulator(
             genome,

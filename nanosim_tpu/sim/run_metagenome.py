@@ -294,8 +294,15 @@ def simulate_metagenome(
     sd_len=None,
     seed: int = 0,
     batch: int = 128,
+    n_hosts: int = 1,
+    host_id: int = 0,
+    coordinator=None,
 ) -> dict:
-    """Full metagenome run over all samples (simulator.py:2416-2527)."""
+    """Full metagenome run over all samples (simulator.py:2416-2527).
+
+    With n_hosts > 1, this process writes `{out}_{sample}_aligned_*_h{id}`
+    shards (concatenation == the single-host output); unaligned passes run
+    on host 0."""
     _log("Read in reference")
     mset = MetagenomeSet.from_genome_list(genome_list, dna_type_list)
     _log("Read in abundance profile")
@@ -353,8 +360,10 @@ def simulate_metagenome(
             kmer_bias=kmer_bias,
         )
         prefix = f"{out}_{sample}"
-        fw = output.FastxWriter(prefix + "_aligned_reads" + ext, fastq)
-        el = output.ErrorLogWriter(prefix + "_aligned_error_profile", header=True)
+        tag = f"_h{host_id}" if n_hosts > 1 else ""
+        fw = output.FastxWriter(prefix + "_aligned_reads" + tag + ext, fastq)
+        el = output.ErrorLogWriter(prefix + "_aligned_error_profile" + tag,
+                                   header=(host_id == 0))
         w = output.ChimericBatchWriter(
             fw,
             el,
@@ -363,11 +372,18 @@ def simulate_metagenome(
             metagenome=True,
             perfect=perfect,
         )
-        got = sim.run(aligned_l[s_idx], w, seed=seed + s_idx)
+        if n_hosts > 1:
+            from ..parallel import MultiHostMetagenomeRunner, init_distributed
+
+            init_distributed(coordinator, n_hosts if coordinator else None, host_id)
+            runner = MultiHostMetagenomeRunner(sim, n_hosts, host_id)
+            got = runner.run(aligned_l[s_idx], w, seed=seed + s_idx)
+        else:
+            got = sim.run(aligned_l[s_idx], w, seed=seed + s_idx)
         fw.close()
         el.close()
 
-        if not perfect and unaligned_l[s_idx] > 0:
+        if not perfect and unaligned_l[s_idx] > 0 and host_id == 0:
             from .unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
 
             usim = UnalignedSimulator(

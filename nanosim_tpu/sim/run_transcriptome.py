@@ -38,9 +38,14 @@ class TrxBatchWriter:
         self.error_log = error_log
         self.perfect = perfect
 
-    def write_batch(self, sim, out: TrxBatchOut, accepted_so_far: int, quota: int) -> int:
-        valid = np.asarray(out.valid)
-        lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+    def write_batch(self, sim, out: TrxBatchOut, accepted_so_far: int, quota: int,
+                    lanes=None, start=None) -> int:
+        if lanes is None:
+            valid = np.asarray(out.valid)
+            lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
+        if start is None:
+            start = accepted_so_far
+        accepted_so_far = start
         if len(lanes) == 0:
             return 0
         reads = np.asarray(out.read)
@@ -98,14 +103,14 @@ class TrxBatchWriter:
             mid = pre[head : head + l_new]
         evv = np.zeros(len(ev_p), bool)
         evv[:ne] = True
-        keys, rpos, _eff = output.event_read_positions(
+        keys, rpos, eff = output.event_read_positions(
             ev_p[None, :], ev_t[None, :], ev_l[None, :], evv[None, :]
         )
-        keys, rpos = keys[0], rpos[0]
+        keys, rpos, eff = keys[0], rpos[0], eff[0]
         refs, seqs, tnames = [], [], []
         kept = []
         for e in range(ne):
-            k, t, ln, rp = int(keys[e]), int(ev_t[e]), int(ev_l[e]), int(rpos[e])
+            k, t, ln, rp = int(keys[e]), int(ev_t[e]), int(eff[e]), int(rpos[e])
             if ln == 0:
                 continue
             kept.append(e)
@@ -119,7 +124,7 @@ class TrxBatchWriter:
         import numpy as _np
 
         kr = _np.asarray(kept, int)
-        self.error_log.write_read_events(name, keys[kr], tnames, ev_l[kr], refs, seqs)
+        self.error_log.write_read_events(name, keys[kr], tnames, eff[kr], refs, seqs)
 
 
 class TranscriptomeSimulator:
@@ -261,9 +266,14 @@ def simulate_transcriptome(
     max_len: float = float("inf"),
     seed: int = 0,
     batch: int = 256,
+    n_hosts: int = 1,
+    host_id: int = 0,
+    coordinator=None,
 ) -> dict:
     """Full transcriptome run (reference main transcriptome branch,
-    simulator.py:2322-2414)."""
+    simulator.py:2322-2414).  With n_hosts > 1, this process writes
+    `{out}_h{host_id}` shards of the aligned pass (concatenation == the
+    single-host output); the unaligned pass runs on host 0."""
     _log("Read in reference transcriptome")
     transcriptome = PackedGenome.from_fasta(ref_t)
     ir_genome = None
@@ -306,13 +316,24 @@ def simulate_transcriptome(
         batch=batch,
         kmer_bias=kmer_bias,
     )
-    fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
-    el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
-    sim.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
+    if n_hosts > 1:
+        from ..parallel import MultiHostModeRunner, init_distributed
+
+        init_distributed(coordinator, n_hosts if coordinator else None, host_id)
+        tag = f"_h{host_id}"
+        fw = output.FastxWriter(out + "_aligned_reads" + tag + ext, fastq)
+        el = output.ErrorLogWriter(out + "_aligned_error_profile" + tag,
+                                   header=(host_id == 0))
+        runner = MultiHostModeRunner(sim, n_hosts, host_id)
+        runner.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
+    else:
+        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
+        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
+        sim.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
     fw.close()
     el.close()
 
-    if not perfect and n_unaligned[0] > 0:
+    if not perfect and n_unaligned[0] > 0 and host_id == 0:
         _log("Start simulation of random reads")
         from .unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
 

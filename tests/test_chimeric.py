@@ -83,10 +83,17 @@ def test_chimeric_structure(setup):
             ref_slice = genome.slice(chrom[b, s], pos[b, s], seg_mref[b, s]).tobytes().decode()
             # replay events structurally (unknown bases as '?')
             read = ref_slice
-            evs = [
-                (int((ev_p[flat, e] + 1) // 2), int(ev_t[flat, e]), int(ev_l[flat, e]))
-                for e in range(n_events[b, s])
-            ]
+            ne = n_events[b, s]
+            evs = []
+            for e in range(ne):
+                t = int(ev_t[flat, e])
+                ln = int(ev_l[flat, e])
+                # reference dict-overwrite: of consecutive same-key
+                # insertions only the LAST survives (simulator.py:1880-1882)
+                if (t == 1 and e + 1 < ne and int(ev_t[flat, e + 1]) == 1
+                        and ev_p[flat, e + 1] == ev_p[flat, e]):
+                    continue
+                evs.append((int((ev_p[flat, e] + 1) // 2), t, ln))
             # reverse emission order preserves the reference's half-position
             # tie-break (a mis at pos applies before an ins at pos - 0.5)
             for key, t, ln in reversed(evs):
