@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="this process's rank in a multi-host run")
     g.add_argument("--coordinator", default=None,
                        help="jax.distributed coordinator address (real pods)")
+    g.add_argument("--resume", action="store_true", default=False,
+                   help="continue an interrupted run from its checkpoint")
     g.add_argument("--batch", type=int, default=256, help="device batch size")
 
     t = sub.add_parser("transcriptome", help="Run the simulator on transcriptome mode")
@@ -186,6 +188,7 @@ def main(argv=None):
             n_hosts=args.num_hosts,
             host_id=args.host_id,
             coordinator=args.coordinator,
+            resume=getattr(args, "resume", False),
         )
 
     elif args.mode == "transcriptome":

@@ -196,6 +196,20 @@ class KdeDevice:
             out = jnp.power(10.0, out) - 1.0
         return out[:, 0] if out.shape[1] == 1 else out
 
+    def sample_nearest_pool(self, cond_value, comp_u, z0, z1):
+        """Reference-parity aligned-length draw (select_nearest_kde2d,
+        simulator.py:108-111): draw a pool of K joint 2D KDE samples per lane
+        and return dim-1 of the sample whose dim-0 is nearest cond_value.
+
+        comp_u/z0/z1: [B, K] uniforms and standard normals.
+        """
+        n = self.data.shape[0]
+        i = jnp.minimum((comp_u * n).astype(jnp.int32), n - 1)
+        s0 = self.data[i, 0] + self.bandwidth * z0
+        s1 = self.data[i, 1] + self.bandwidth * z1
+        idx = jnp.argmin(jnp.abs(s0 - cond_value[:, None]), axis=1)
+        return jnp.take_along_axis(s1, idx[:, None], axis=1)[:, 0]
+
     def sample_conditional(self, cond_value: jax.Array, u_comp: jax.Array, z: jax.Array) -> jax.Array:
         """Sample dim-1 conditioned on dim-0 == cond_value (2D KDE).
 

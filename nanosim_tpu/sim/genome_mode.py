@@ -16,6 +16,7 @@ makes output independent of batch scheduling and device count.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -419,6 +420,9 @@ class OverflowRescueWriter:
         self._fetcher = None
         self.error_log = getattr(writer, "error_log", None)
         self.perfect = getattr(writer, "perfect", False)
+        inner_enqueue = getattr(writer, "enqueue_task", None)
+        if inner_enqueue is not None:
+            self.enqueue_task = inner_enqueue
 
     def _rescue(self, slots):
         """Run overflow slots through the full-budget program.
@@ -512,12 +516,19 @@ class OverflowRescueWriter:
             self.inner.close()
 
 
-def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim, max_batches=None) -> int:
+def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim,
+                   max_batches=None, state=None) -> int:
     """Double-buffered accept loop: batch N+1 is dispatched (JAX async)
     before batch N's host-side writing blocks on its transfers, overlapping
-    device compute with host formatting/IO."""
-    accepted = 0
-    slot_start = 0
+    device compute with host formatting/IO.
+
+    `state` (optional ResumeState): loads (slot cursor, accepted count) on
+    entry and checkpoints them after every emitted batch, enabling a
+    kill-and-restart to reproduce the exact remaining output (slot-keyed
+    draws make the mapping deterministic).
+    """
+    accepted = state.accepted if state else 0
+    slot_start = state.slot_start if state else 0
     batches = 0
     pending = make_batch(slot_start)
     slot_start += batch_size
@@ -528,10 +539,50 @@ def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim, max_bat
             nxt = make_batch(slot_start)
             slot_start += batch_size
         accepted += writer.write_batch(sim, pending, accepted, quota)
+        if state is not None:
+            state.checkpoint(writer, slot_start - (batch_size if nxt is not None else 0),
+                             accepted)
         if nxt is None:
             break
         pending = nxt
     return accepted
+
+
+class ResumeState:
+    """Batch-granular (slot cursor, accepted count) checkpointing.
+
+    The state on disk never runs AHEAD of the output files: with a
+    synchronous writer it is written right after the batch's emission; with
+    an AsyncBatchWriter the write is enqueued BEHIND the batch's emission on
+    the same ordered worker queue.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.slot_start = 0
+        self.accepted = 0
+        if os.path.exists(path):
+            import json
+
+            with open(path) as f:
+                d = json.load(f)
+            self.slot_start = int(d["slot_start"])
+            self.accepted = int(d["accepted"])
+
+    def _write(self, slot_start: int, accepted: int):
+        import json
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"slot_start": slot_start, "accepted": accepted}, f)
+        os.replace(tmp, self.path)
+
+    def checkpoint(self, writer, slot_start: int, accepted: int):
+        enqueue = getattr(writer, "enqueue_task", None)
+        if enqueue is not None:
+            enqueue(lambda: self._write(slot_start, accepted))
+        else:
+            self._write(slot_start, accepted)
 
 
 class GenomeSimulator:
@@ -659,8 +710,12 @@ class GenomeSimulator:
         return fns
 
     def run(self, n_reads: int, writer, seed: int = 0, max_batches: Optional[int] = None,
-            bucketed: Optional[bool] = None):
-        """Simulate n_reads aligned reads into `writer`."""
+            bucketed: Optional[bool] = None, resume_state: Optional[str] = None):
+        """Simulate n_reads aligned reads into `writer`.
+
+        resume_state: path to a (slot cursor, accepted) checkpoint file; if
+        it exists the run continues from it (callers must open the output
+        files in append mode), and it is updated after every batch."""
         buckets = self.plan_buckets()
         if bucketed is None:
             # measured on TPU v5e: the batch program has ~50% width-independent
@@ -673,6 +728,8 @@ class GenomeSimulator:
             bucketed = False
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
         if bucketed and len(buckets) > 1:
+            if resume_state is not None:
+                raise ValueError("resume is supported on the flat scheduler only")
             return self._run_bucketed(n_reads, writer, base, buckets)
 
         fn = self.batch_fn()
@@ -715,7 +772,9 @@ class GenomeSimulator:
             h.slots = slots
             return h
 
-        return run_prefetched(make_batch, self.batch, n_reads, wrapped, self, max_batches)
+        state = ResumeState(resume_state) if resume_state else None
+        return run_prefetched(make_batch, self.batch, n_reads, wrapped, self,
+                              max_batches, state=state)
 
     def _run_bucketed(self, n_reads: int, writer, base, buckets) -> int:
         """Block-synchronous bucket scheduler.

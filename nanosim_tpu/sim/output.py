@@ -26,8 +26,8 @@ _ETYPE_NAMES = np.array(["mis", "ins", "del"])
 class FastxWriter:
     """Buffered FASTA/FASTQ writer over uint8 token rows."""
 
-    def __init__(self, path: str, fastq: bool):
-        self.f = open(path, "wb")
+    def __init__(self, path: str, fastq: bool, append: bool = False):
+        self.f = open(path, "ab" if append else "wb")
         self.fastq = fastq
         self._buf = []
         self._buf_bytes = 0
@@ -61,9 +61,9 @@ class ErrorLogWriter:
 
     HEADER = "Seq_name\tSeq_pos\terror_type\terror_length\tref_base\tseq_base\n"
 
-    def __init__(self, path: str, header: bool = False):
-        self.f = open(path, "wb", buffering=1 << 20)
-        if header:
+    def __init__(self, path: str, header: bool = False, append: bool = False):
+        self.f = open(path, "ab" if append else "wb", buffering=1 << 20)
+        if header and not append:
             self.f.write(self.HEADER.encode())
 
     def write_read_events(self, name, keys, types, lens, refs, seqs):
@@ -1026,6 +1026,11 @@ class AsyncBatchWriter:
         self._t = threading.Thread(target=self._worker, daemon=True)
         self._t.start()
 
+    def enqueue_task(self, fn):
+        """Run `fn` on the writer thread AFTER all previously queued writes
+        (used for resume-state checkpoints that must not outrun the files)."""
+        self._q.put(("task", fn))
+
     def _worker(self):
         while True:
             item = self._q.get()
@@ -1033,7 +1038,9 @@ class AsyncBatchWriter:
                 return
             try:
                 if self._exc is None:
-                    if item[0] == "entries":
+                    if item[0] == "task":
+                        item[1]()
+                    elif item[0] == "entries":
                         _, sim, entries, start = item
                         self.inner.write_entries(sim, entries, start, start + len(entries))
                     else:

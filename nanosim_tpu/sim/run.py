@@ -45,6 +45,7 @@ def simulate_genome(
     n_hosts: int = 1,
     host_id: int = 0,
     coordinator: Optional[str] = None,
+    resume: bool = False,
 ) -> dict:
     """Genome-mode simulation (reference main genome branch,
     simulator.py:2226-2320).  Returns counters for reporting.
@@ -125,13 +126,20 @@ def simulate_genome(
         fw.close()
         el.close()
     else:
-        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
-        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
+        import os as _os
+
+        state_path = out + "_aligned.resume.json"
+        resuming = resume and _os.path.exists(state_path)
+        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq, append=resuming)
+        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True,
+                                   append=resuming)
         if chimeric:
             writer = output.ChimericBatchWriter(fw, el, perfect=perfect)
+            sim.run(n_aligned, writer, seed=seed)
         else:
             writer = output.GenomeBatchWriter(fw, el, perfect=perfect)
-        sim.run(n_aligned, writer, seed=seed)
+            sim.run(n_aligned, writer, seed=seed,
+                    resume_state=state_path if resume else None)
         fw.close()
         el.close()
 

@@ -143,6 +143,7 @@ class TranscriptomeSimulator:
         max_len: float = float("inf"),
         batch: int = 256,
         kmer_bias: Optional[int] = None,
+        exact_conditional: bool = False,
     ):
         self.genome_host = transcriptome
         self.profile = profile
@@ -205,6 +206,7 @@ class TranscriptomeSimulator:
         self.tables = build_tables(profile)
         self.genome_dev = extract.GenomeDevice.from_packed(transcriptome)
         self.kw = dict(
+            exact_conditional=exact_conditional,
             l_cap=self.l_cap,
             l_out=self.l_out,
             ht_cap=self.ht_cap,

@@ -90,6 +90,7 @@ def polya_length(sk, retain: jax.Array, scale: float):
     static_argnames=(
         "l_cap", "l_out", "ht_cap", "e_max", "fastq", "perfect", "uracil",
         "polya_scale", "max_len", "with_ir", "kmer_bias", "hp_r_max",
+        "exact_conditional",
     ),
 )
 def transcriptome_batch(
@@ -115,6 +116,7 @@ def transcriptome_batch(
     hp_r_max: int = 256,
     ir_tables=None,  # IRTables pytree (dummy allowed when with_ir=False)
     ir_genome: Optional[extract.GenomeDevice] = None,
+    exact_conditional: bool = False,
 ) -> TrxBatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -123,21 +125,39 @@ def transcriptome_batch(
     trx = trx_of_eligible[eli]
     trx_len = genome.lengths[trx].astype(jnp.int32)
 
-    # conditional aligned length, rejected until < transcript length
-    # (simulator.py:1098-1104)
-    u2 = rng.uniform_per_slot(sk, rng.SITE_ALIGNED_2D, (4, 2))
+    # aligned length given transcript length, rejected until < transcript
+    # length (simulator.py:1098-1104).  Default = the reference's
+    # nearest-of-pool estimator (select_nearest_kde2d) for distributional
+    # parity; exact_conditional samples the true KDE conditional instead
+    # (a documented statistical improvement, opt-in).
     aligned = jnp.zeros(B, jnp.int32)
     got = jnp.zeros(B, bool)
-    for r in range(4):
-        comp = u2[:, r, 0]
-        z = _ndtri(jnp.clip(u2[:, r, 1], 1e-7, 1 - 1e-7))
-        cand = tables.kde_aligned_2d.sample_conditional(
-            trx_len.astype(jnp.float32), comp, z
-        ).astype(jnp.int32)
-        ok = (cand > 0) & (cand < trx_len)
-        take = (~got) & ok
-        aligned = jnp.where(take, cand, aligned)
-        got = got | ok
+    if exact_conditional:
+        u2 = rng.uniform_per_slot(sk, rng.SITE_ALIGNED_2D, (4, 2))
+        for r in range(4):
+            comp = u2[:, r, 0]
+            z = _ndtri(jnp.clip(u2[:, r, 1], 1e-7, 1 - 1e-7))
+            cand = tables.kde_aligned_2d.sample_conditional(
+                trx_len.astype(jnp.float32), comp, z
+            ).astype(jnp.int32)
+            ok = (cand > 0) & (cand < trx_len)
+            take = (~got) & ok
+            aligned = jnp.where(take, cand, aligned)
+            got = got | ok
+    else:
+        K = 256
+        u2 = rng.uniform_per_slot(sk, rng.SITE_ALIGNED_2D, (2, K, 3))
+        for r in range(2):
+            comp = u2[:, r, :, 0]
+            z0 = _ndtri(jnp.clip(u2[:, r, :, 1], 1e-7, 1 - 1e-7))
+            z1 = _ndtri(jnp.clip(u2[:, r, :, 2], 1e-7, 1 - 1e-7))
+            cand = tables.kde_aligned_2d.sample_nearest_pool(
+                trx_len.astype(jnp.float32), comp, z0, z1
+            ).astype(jnp.int32)
+            ok = (cand > 0) & (cand < trx_len)
+            take = (~got) & ok
+            aligned = jnp.where(take, cand, aligned)
+            got = got | ok
     valid = got & (aligned <= l_cap)
 
     if perfect:

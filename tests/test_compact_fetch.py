@@ -239,6 +239,49 @@ def test_walk_replay_checksum_fallback(setup, monkeypatch):
     assert filecmp.cmp(ep1, ep2, shallow=False)
 
 
+def test_kill_and_resume_byte_identical(setup):
+    """An interrupted run resumed from its (slot cursor, accepted) checkpoint
+    must produce byte-identical concatenated output to an uninterrupted run."""
+    d, prefix, ref_fa = setup
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+    quota, seed = 260, 17
+
+    def fresh_sim():
+        return GenomeSimulator(genome, prof, batch=64)
+
+    # uninterrupted
+    fw = out_mod.FastxWriter(str(d / "uni.fasta"), False)
+    el = out_mod.ErrorLogWriter(str(d / "uni.err"))
+    got = fresh_sim().run(quota, out_mod.GenomeBatchWriter(fw, el), seed=seed)
+    fw.close()
+    el.close()
+    assert got == quota
+
+    # interrupted after 2 batches (max_batches simulates the kill)...
+    state = str(d / "resume.json")
+    fw = out_mod.FastxWriter(str(d / "res.fasta"), False)
+    el = out_mod.ErrorLogWriter(str(d / "res.err"))
+    got1 = fresh_sim().run(quota, out_mod.GenomeBatchWriter(fw, el), seed=seed,
+                           max_batches=2, resume_state=state)
+    fw.close()
+    el.close()
+    assert 0 < got1 < quota
+    assert os.path.exists(state)
+
+    # ...then resumed with APPENDED files
+    fw = out_mod.FastxWriter(str(d / "res.fasta"), False, append=True)
+    el = out_mod.ErrorLogWriter(str(d / "res.err"), append=True)
+    got2 = fresh_sim().run(quota, out_mod.GenomeBatchWriter(fw, el), seed=seed,
+                           resume_state=state)
+    fw.close()
+    el.close()
+    assert got2 == quota
+
+    assert filecmp.cmp(str(d / "uni.fasta"), str(d / "res.fasta"), shallow=False)
+    assert filecmp.cmp(str(d / "uni.err"), str(d / "res.err"), shallow=False)
+
+
 def test_chunk_compact_roundtrip():
     """Direct packer unit test: random lane prefixes survive the round trip."""
     import jax.numpy as jnp

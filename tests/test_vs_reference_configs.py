@@ -1,0 +1,231 @@
+"""End-to-end distribution gates vs the reference CLI for the five driver
+benchmark configs (BASELINE.md): genome FASTA, genome FASTQ+homopolymer,
+cDNA+intron-retention, direct-RNA+uracil, metagenome+chimeric.
+
+Gates follow SURVEY §4.2: two-sample Kolmogorov-Smirnov on read lengths at
+the reference's own fit-precision constant (model_fitting.py:128) — we use
+c = 1.63 (alpha = 0.01) per config to keep the 5-config suite's flake rate
+~5% — plus binomial-SE gates on per-type error rates and quality means.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "refshim"))
+
+from refshim.oracle import parse_fastx_records, run_reference_cli
+
+from nanosim_tpu import cli as our_cli
+from nanosim_tpu.profiles import error_model, fixtures
+
+KS_C = 1.63  # alpha = 0.01
+
+
+def _ks(a, b):
+    a = np.sort(np.asarray(a, float))
+    b = np.sort(np.asarray(b, float))
+    allv = np.concatenate([a, b])
+    ca = np.searchsorted(a, allv, side="right") / len(a)
+    cb = np.searchsorted(b, allv, side="right") / len(b)
+    return float(np.abs(ca - cb).max())
+
+
+def _ks_gate(a, b, what):
+    d = _ks(a, b)
+    thresh = KS_C * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    assert d < thresh, f"{what}: KS D={d:.4f} >= {thresh:.4f} (n={len(a)},{len(b)})"
+
+
+def _error_rates(err_path, total_bases, skip_header):
+    per_type = {"mis": 0, "ins": 0, "del": 0}
+    with open(err_path) as f:
+        if skip_header:
+            f.readline()
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 4 and parts[2] in per_type:
+                per_type[parts[2]] += int(parts[3])
+    return {t: n / total_bases for t, n in per_type.items()}
+
+
+def _rate_gates(ref_rates, our_rates, n_ref, n_our, what):
+    for t in ("mis", "ins", "del"):
+        p = (ref_rates[t] + our_rates[t]) / 2
+        se = np.sqrt(max(p * (1 - p), 1e-9) * (1 / n_ref + 1 / n_our))
+        assert abs(ref_rates[t] - our_rates[t]) < 5 * se + 1e-4, (
+            what, t, ref_rates[t], our_rates[t], se)
+
+
+def _lens(records):
+    return np.array([len(s) for _, s, _ in records], float)
+
+
+def _run_ours(argv):
+    our_cli.main(argv)
+
+
+@pytest.fixture(scope="module")
+def genome_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg_g")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=700, sd_read_len=250)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [40000, 20000], seed=5, hp_bias=0.55)
+    return d, prefix, ref_fa
+
+
+def test_config_genome_fasta(genome_setup):
+    d, prefix, ref_fa = genome_setup
+    n = 150
+    res = run_reference_cli(
+        ["genome", "-rg", ref_fa, "-c", prefix, "-o", str(d / "ref1"),
+         "-n", str(n), "--seed", "1", "-t", "1"], timeout=900)
+    assert res.returncode == 0, res.stderr[-3000:]
+    _run_ours(["genome", "-rg", ref_fa, "-c", prefix, "-o", str(d / "our1"),
+               "-n", str(n), "--seed", "2", "--batch", "128"])
+    ref = parse_fastx_records(str(d / "ref1_aligned_reads.fasta"))
+    our = parse_fastx_records(str(d / "our1_aligned_reads.fasta"))
+    assert len(ref) == len(our) == 135
+    _ks_gate(_lens(ref), _lens(our), "genome-fasta lengths")
+    _rate_gates(
+        _error_rates(str(d / "ref1_aligned_error_profile"), _lens(ref).sum(), True),
+        _error_rates(str(d / "our1_aligned_error_profile"), _lens(our).sum(), True),
+        _lens(ref).sum(), _lens(our).sum(), "genome-fasta",
+    )
+
+
+def test_config_genome_fastq_hp(genome_setup):
+    d, prefix, ref_fa = genome_setup
+    n = 120
+    res = run_reference_cli(
+        ["genome", "-rg", ref_fa, "-c", prefix, "-o", str(d / "ref2"),
+         "-n", str(n), "--seed", "1", "-t", "1", "--fastq", "-hp", "-k", "6"],
+        timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    _run_ours(["genome", "-rg", ref_fa, "-c", prefix, "-o", str(d / "our2"),
+               "-n", str(n), "--seed", "2", "--batch", "128", "--fastq",
+               "-hp", "-k", "6"])
+    ref = parse_fastx_records(str(d / "ref2_aligned_reads.fastq"))
+    our = parse_fastx_records(str(d / "our2_aligned_reads.fastq"))
+    assert len(ref) == len(our) == 108
+    _ks_gate(_lens(ref), _lens(our), "genome-fastq-hp lengths")
+    # per-base quality distributions
+    rq = np.concatenate([[ord(c) - 33 for c in q] for _, _, q in ref])
+    oq = np.concatenate([[ord(c) - 33 for c in q] for _, _, q in our])
+    se = np.sqrt(rq.var() / len(rq) + oq.var() / len(oq))
+    assert abs(rq.mean() - oq.mean()) < 6 * se + 0.25, (rq.mean(), oq.mean())
+
+
+@pytest.fixture(scope="module")
+def trx_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg_t")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=500, sd_read_len=180,
+                            transcriptome=True, mean_2d_ref_len=1400)
+    genome_fa, trx_fa, gff, trxs = fixtures.make_ir_fixture(str(d), n_transcripts=14, seed=7)
+    error_model.write_ir_markov(
+        prefix + "_IR_markov_model", np.array([[0.6, 0.4], [0.5, 0.5], [0.4, 0.6]])
+    )
+    exp = str(d / "exp.tsv")
+    fixtures.make_expression_tsv(exp, trxs, seed=8)
+    polya = str(d / "polya.txt")
+    with open(polya, "w") as f:
+        for name, _ in trxs[:7]:
+            f.write(name + "\n")
+    return d, prefix, genome_fa, trx_fa, exp, polya
+
+
+def test_config_cdna_ir(trx_setup):
+    d, prefix, genome_fa, trx_fa, exp, polya = trx_setup
+    n = 120
+    res = run_reference_cli(
+        ["transcriptome", "-rt", trx_fa, "-rg", genome_fa, "-e", exp,
+         "-c", prefix, "-o", str(d / "ref3"), "-n", str(n), "--seed", "1",
+         "-t", "1", "--polya", polya, "-b", "guppy"], timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    _run_ours(["transcriptome", "-rt", trx_fa, "-rg", genome_fa, "-e", exp,
+               "-c", prefix, "-o", str(d / "our3"), "-n", str(n),
+               "--seed", "2", "--batch", "128", "--polya", polya, "-b", "guppy"])
+    ref = parse_fastx_records(str(d / "ref3_aligned_reads.fasta"))
+    our = parse_fastx_records(str(d / "our3_aligned_reads.fasta"))
+    assert len(ref) == len(our) == 108
+    _ks_gate(_lens(ref), _lens(our), "cdna-ir lengths")
+    r_ir = sum(1 for nm, _, _ in ref if "RetainedIntron" in nm)
+    o_ir = sum(1 for nm, _, _ in our if "RetainedIntron" in nm)
+    p = (r_ir + o_ir) / (2 * 108)
+    se = np.sqrt(max(p * (1 - p), 1e-9) * 2 / 108)
+    assert abs(r_ir - o_ir) / 108 < 5 * se + 0.02, (r_ir, o_ir)
+
+
+def test_config_drna_uracil(trx_setup):
+    d, prefix, genome_fa, trx_fa, exp, polya = trx_setup
+    n = 120
+    res = run_reference_cli(
+        ["transcriptome", "-rt", trx_fa, "-e", exp, "-c", prefix,
+         "-o", str(d / "ref4"), "-n", str(n), "--seed", "1", "-t", "1",
+         "--no_model_ir", "--uracil", "--polya", polya, "-b", "albacore"],
+        timeout=1200)
+    assert res.returncode == 0, res.stderr[-3000:]
+    _run_ours(["transcriptome", "-rt", trx_fa, "-e", exp, "-c", prefix,
+               "-o", str(d / "our4"), "-n", str(n), "--seed", "2",
+               "--batch", "128", "--no_model_ir", "--uracil",
+               "--polya", polya, "-b", "albacore"])
+    ref = parse_fastx_records(str(d / "ref4_aligned_reads.fasta"))
+    our = parse_fastx_records(str(d / "our4_aligned_reads.fasta"))
+    assert len(ref) == len(our) == 108
+    _ks_gate(_lens(ref), _lens(our), "drna-uracil lengths")
+    # uracil output: no T in either
+    assert all("T" not in s for _, s, _ in ref)
+    assert all("T" not in s for _, s, _ in our)
+
+
+def test_config_metagenome_chimeric(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg_m")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=130)
+    error_model.write_chimeric_info(str(prefix) + "_chimeric_info", 1.45, 0.2)
+    species = ["Escherichia_coli", "Bacillus_subtilis"]
+    sizes = [[35000], [30000]]
+    gl = str(d / "genome_list.tsv")
+    with open(gl, "w") as f:
+        for i, (sp, sz) in enumerate(zip(species, sizes)):
+            p = str(d / f"{sp}.fa")
+            fixtures.make_reference_fasta(p, sz, seed=20 + i, name_prefix=f"{sp[:3]}chr")
+            f.write(f"{sp}\t{p}\n")
+    dl = str(d / "dna_types.tsv")
+    with open(dl, "w") as f:
+        for sp in species:
+            f.write(f"{sp}\t{sp[:3]}chr1\tlinear\n")
+    abun = str(d / "abun.tsv")
+    with open(abun, "w") as f:
+        f.write("Species\t120\n")
+        f.write("Escherichia coli\t70\n")
+        f.write("Bacillus subtilis\t30\n")
+
+    res = run_reference_cli(
+        ["metagenome", "-gl", gl, "-a", abun, "-dl", dl, "-c", prefix,
+         "-o", str(d / "ref5"), "--seed", "1", "-t", "1", "--chimeric"],
+        timeout=1800)
+    assert res.returncode == 0, res.stderr[-3000:]
+    _run_ours(["metagenome", "-gl", gl, "-a", abun, "-dl", dl, "-c", prefix,
+               "-o", str(d / "our5"), "--seed", "2", "--batch", "128",
+               "--chimeric"])
+    ref = parse_fastx_records(str(d / "ref5_sample0_aligned_reads.fasta"))
+    our = parse_fastx_records(str(d / "our5_sample0_aligned_reads.fasta"))
+    assert len(ref) == len(our)
+    _ks_gate(_lens(ref), _lens(our), "metagenome-chimeric lengths")
+    # chimeric fraction comparable
+    rc = sum(1 for nm, _, _ in ref if "chimeric" in nm) / len(ref)
+    oc = sum(1 for nm, _, _ in our if "chimeric" in nm) / len(our)
+    p = (rc + oc) / 2
+    se = np.sqrt(max(p * (1 - p), 1e-9) * (1 / len(ref) + 1 / len(our)))
+    assert abs(rc - oc) < 5 * se + 0.02, (rc, oc)
+    # species base split within binomial noise of the 70/30 target
+    def split(recs):
+        e = sum(len(s) for nm, s, _ in recs if "Escherichia" in nm.split(";")[0])
+        t = sum(len(s) for nm, s, _ in recs)
+        return e / t
+    assert abs(split(ref) - split(our)) < 0.1, (split(ref), split(our))
