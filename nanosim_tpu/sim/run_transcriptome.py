@@ -31,12 +31,21 @@ def _log(msg):
 
 
 class TrxBatchWriter:
-    """Accept/number/emit a transcriptome batch."""
+    """Accept/number/emit a transcriptome batch.
+
+    Records and ground-truth log go through the C++ batch formatter
+    (io/native.py) like the genome/chimeric writers; per-event reference
+    bases come from the batch's own extracted ref rows (passed as the
+    emitter's flat 'genome' with per-lane offsets), which also covers
+    intron-retention reads whose sequence source is genomic intervals."""
 
     def __init__(self, fastx, error_log=None, perfect: bool = False):
         self.fastx = fastx
         self.error_log = error_log
         self.perfect = perfect
+        from ..io.native import NativeEmitter
+
+        self._emitter = NativeEmitter()
 
     def write_batch(self, sim, out: TrxBatchOut, accepted_so_far: int, quota: int,
                     lanes=None, start=None) -> int:
@@ -72,6 +81,7 @@ class TrxBatchWriter:
         names = sim.genome_host.names
         kind = "perfect" if self.perfect else "aligned"
 
+        rec_names = []
         for rank, b in enumerate(lanes):
             idx = accepted_so_far + rank
             name = f"{names[trx[b]]}_{pos[b]}_{kind}_{idx}"
@@ -81,11 +91,50 @@ class TrxBatchWriter:
                     name += f"{ir_iv[b, k, 0]}-{ir_iv[b, k, 1]};"
             name += "_R" if rev[b] else "_F"
             name += f"_{head[b]}_{middle_ref[b]}_{tail[b] + pa[b]}"
+            rec_names.append(name)
 
+        with_events = self.error_log is not None and not self.perfect
+        if self._emitter.available and not hp_mode and not getattr(sim, "uracil", False):
+            # the per-event ref bases live in this batch's extracted rows:
+            # hand them to the emitter as the flat "genome" with per-lane
+            # offsets and start position 0
+            lane_arr = np.ascontiguousarray(lanes, np.int64)
+            Lr = ref_seg.shape[1]
+            ref_flat = np.ascontiguousarray(ref_seg).reshape(-1)
+            fastx_bytes, err_bytes = self._emitter.emit(
+                reads=reads,
+                quals=quals,
+                lanes=lane_arr,
+                names=rec_names,
+                total_len=total[lane_arr],
+                head=head[lane_arr],
+                l_new=l_new[lane_arr],
+                rev=rev[lane_arr],
+                ev_pos2x=ev_p if with_events else None,
+                ev_type=ev_t if with_events else None,
+                ev_len=ev_l if with_events else None,
+                n_events=(n_events[lane_arr] if with_events
+                          else np.zeros(len(lane_arr), np.int64)),
+                g_off=lane_arr * Lr,
+                g_len=np.full(len(lane_arr), Lr, np.int64),
+                g_circ=np.zeros(len(lane_arr), np.uint8),
+                start_pos=np.zeros(len(lane_arr), np.int64),
+                genome_flat=ref_flat,
+                fastq=sim.fastq,
+                write_errors=with_events,
+            )
+            self.fastx.flush()
+            self.fastx.f.write(fastx_bytes)
+            if with_events and self.error_log is not None:
+                self.error_log.write_bytes(err_bytes)
+            return len(lanes)
+
+        for rank, b in enumerate(lanes):
+            name = rec_names[rank]
             seq = reads[b, : total[b]]
             self.fastx.write(name, seq, quals[b, : total[b]] if sim.fastq else None)
 
-            if self.error_log is not None and not self.perfect and n_events[b] > 0:
+            if with_events and n_events[b] > 0:
                 self._log_lane(
                     b, name, seq, head[b], l_new[b], rev[b],
                     n_events[b], ev_p[b], ev_t[b], ev_l[b], ref_seg[b],
@@ -97,6 +146,9 @@ class TrxBatchWriter:
         if prehp_row is not None:
             mid = prehp_row  # pass-1 coordinates (pre-hp resize)
         else:
+            # the ground-truth log records pre-uracil bases (the reference
+            # translates T->U after mutate_read's logging, simulator.py:1247)
+            seq = np.where(seq == ord("U"), np.uint8(ord("T")), seq)
             pre = seq
             if rev:
                 pre = output._COMP_LUT[pre[::-1]]
