@@ -81,13 +81,14 @@ def _round_up(x: int, m: int) -> int:
     return int(-(-x // m) * m)
 
 
-def plan_ref_capacity(p: ReadProfile, max_len: float, max_chrom: int, margin: float = 1.45) -> int:
+def plan_ref_capacity(p: ReadProfile, max_len: float, max_chrom: int, margin: float = 1.18) -> int:
     """Static reference-segment buffer length.
 
     Upper-bounds the sampled aligned length (KDE support = max fitted point +
     6 bandwidths) inflated by `margin` for error-walk overshoot; clipped by
-    the user max_len and the longest chromosome.  Lanes exceeding the cap are
-    rejected and counted (they are far in the model's tail).
+    the user max_len and the longest chromosome.  Every [B, L]-wide device op
+    pays for this width, so the margin is tight; the vanishing tail of lanes
+    that still exceed it (P < 1e-4 of draws) is rejected deterministically.
     """
     kde = p.kde_aligned if p.kde_aligned is not None else p.kde_aligned_2d
     if kde is not None:
