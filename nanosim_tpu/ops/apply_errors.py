@@ -30,7 +30,7 @@ import jax.numpy as jnp
 CLASS_MATCH, CLASS_MIS, CLASS_INS = 0, 1, 2
 
 
-def effective_lens(ev_pos2x, ev_type, ev_len, ev_valid):
+def effective_lens(ev_pos2x, ev_type, ev_len, ev_valid, dedup_ins: bool = True):
     """Reference dict-overwrite semantics for duplicate insertion keys.
 
     The reference stores events as `e_dict[pos - 0.5] = [type, len]`
@@ -41,7 +41,13 @@ def effective_lens(ev_pos2x, ev_type, ev_len, ev_valid):
     length of any insertion whose successor is an insertion with the same
     position key.  (mis/del advance the position, so only insertions can
     collide; colliding events are always adjacent.)
+
+    dedup_ins=False leaves lengths untouched: the UNALIGNED walk's reference
+    counterpart MERGES consecutive insertions into one dict entry
+    (simulator.py:1810-1814), which adjacent same-key events already model.
     """
+    if not dedup_ins:
+        return ev_len
     nxt_ins = jnp.concatenate(
         [(ev_type[:, 1:] == 1) & ev_valid[:, 1:], jnp.zeros_like(ev_valid[:, :1])],
         axis=1,
@@ -72,7 +78,7 @@ class GatherMap(NamedTuple):
     read_len: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("l_read",))
+@functools.partial(jax.jit, static_argnames=("l_read", "dedup_ins"))
 def build_gather_map(
     events_pos2x: jax.Array,  # [B, E] int32
     events_type: jax.Array,  # [B, E] int32 (0=mis 1=ins 2=del)
@@ -80,12 +86,14 @@ def build_gather_map(
     events_valid: jax.Array,  # [B, E] bool
     middle_ref: jax.Array,  # [B] int32
     l_read: int,  # static output capacity; also bounds ref length
+    dedup_ins: bool = True,
 ) -> GatherMap:
     B, _ = events_pos2x.shape
     L = l_read
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], events_pos2x.shape)
 
-    events_len = effective_lens(events_pos2x, events_type, events_len, events_valid)
+    events_len = effective_lens(events_pos2x, events_type, events_len, events_valid,
+                                dedup_ins)
     is_mis = events_valid & (events_type == 0)
     is_ins = events_valid & (events_type == 1)
     is_del = events_valid & (events_type == 2)

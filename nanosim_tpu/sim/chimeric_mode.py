@@ -209,9 +209,10 @@ def chimeric_batch(
         gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
         gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
         gap_seg = seqops.resolve_iupac(gap_seg, gu_iupac)
+        # gap (unaligned) walk: consecutive insertions MERGE
         ggm = apply_errors.build_gather_map(
             gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
-            gwalk.middle_ref, gap_cap,
+            gwalk.middle_ref, gap_cap, dedup_ins=False,
         )
         gu_ins, _ = rng.uniform2_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,))
         gap_read = apply_errors.materialize_read(
@@ -277,7 +278,9 @@ def chimeric_batch(
         )
         gm = gm._replace(qclass=seg_qcls2, read_len=seg_len2)
         valid &= jnp.where(seg_active, hp_ok, True).reshape(S, B).T.all(axis=1)
-        seg_lnew = jnp.where(seg_active, seg_len2, 0).reshape(S, B).T
+    # realized segment lengths: dict-overwritten duplicate insertions (and
+    # hp resizes) are reflected in gm.read_len, not the walk's l_new
+    seg_lnew = jnp.where(seg_active, gm.read_len, 0).reshape(S, B).T
 
     # --- parts assembly ---
     # parts per read: head, (seg s, gap s)*, tail  -> 2S+1 part slots

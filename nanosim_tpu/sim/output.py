@@ -81,9 +81,11 @@ class ErrorLogWriter:
         self.f.close()
 
 
-def effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid):
+def effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid, dedup_ins=True):
     """numpy twin of ops.apply_errors.effective_lens (reference dict-overwrite
     semantics: of consecutive same-key insertions only the LAST survives)."""
+    if not dedup_ins:
+        return ev_len
     nxt_ins = np.zeros_like(ev_valid)
     nxt_ins[:, :-1] = (ev_type[:, 1:] == 1) & ev_valid[:, 1:]
     nxt_same = np.zeros_like(ev_valid)
@@ -92,14 +94,14 @@ def effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid):
     return np.where(dead, 0, ev_len)
 
 
-def event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid):
+def event_read_positions(ev_pos2x, ev_type, ev_len, ev_valid, dedup_ins=True):
     """Per-event read-coordinate starts (vectorized over [B, E]).
 
     read_start(e) = ref_start(e) - (deleted bases before e) + (inserted bases
     before e); events arrive in ascending position order from the walk.
     Overwritten duplicate insertions count as length 0.
     """
-    ev_len = effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid)
+    ev_len = effective_lens_np(ev_pos2x, ev_type, ev_len, ev_valid, dedup_ins)
     is_ins = ev_valid & (ev_type == 1)
     is_del = ev_valid & (ev_type == 2)
     dlen = np.where(is_del, ev_len, 0)

@@ -87,8 +87,10 @@ def unaligned_batch(
     u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
+    # unaligned walk: consecutive insertions MERGE (simulator.py:1810-1814)
     gm = apply_errors.build_gather_map(
-        walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid, middle_ref, l_cap
+        walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
+        middle_ref, l_cap, dedup_ins=False,
     )
     u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
     read = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)

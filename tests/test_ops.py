@@ -198,7 +198,14 @@ def test_gather_map_consistency_with_walk(model_dir):
     gm = apply_errors.build_gather_map(
         res.events_pos2x, res.events_type, res.events_len, res.events_valid, res.middle_ref, L
     )
-    np.testing.assert_array_equal(np.asarray(gm.read_len), np.asarray(res.l_new))
+    # the walk's l_new counts ALL insertions; the realized read drops
+    # dict-overwritten duplicate insertions (reference semantics)
+    eff = np.asarray(apply_errors.effective_lens(
+        res.events_pos2x, res.events_type, res.events_len, res.events_valid))
+    raw = np.asarray(res.events_len)
+    is_ins = np.asarray(res.events_type) == 1
+    dead = ((raw - eff) * (is_ins & np.asarray(res.events_valid))).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(gm.read_len), np.asarray(res.l_new) - dead)
     # every valid j has either a source or is an insertion; sources ascend
     src = np.asarray(gm.src)
     valid = np.asarray(gm.valid)
@@ -306,7 +313,8 @@ def test_unaligned_walk_basic(model_dir):
     res = error_walk.unaligned_walk(sk, jnp.full(n, 200, jnp.int32), mixd, 512)
     assert not bool(np.asarray(res.overflow).any())
     gm = apply_errors.build_gather_map(
-        res.events_pos2x, res.events_type, res.events_len, res.events_valid, res.middle_ref, 1024
+        res.events_pos2x, res.events_type, res.events_len, res.events_valid,
+        res.middle_ref, 1024, dedup_ins=False,  # unaligned: ins events merge
     )
     np.testing.assert_array_equal(np.asarray(gm.read_len), np.asarray(res.l_new))
     # error rate should be substantial (0.6 error prob per step)
