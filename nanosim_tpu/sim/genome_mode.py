@@ -727,11 +727,6 @@ class GenomeSimulator:
             # small/big < 0.3).
             bucketed = False
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
-        if bucketed and len(buckets) > 1:
-            if resume_state is not None:
-                raise ValueError("resume is supported on the flat scheduler only")
-            return self._run_bucketed(n_reads, writer, base, buckets)
-
         fn = self.batch_fn()
         from .output import CompactFetcher, PipelinedFetcher
 
@@ -763,6 +758,11 @@ class GenomeSimulator:
                 self.fastq, with_events, self.batch, est_bases, est_events,
                 replayer=replayer if replay else None,
             )
+        if bucketed and len(buckets) > 1:
+            if resume_state is not None:
+                raise ValueError("resume is supported on the flat scheduler only")
+            return self._run_bucketed(n_reads, writer, base, buckets, make_fetcher)
+
         fetcher = make_fetcher(replay=True)
         wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
 
@@ -776,7 +776,7 @@ class GenomeSimulator:
         return run_prefetched(make_batch, self.batch, n_reads, wrapped, self,
                               max_batches, state=state)
 
-    def _run_bucketed(self, n_reads: int, writer, base, buckets) -> int:
+    def _run_bucketed(self, n_reads: int, writer, base, buckets, make_fetcher) -> int:
         """Block-synchronous bucket scheduler.
 
         Per block of slots: a cheap length-draw pass (dispatched one block
@@ -816,14 +816,11 @@ class GenomeSimulator:
         )
         thresh = (small - self.BUCKET_PAD) / self.BUCKET_MARGIN
 
-        from .output import PipelinedFetcher
-
-        with_events = getattr(writer, "error_log", None) is not None and not self.perfect
-        hp_mode = with_events and self.kmer_bias is not None
-        fetchers = {
-            lc: PipelinedFetcher(self.fastq, with_events, with_prehp=hp_mode)
-            for lc in list(buckets) + [RESCUE]
-        }
+        # per-bucket fetchers: replay-backed compact transfers for the
+        # primary buckets (caps lock per bucket), plain events transfer for
+        # the rare rescue program
+        fetchers = {lc: make_fetcher(replay=True) for lc in buckets}
+        fetchers[RESCUE] = make_fetcher(replay=False)
 
         @jax.jit
         def draw_lengths(slots):
@@ -843,6 +840,7 @@ class GenomeSimulator:
                         [ch, np.full(B - n_real, ch[-1] if n_real else 0, np.int64)]
                     )
                 h = fetchers[lc].dispatch(fns[lc](base, jnp.asarray(ch)))
+                h.slots = ch  # walk replay keys off global slot ids
                 out.append((h, ch, n_real, lc))
             return out
 

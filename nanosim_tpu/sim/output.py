@@ -540,8 +540,10 @@ class GenomeBatchWriter:
         entries = entries[:k]
         with_events = self.error_log is not None and not self.perfect
         hp_mode = with_events and "prehp" in entries[0][1]
-        if not self._emitter.available or hp_mode:
-            # rare paths: fall back to grouped write_run calls
+        if (not self._emitter.available or hp_mode
+                or hasattr(entries[0][1], "reads_flat")):
+            # grouped write_run calls (CompactBatch entries emit per
+            # contiguous same-batch group through the flat emitter)
             n = 0
             i = 0
             while i < len(entries):
