@@ -138,6 +138,22 @@ def main(argv=None):
         parser.print_help(sys.stderr)
         sys.exit(1)
 
+    # Profiling hook (SURVEY §5): NANOSIM_TPU_TRACE=<dir> wraps the whole run
+    # in a jax.profiler trace viewable in TensorBoard/XProf.
+    trace_dir = os.environ.get("NANOSIM_TPU_TRACE")
+    if trace_dir:
+        import contextlib
+
+        import jax
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.profiler.trace(trace_dir))
+            return _dispatch(args, parser)
+    return _dispatch(args, parser)
+
+
+def _dispatch(args, parser):
+
     seed = int(args.seed) if args.seed else 0
     dir_name = os.path.dirname(args.output)
     if dir_name:
