@@ -538,7 +538,11 @@ def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim,
         if max_batches is None or batches < max_batches:
             nxt = make_batch(slot_start)
             slot_start += batch_size
+        prev = accepted
         accepted += writer.write_batch(sim, pending, accepted, quota)
+        from .output import report_progress
+
+        report_progress(prev, accepted)
         if state is not None:
             state.checkpoint(writer, slot_start - (batch_size if nxt is not None else 0),
                              accepted)
@@ -894,8 +898,12 @@ class GenomeSimulator:
                             entries.append((ch[lane], d, lane))
 
             entries.sort(key=lambda e: e[0])
+            from .output import report_progress
+
+            prev_acc = accepted
             if hasattr(writer, "write_entries"):
                 accepted += writer.write_entries(self, entries, accepted, n_reads)
+                report_progress(prev_acc, accepted)
             else:
                 # group consecutive same-dict runs for batch emission
                 i = 0
@@ -909,4 +917,5 @@ class GenomeSimulator:
                     lanes = np.asarray(lanes[: n_reads - accepted], np.int64)
                     accepted += writer.write_run(self, d, lanes, accepted)
                     i = j
+                report_progress(prev_acc, accepted)
         return accepted

@@ -23,6 +23,26 @@ for _a, _b in ((ord("A"), ord("T")), (ord("C"), ord("G"))):
 _ETYPE_NAMES = np.array(["mis", "ins", "del"])
 
 
+def report_progress(prev: int, now: int) -> None:
+    """Batch-granular progress line at every 10k-read crossing.
+
+    Mirrors the reference's per-read ticker (`check_print_progress`,
+    simulator.py:52-56: `Number of reads simulated >> N` every 10000 reads,
+    carriage-return terminated) at the batch level: one line per 10k boundary
+    the batch crossed.
+    """
+    if now // 10000 == prev // 10000:
+        return
+    import sys
+    from time import strftime
+
+    mark = (now // 10000) * 10000
+    sys.stdout.write(
+        strftime("%Y-%m-%d %H:%M:%S") + ": Number of reads simulated >> " + str(mark) + "\r"
+    )
+    sys.stdout.flush()
+
+
 class FastxWriter:
     """Buffered FASTA/FASTQ writer over uint8 token rows."""
 

@@ -269,7 +269,9 @@ class MetagenomeSimulator:
                 m_ref, n_seg, self.current_bases, self.abun, self.abun_inflated, rng_py
             )
             out = fn(base, slots, jnp.asarray(species))
+            prev = accepted
             accepted += writer.write_batch(self, out, accepted, n_reads)
+            output.report_progress(prev, accepted)
             slot_start += self.batch
         return accepted
 
