@@ -118,7 +118,7 @@ class MultiHostModeRunner:
     the reference's per-worker subfiles, simulator.py:1571-1672).
     """
 
-    def __init__(self, sim, n_hosts: int, host_id: int, mesh=None):
+    def __init__(self, sim, n_hosts: int, host_id: int, mesh=None, stream=None):
         self.sim = sim
         self.mesh = mesh or make_mesh()
         self.n_dev = self.mesh.devices.size
@@ -130,6 +130,11 @@ class MultiHostModeRunner:
         self.host_id = host_id
         self.dev_per_host = self.n_dev // n_hosts
         self.shard = sim.batch // self.n_dev
+        from ..ops import rng as _rng
+
+        # base-key stream: aligned modes default; the unaligned pass keys its
+        # slots off STREAM_UNALIGNED so both passes can share slot ids
+        self.stream = _rng.STREAM_ALIGNED if stream is None else stream
         self.fn = shard_sim_batch_numbered(sim.batch_fn(), self.mesh)
 
     def my_devices(self):
@@ -167,7 +172,7 @@ class MultiHostModeRunner:
     def run(self, n_reads: int, writer, seed: int = 0) -> int:
         from ..ops import rng
 
-        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        base = rng.base_key(seed, self.stream)
         written = 0
         prior = 0
         slot_start = 0

@@ -53,8 +53,8 @@ def simulate_genome(
     Multi-host (n_hosts > 1): this process simulates its share of the
     sharded slot schedule and writes `{out}_h{host_id}` files; concatenating
     the per-host shards reproduces the single-host output (the TPU-native
-    analog of the reference's per-worker subfiles).  The unaligned pass runs
-    on host 0 only.
+    analog of the reference's per-worker subfiles).  Both the aligned and the
+    unaligned passes shard over hosts.
     """
     _log("Read in reference")
     genome = PackedGenome.from_fasta(ref_g, dna_type=dna_type)
@@ -143,7 +143,7 @@ def simulate_genome(
         fw.close()
         el.close()
 
-    if not perfect and n_unaligned > 0 and host_id == 0:
+    if not perfect and n_unaligned > 0:
         _log("Start simulation of random reads")
         usim = UnalignedSimulator(
             genome,
@@ -156,8 +156,21 @@ def simulate_genome(
             sd_len=sd_len,
             batch=batch,
         )
-        ufw = output.FastxWriter(out + "_unaligned_reads" + ext, fastq)
-        usim.run(n_unaligned, UnalignedBatchWriter(ufw), seed=seed)
+        if n_hosts > 1:
+            # sharded like the aligned pass: every host runs the same slot
+            # schedule, emits its own devices' lanes at psum-numbered global
+            # indices into a host-local shard file
+            from ..ops import rng as _rng
+            from ..parallel import MultiHostModeRunner
+
+            ufw = output.FastxWriter(
+                out + "_unaligned_reads" + f"_h{host_id}" + ext, fastq)
+            runner = MultiHostModeRunner(
+                usim, n_hosts, host_id, stream=_rng.STREAM_UNALIGNED)
+            runner.run(n_unaligned, UnalignedBatchWriter(ufw), seed=seed)
+        else:
+            ufw = output.FastxWriter(out + "_unaligned_reads" + ext, fastq)
+            usim.run(n_unaligned, UnalignedBatchWriter(ufw), seed=seed)
         ufw.close()
 
     _log("Finished!")

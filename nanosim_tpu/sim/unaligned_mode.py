@@ -146,14 +146,20 @@ class UnalignedBatchWriter:
     def __init__(self, fastx):
         self.fastx = fastx
 
-    def write_batch(self, sim, out, accepted_so_far: int, quota: int) -> int:
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int,
+                    lanes=None, start=None) -> int:
+        """Emit accepted lanes.  `lanes`/`start` (multi-host runners) emit
+        exactly those lanes numbered start+rank; otherwise all valid lanes
+        numbered from accepted_so_far."""
         from .output import fetch_batch
 
         d = fetch_batch(
             out, sim.fastq, with_events=False,
             pack_reads=not sim.kw.get("uracil", False),
         )
-        lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+        if lanes is None:
+            lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+            start = accepted_so_far
         if len(lanes) == 0:
             return 0
         reads = d["read"]
@@ -165,7 +171,7 @@ class UnalignedBatchWriter:
         rev = d["rev"]
         names = sim.genome_host.names
         for rank, b in enumerate(lanes):
-            idx = accepted_so_far + rank
+            idx = start + rank
             strand = "R" if rev[b] else "F"
             name = f"{names[chrom[b]]}_{pos[b]}_unaligned_{idx}_{strand}_0_{middle_ref[b]}_0"
             self.fastx.write(
@@ -224,12 +230,15 @@ class UnalignedSimulator:
         )
         self.batch = batch
 
+    def batch_fn(self):
+        return functools.partial(
+            unaligned_batch, genome=self.genome_dev, tables=self.tables, **self.kw
+        )
+
     def run(self, n_reads, writer, seed=0):
         from .genome_mode import run_prefetched
 
-        fn = functools.partial(
-            unaligned_batch, genome=self.genome_dev, tables=self.tables, **self.kw
-        )
+        fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_UNALIGNED)
 
         def make_batch(slot_start):

@@ -293,3 +293,45 @@ def test_multihost_metagenome(tmp_path):
     merged = _sorted_records(str(d / "mmerged.fasta"))
     assert [r[0] for r in flat] == [r[0] for r in merged]
     assert [r[1] for r in flat] == [r[1] for r in merged]
+
+
+def test_multihost_unaligned(setup):
+    """Unaligned pass: 2 emulated hosts x 4 devices == single driver."""
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.parallel import MultiHostModeRunner
+    from nanosim_tpu.sim.unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
+
+    d, genome, prof = setup
+    quota, seed = 60, 17
+
+    sim = UnalignedSimulator(genome, prof, batch=64)
+    fw = out_mod.FastxWriter(str(d / "uflat.fasta"), False)
+    got = sim.run(quota, UnalignedBatchWriter(fw), seed=seed)
+    fw.close()
+    assert got == quota
+
+    mesh = make_mesh(8)
+    shards = []
+    written = []
+    for h in range(2):
+        sim_h = UnalignedSimulator(genome, prof, batch=64)
+        runner = MultiHostModeRunner(sim_h, n_hosts=2, host_id=h, mesh=mesh,
+                                     stream=rng.STREAM_UNALIGNED)
+        fa = str(d / f"ushard{h}.fasta")
+        fw = out_mod.FastxWriter(fa, False)
+        written.append(runner.run(quota, UnalignedBatchWriter(fw), seed=seed))
+        fw.close()
+        shards.append(fa)
+    assert sum(written) == quota
+
+    merge_host_shards(str(d / "umerged.fasta"), shards)
+
+    def key(r):
+        toks = r[0].split("_")
+        return int(toks[toks.index("unaligned") + 1])
+
+    flat = sorted(parse_fastx_records(str(d / "uflat.fasta")), key=key)
+    merged = sorted(parse_fastx_records(str(d / "umerged.fasta")), key=key)
+    assert [r[0] for r in flat] == [r[0] for r in merged]
+    assert [r[1] for r in flat] == [r[1] for r in merged]
+    assert [key(r) for r in merged] == list(range(quota))
