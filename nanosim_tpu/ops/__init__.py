@@ -10,6 +10,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS even when a backend plugin (e.g. the axon TPU plugin)
+# overrides it at import time: a user asking for cpu must get cpu — otherwise
+# CLI subprocesses silently queue on a remote TPU.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # Persistent compilation cache: the batch pipelines are large programs and
 # remote-TPU compiles are expensive; cache survives across runs.
 _cache_dir = os.environ.get("NANOSIM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/nanosim_tpu_xla"))

@@ -728,8 +728,9 @@ class GenomeSimulator:
             # pipeline bubbles — slower end to end than the flat 1-deep
             # pipeline.  Bucketing stays available for explicit opt-in (it
             # pays off when the length distribution is extremely heavy-tailed,
-            # small/big < 0.3).
-            bucketed = False
+            # small/big < 0.3).  NANOSIM_TPU_BUCKETED=1 forces it on for
+            # measurement without touching call sites.
+            bucketed = os.environ.get("NANOSIM_TPU_BUCKETED", "") == "1"
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
         fn = self.batch_fn()
         from .output import CompactFetcher, PipelinedFetcher
