@@ -12,13 +12,18 @@ jax.config.update("jax_enable_x64", True)
 
 # Honor JAX_PLATFORMS even when a backend plugin (e.g. the axon TPU plugin)
 # overrides it at import time: a user asking for cpu must get cpu — otherwise
-# CLI subprocesses silently queue on a remote TPU.
+# CLI subprocesses silently queue on a remote TPU.  But do NOT clobber an
+# explicit `jax.config.update("jax_platforms", ...)` made by an embedding
+# application (e.g. tests forcing cpu): only re-apply the env value when the
+# current config is unset or still the plugin's own override ("axon...").
 _plat = os.environ.get("JAX_PLATFORMS")
 if _plat:
-    try:
-        jax.config.update("jax_platforms", _plat)
-    except Exception:
-        pass
+    _cur = getattr(jax.config, "jax_platforms", None)
+    if _cur is None or _cur == _plat or str(_cur).startswith("axon"):
+        try:
+            jax.config.update("jax_platforms", _plat)
+        except Exception:
+            pass
 
 # Persistent compilation cache: the batch pipelines are large programs and
 # remote-TPU compiles are expensive; cache survives across runs.

@@ -139,10 +139,12 @@ def error_walk(
         # write the event at this lane's current event index (= t - 1 for
         # every active lane, a prefix per lane); inactive-lane columns hold
         # garbage masked out by the prefix validity.  The three fields pack
-        # into ONE u32 word (pos2x 17 | len 13 | type 2) so the loop carries
-        # a single [B, E] buffer and performs one update per step.
-        # layout: pos2x 19 bits (reads to 262k bases) | len 11 bits (mixture
-        # tables cap lengths at 1024) | type 2 bits
+        # into ONE u32 word so the loop carries a single [B, E] buffer and
+        # performs one update per step.  Layout (device-internal only; the
+        # word is unpacked before leaving the kernel): pos2x 19 bits (reads
+        # to 262k bases) | len 11 bits (mixture tables cap lengths at 1024)
+        # | type 2 bits.  (native/fastwriter.cpp's ev_flat uses its own
+        # independent 17|13|2 host-side packing.)
         col = t - 1
         word = (
             e_pos2x.astype(jnp.uint32)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh import make_mesh, shard_sim_batch_numbered
+from ..sim.output import report_progress
 
 
 def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
@@ -105,7 +106,10 @@ class MultiHostGenomeRunner:
                 lanes = lanes[: max(0, n_reads - start)]
                 if len(lanes):
                     written += writer.write_run(self.sim, d, lanes, start)
+            prev = prior
             prior += int(total)
+            if self.host_id == 0:
+                report_progress(prev, min(prior, n_reads))
         return written
 
 
@@ -193,7 +197,10 @@ class MultiHostModeRunner:
                     written += writer.write_batch(
                         self.sim, out, start, n_reads, lanes=lanes, start=start
                     )
+            prev = prior
             prior += int(total)
+            if self.host_id == 0:
+                report_progress(prev, min(prior, n_reads))
         return written
 
 
@@ -292,7 +299,10 @@ class MultiHostMetagenomeRunner:
                         sim, out, start, n_reads, lanes=lanes, start=start
                     )
             sim.current_bases = sim.current_bases + np.asarray(bases).astype(np.float64)
+            prev = prior
             prior += int(total)
+            if self.host_id == 0:
+                report_progress(prev, min(prior, n_reads))
         return written
 
 

@@ -27,19 +27,21 @@ def report_progress(prev: int, now: int) -> None:
     """Batch-granular progress line at every 10k-read crossing.
 
     Mirrors the reference's per-read ticker (`check_print_progress`,
-    simulator.py:52-56: `Number of reads simulated >> N` every 10000 reads,
-    carriage-return terminated) at the batch level: one line per 10k boundary
-    the batch crossed.
+    simulator.py:52-56: at sequence_index % 10000 == 0 it prints
+    `Number of reads simulated >> <index+1>`, carriage-return terminated) at
+    the batch level: the batch assigned indices [prev, now), so one line per
+    10k multiple the batch covered, each printing mark+1 for byte parity.
     """
-    if now // 10000 == prev // 10000:
+    first = -(-prev // 10000) * 10000
+    if first >= now:
         return
     import sys
     from time import strftime
 
-    mark = (now // 10000) * 10000
-    sys.stdout.write(
-        strftime("%Y-%m-%d %H:%M:%S") + ": Number of reads simulated >> " + str(mark) + "\r"
-    )
+    for mark in range(first, now, 10000):
+        sys.stdout.write(
+            strftime("%Y-%m-%d %H:%M:%S") + ": Number of reads simulated >> " + str(mark + 1) + "\r"
+        )
     sys.stdout.flush()
 
 

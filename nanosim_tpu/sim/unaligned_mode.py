@@ -145,6 +145,8 @@ class UnalignedBatchWriter:
 
     def __init__(self, fastx):
         self.fastx = fastx
+        self._last_out = None
+        self._last_fetch = None
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int,
                     lanes=None, start=None) -> int:
@@ -153,10 +155,15 @@ class UnalignedBatchWriter:
         numbered from accepted_so_far."""
         from .output import fetch_batch
 
-        d = fetch_batch(
-            out, sim.fastq, with_events=False,
-            pack_reads=not sim.kw.get("uracil", False),
-        )
+        # Multi-host runners call write_batch once per device on the SAME
+        # BatchOut; fetch (device->host transfer + unpack) only once per batch.
+        if out is not self._last_out:
+            self._last_fetch = fetch_batch(
+                out, sim.fastq, with_events=False,
+                pack_reads=not sim.kw.get("uracil", False),
+            )
+            self._last_out = out
+        d = self._last_fetch
         if lanes is None:
             lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
             start = accepted_so_far
