@@ -1,138 +1,182 @@
 #!/usr/bin/env python
-"""Per-stage device timing of the genome batch program (stderr only)."""
+"""Decompose the genome-mode device batch cost on the real chip.
 
+Times each stage of the batch program independently (walk, fused read
+assembly, gather variants, compaction, transfer) so optimization effort
+goes where the milliseconds are.  Run on axon (1 TPU chip):
+
+    python bench/profile_device.py [--batch 1024] [--mean 8000]
+"""
+
+import argparse
 import os
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
-REPS = int(os.environ.get("PROF_REPS", "6"))
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(tag, fn, *args, **kw):
+def timeit(fn, n=10, warm=2):
     import jax
 
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(REPS):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / REPS
-    log(f"{tag}: {dt * 1e3:.1f} ms")
-    return out
+    for _ in range(warm):
+        r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--mean", type=float, default=8000)
+    ap.add_argument("--sd", type=float, default=2200)
+    ap.add_argument("--genome-mb", type=float, default=48)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import tempfile
+
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from nanosim_tpu.io import PackedGenome
-    from nanosim_tpu.ops import apply_errors, error_walk, rng, seqops
+    from nanosim_tpu.ops import apply_errors, error_walk, rng
     from nanosim_tpu.profiles import fixtures, profile
-    from nanosim_tpu.sim import extract
-    from nanosim_tpu.sim.bundles import build_tables
+    from nanosim_tpu.sim import compact, extract
     from nanosim_tpu.sim.genome_mode import GenomeSimulator, _kde_draw, draw_ht
 
-    d = tempfile.mkdtemp(prefix="nanosim_pd_", dir="/dev/shm")
+    log("devices:", jax.devices())
+    d = tempfile.mkdtemp(prefix="nanosim_prof_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     prefix = os.path.join(d, "training")
-    fixtures.make_model_dir(prefix, mean_read_len=8000.0, sd_read_len=2200.0, n_kde_points=2000)
+    fixtures.make_model_dir(prefix, mean_read_len=args.mean, sd_read_len=args.sd, n_kde_points=2000)
     ref_fa = os.path.join(d, "ref.fa")
-    fixtures.make_reference_fasta(ref_fa, [12_000_000] * 4, seed=11)
-
+    per = int(args.genome_mb * 1e6 / 4)
+    fixtures.make_reference_fasta(ref_fa, [per] * 4, seed=11)
     genome = PackedGenome.from_fasta(ref_fa)
     prof = profile.load_profile(prefix, mode="genome")
-    sim = GenomeSimulator(genome, prof, batch=BATCH)
-    tables = sim.tables
-    gdev = sim.genome_dev
-    B, l_cap, l_out, ht_cap, E = BATCH, sim.l_cap, sim.l_out, sim.ht_cap, sim.e_max
-    log(f"devices={jax.devices()} l_cap={l_cap} l_out={l_out} e_max={E}")
+    sim = GenomeSimulator(genome, prof, batch=args.batch)
+    log(f"l_cap={sim.l_cap} l_out={sim.l_out} e_max={sim.e_max} ht_cap={sim.ht_cap} batch={sim.batch}")
 
+    B = args.batch
     base = rng.base_key(0, rng.STREAM_ALIGNED)
-    slots = jnp.arange(BATCH, dtype=jnp.int64)
+    slots = jnp.arange(B, dtype=jnp.int64)
+    sk = rng.slot_keys(base, slots)
 
-    sk = timeit("slot_keys", jax.jit(rng.slot_keys), base, slots)
+    fn = sim.batch_fn()
+    out = fn(base, slots)
+    jax.block_until_ready(out)
 
-    f_len = jax.jit(lambda sk: _kde_draw(sk, rng.SITE_REF_LENGTH, tables.kde_aligned, 1)[:, 0])
-    ref_len_f = timeit("kde length draw", f_len, sk)
-    f_ht = jax.jit(lambda sk: draw_ht(sk, tables, ht_cap))
-    remainder, head, tail, ht_ok = f_ht(sk)
-    timeit("draw_ht", f_ht, sk)
-    m_ref = jnp.clip(ref_len_f.astype(jnp.int32), 0, l_cap)
+    t_full = timeit(lambda: fn(base, slots), n=args.reps)
+    log(f"full genome_batch:        {t_full * 1e3:8.1f} ms")
 
-    f_walk = jax.jit(lambda sk, m: error_walk.error_walk(
-        sk, m, tables.first_match, tables.match_markov, tables.mixtures, tables.trans, E))
-    walk = timeit("error_walk", f_walk, sk, m_ref)
+    # --- stage: length draws + ht ---
+    @jax.jit
+    def draws(sk):
+        ref_len_f = _kde_draw(sk, rng.SITE_REF_LENGTH, sim.tables.kde_aligned, 1)[:, 0]
+        remainder, head, tail, ht_ok = draw_ht(sk, sim.tables, sim.ht_cap)
+        return ref_len_f, remainder, head, tail
 
-    f_pos = jax.jit(lambda sk, m: extract.sample_genome_positions(sk, m, gdev, False))
-    chrom, local_pos, pos_ok = timeit("positions", f_pos, sk, walk.middle_ref)
+    ref_len_f, remainder, head, tail = jax.block_until_ready(draws(sk))
+    t_draws = timeit(lambda: draws(sk), n=args.reps)
+    log(f"  length/ht draws:        {t_draws * 1e3:8.1f} ms")
 
-    f_seg = jax.jit(lambda c, p: extract.gather_segments_padded(gdev, c, p, l_cap))
-    ref_seg, seg_off = timeit("extract rows", f_seg, chrom, local_pos)
+    m_ref = jnp.clip((ref_len_f - remainder).astype(jnp.int32), 0, sim.l_cap)
 
-    f_iupac = jax.jit(lambda sk, seg: seqops.resolve_iupac(
-        seg, rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap + extract.CHUNK,))[0]))
-    ref_res = timeit("iupac uniforms+resolve", f_iupac, sk, ref_seg)
+    # --- stage: error walk ---
+    walk_fn = jax.jit(
+        lambda sk, m_ref: error_walk.error_walk(
+            sk, m_ref, sim.tables.first_match, sim.tables.match_markov,
+            sim.tables.mixtures, sim.tables.trans, sim.e_max,
+        )
+    )
+    walk = jax.block_until_ready(walk_fn(sk, m_ref))
+    t_walk = timeit(lambda: walk_fn(sk, m_ref), n=args.reps)
+    log(f"  error walk (E={sim.e_max}):  {t_walk * 1e3:8.1f} ms")
 
-    f_urand = jax.jit(lambda sk: rng.uniform2_per_slot(sk, rng.SITE_MIS_BASE, (l_out,)))
-    u_mis_o, u_ins_o = timeit("per-base uniforms [B,l_out]", f_urand, sk)
+    # --- stage: position sample + segment gather + iupac ---
+    @jax.jit
+    def extract_stage(sk, middle_ref):
+        chrom, local_pos, pos_ok = extract.sample_genome_positions(
+            sk, middle_ref, sim.genome_dev, False
+        )
+        ref_seg, seg_off = extract.gather_segments_padded(sim.genome_dev, chrom, local_pos, sim.l_cap)
+        from nanosim_tpu.ops import seqops
 
-    f_ht_bases = jax.jit(lambda sk: seqops.random_bases(
-        rng.uniform_per_slot(sk, rng.SITE_HEAD_TAIL, (ht_cap,))))
-    ht_bases = timeit("ht bases", f_ht_bases, sk)
+        u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (sim.l_cap + extract.CHUNK,))
+        ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+        return chrom, local_pos, ref_seg, seg_off
 
+    chrom, local_pos, ref_seg, seg_off = jax.block_until_ready(extract_stage(sk, walk.middle_ref))
+    t_ext = timeit(lambda: extract_stage(sk, walk.middle_ref), n=args.reps)
+    log(f"  extract+iupac:          {t_ext * 1e3:8.1f} ms")
+
+    # --- stage: fused_read_v2 (window vs plain XLA gather) ---
     u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
-    is_rev = u_strand > tables.strandness_rate
+    is_rev = u_strand > sim.tables.strandness_rate
+    u_mis_o, u_ins_o = rng.uniform2_per_slot(sk, rng.SITE_MIS_BASE, (sim.l_out,))
+    ref_codes = apply_errors._pack_codes4(ref_seg)
+    pad = (-ref_codes.shape[1]) % 128
+    if pad:
+        ref_codes = jnp.pad(ref_codes, ((0, 0), (0, pad)))
+    n_ref_codes = ref_seg.shape[1]
+    args_v2 = (
+        walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
+        walk.middle_ref, head, tail, is_rev, ref_codes, n_ref_codes, seg_off,
+        sk, u_mis_o, u_ins_o,
+    )
 
-    for mode, tag in ((False, "fused_read XLA gather"),
-                      (True, "fused_read pallas byte"),
-                      ("packed", "fused_read pallas packed")):
+    for use_window in (True, False):
         try:
-            f_fr = jax.jit(lambda *a: apply_errors.fused_read(*a, l_out=l_out, use_pallas=mode))
-            timeit(tag, f_fr, walk.events_pos2x, walk.events_type, walk.events_len,
-                   walk.events_valid, walk.middle_ref, head, tail, is_rev,
-                   ref_res, seg_off, ht_bases, u_mis_o, u_ins_o)
+            fr = lambda uw=use_window: apply_errors.fused_read_v2(
+                *args_v2, sim.l_out, sim.ht_cap, rng.SITE_HEAD_TAIL, use_window=uw
+            )
+            jax.block_until_ready(fr())
+            t = timeit(fr, n=args.reps)
+            log(f"  fused_read_v2 win={use_window!s:5}: {t * 1e3:8.1f} ms")
         except Exception as e:
-            log(f"{tag}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            log(f"  fused_read_v2 win={use_window}: FAILED {type(e).__name__}: {e}")
 
-    # scatter cost isolation: the three span/del scatters alone
-    def spans_only(ev_p, ev_t, ev_l, ev_v, mref, head, tail, is_rev):
-        B_, E_ = ev_p.shape
-        L = l_out
-        b_idx = jnp.broadcast_to(jnp.arange(B_, dtype=jnp.int32)[:, None], (B_, E_))
-        is_mis = ev_v & (ev_t == 0)
-        is_ins = ev_v & (ev_t == 1)
-        is_del = ev_v & (ev_t == 2)
-        rpos = ev_p // 2
-        def span_mask(flag):
-            diff = jnp.zeros((B_, L + 1), jnp.int32)
-            f = flag.astype(jnp.int32)
-            diff = diff.at[b_idx, jnp.clip(rpos, 0, L)].add(f)
-            diff = diff.at[b_idx, jnp.clip(rpos + ev_l, 0, L)].add(-f)
-            return jnp.cumsum(diff[:, :L], axis=1) > 0
-        i_m = span_mask(is_ins)
-        m_m = span_mask(is_mis)
-        del_pts = jnp.zeros((B_, L + 1), jnp.int32)
-        del_pts = del_pts.at[b_idx, jnp.clip(rpos, 0, L)].add(jnp.where(is_del, ev_l, 0))
-        D = jnp.cumsum(del_pts[:, :L], axis=1)
-        return i_m.sum() + m_m.sum() + D.sum()
+    # --- stage: compaction pack + transfer ---
+    read, qclass_out, l_new, total, win_ov = apply_errors.fused_read_v2(
+        *args_v2, sim.l_out, sim.ht_cap, rng.SITE_HEAD_TAIL, use_window=True
+    )
+    from nanosim_tpu.sim.bundles import estimate_mean_aligned, estimate_mean_match
 
-    f_sp = jax.jit(spans_only)
-    timeit("span scatters+cumsums only", f_sp, walk.events_pos2x, walk.events_type,
-           walk.events_len, walk.events_valid, walk.middle_ref, head, tail, is_rev)
+    est_bases = estimate_mean_aligned(prof) * 1.1 + 64
+    est_events = est_bases / (estimate_mean_match(prof) + 1.0)
+    nr_cap = max(256, -(-int(B * (est_bases / 4.0 / compact.CHUNK + 1) * 1.1) // 256) * 256)
 
-    import shutil
+    def pack():
+        return compact.compact_pack(
+            out.read, out.quals, out.valid, out.total_len, out.head, out.tail,
+            out.middle_ref, out.l_new, out.chrom, out.local_pos,
+            out.is_reversed, out.n_events, out.capacity_overflow,
+            out.ev_pos2x, out.ev_type, out.ev_len, out.m_ref_init,
+            nr_cap=nr_cap, ne_cap=1, nq_cap=1, fastq=False, with_events=False,
+            pack_reads=True, with_checksum=True,
+        )
 
-    shutil.rmtree(d, ignore_errors=True)
+    buf = jax.block_until_ready(pack())
+    t_pack = timeit(pack, n=args.reps)
+    log(f"  compact pack:           {t_pack * 1e3:8.1f} ms  (buf {np.asarray(buf).nbytes / 1e6:.1f} MB)")
+
+    t_xfer = timeit(lambda: np.asarray(buf), n=args.reps)
+    log(f"  transfer (buf->host):   {t_xfer * 1e3:8.1f} ms")
+
+    # e2e pipelined estimate
+    log(f"sum of stages:            {(t_draws + t_walk + t_ext + t_pack) * 1e3:8.1f} ms (+fused above)")
+    log(f"reads/s upper bound (device only): {B / t_full:,.0f}")
 
 
 if __name__ == "__main__":
