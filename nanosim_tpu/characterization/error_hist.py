@@ -337,7 +337,11 @@ def _write_outputs(st: _HistState, prefix: str):
                 if succ < n_vals:
                     col[succ] += c
         denom = max(bin_counts[bi], 1)
-        cum[:, bi] = np.cumsum(col) / denom
+        # accumulate per-value RATIOS serially (count_prob += cnt/total,
+        # besthit_to_histogram.py:470-473) so the emitted f64 text is
+        # bit-identical to the reference's — cumsum(col)/denom rounds
+        # differently by 1 ulp
+        cum[:, bi] = np.cumsum(col / denom)
     ecdf_mod.write_ecdf_file(prefix + "_match_markov_model", bins, cum)
 
     # first-match cumulative ECDF (besthit_to_histogram.py:478-486)

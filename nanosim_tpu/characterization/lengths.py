@@ -76,14 +76,17 @@ def head_align_tail(prefix: str, alnm_ext: str, mode: str) -> int:
         head = tail = 0
         read_len_total = 0
 
-        def flush():
+        def flush(final=False):
             if aligned_ref == 0:
                 return
             aligned_ref_length.append(aligned_ref)
             total_length.append(read_len_total)
             ht = head + tail
             ht_length.append(ht)
-            if head != 0 and ht != 0:
+            # reference quirk: mid-stream reads gate the ratio on head != 0
+            # (head_align_tail_dist.py:181) but the FINAL read gates on
+            # ht != 0 (:219), admitting one head==0,tail>0 ratio of 0.0
+            if (ht != 0 if final else head != 0):
                 head_vs_ht_ratio.append(float(head) / ht)
 
         for kind, rec in sam_mod.read_sam(alnm_prefix + "_primary.sam"):
@@ -139,7 +142,7 @@ def head_align_tail(prefix: str, alnm_ext: str, mode: str) -> int:
                         rec.reference_start, rec.reference_end, ref_len_by_name.get(ref, 0)
                     )
                 last_ref = ref
-        flush()
+        flush(final=True)
 
     sys.stdout.write(strftime("%Y-%m-%d %H:%M:%S") + ": Computing KDE\n")
     if mode == "transcriptome":

@@ -49,6 +49,10 @@ def get_lib():
             lib.emit_chimeric_batch.restype = ctypes.c_int64
             lib.emit_batch_flat.restype = ctypes.c_int64
             lib.replay_walk_batch.restype = ctypes.c_int64
+            try:
+                lib.emit_batch_recon.restype = ctypes.c_int64
+            except AttributeError:
+                pass  # stale .so without the reconstruction entry
             _lib = lib
     return _lib
 
@@ -146,6 +150,10 @@ class NativeEmitter:
     @property
     def available(self) -> bool:
         return self.lib is not None
+
+    @property
+    def recon_available(self) -> bool:
+        return self.lib is not None and hasattr(self.lib, "emit_batch_recon")
 
     def emit(
         self,
@@ -350,6 +358,100 @@ class NativeEmitter:
         )
         if rc != 0:
             raise RuntimeError(f"emit_batch_flat failed rc={rc}")
+        return (
+            memoryview(self._fastx_buf)[: fw.value],
+            memoryview(self._err_buf)[: ew.value],
+        )
+
+    def emit_recon(
+        self,
+        cb,  # meta-only sim.compact.CompactBatch (reads_flat is None)
+        lanes: np.ndarray,
+        names: list,
+        g_off: np.ndarray,
+        g_len: np.ndarray,
+        g_circ: np.ndarray,  # unused (linear fast path only)
+        genome_flat: np.ndarray,
+        fastq: bool,  # must be False
+        write_errors: bool,
+        n_threads: int = 0,
+    ):
+        """Format a meta-only batch: read bytes are RECONSTRUCTED from
+        (genome, replayed events, counter RNG) — sim/reconstruct.py is the
+        spec, native recon_range the implementation."""
+        assert not fastq, "reconstruction path is FASTA-only"
+        from ..ops import rng as rng_mod
+
+        seed, stream, ht_cap = cb.recon
+        k = len(lanes)
+        names_packed, name_off, _ = self._pack_names(names)
+        lanes = np.ascontiguousarray(lanes, np.int64)
+
+        total = np.ascontiguousarray(cb.total[lanes], np.int64)
+        head = np.ascontiguousarray(cb.head[lanes], np.int64)
+        l_new = np.ascontiguousarray(cb.l_new[lanes], np.int64)
+        rev = np.ascontiguousarray(cb.rev[lanes], np.uint8)
+        slots = np.ascontiguousarray(np.asarray(cb.slots)[lanes], np.int64)
+        n_ev = np.ascontiguousarray(cb.n_events[lanes], np.int64)
+        n_ev_log = n_ev if write_errors else np.zeros(k, np.int64)
+        ev_off = np.ascontiguousarray(cb.ev_off[lanes], np.int64)
+        start_pos = np.ascontiguousarray(cb.pos[lanes], np.int64)
+
+        name_lens = np.diff(name_off)
+        ubf = np.zeros(k + 1, np.int64)
+        ubf[1:] = np.cumsum(name_lens + total + 12)
+        ube = np.zeros(k + 1, np.int64)
+        if write_errors:
+            used = int((ev_off + n_ev).max()) if k else 0
+            lens = ((cb.ev_flat[:used] >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)
+            csum = np.zeros(used + 1, np.int64)
+            np.cumsum(lens, out=csum[1:])
+            ev_len_sum = csum[ev_off + n_ev] - csum[ev_off]
+            ube[1:] = np.cumsum(n_ev * (name_lens + 52) + 2 * ev_len_sum)
+
+        if self._fastx_buf.size < ubf[k]:
+            self._fastx_buf = np.empty(int(ubf[k] * 1.3) + 64, np.uint8)
+        if self._err_buf.size < ube[k] + 64:
+            self._err_buf = np.empty(int(ube[k] * 1.3) + 64, np.uint8)
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+
+        fw = ctypes.c_int64(0)
+        ew = ctypes.c_int64(0)
+        from ..sim.compact import CHUNK
+
+        rc = self.lib.emit_batch_recon(
+            ctypes.c_int64(seed), ctypes.c_int64(stream),
+            ctypes.c_int64(rng_mod.SITE_IUPAC), ctypes.c_int64(rng_mod.SITE_MIS_BASE),
+            ctypes.c_int64(rng_mod.SITE_HEAD_TAIL),
+            ctypes.c_int64(ht_cap), ctypes.c_int64(CHUNK),
+            ctypes.c_int64(k),
+            _ptr(slots, ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(name_off, ctypes.c_int64),
+            _ptr(total, ctypes.c_int64),
+            _ptr(head, ctypes.c_int64),
+            _ptr(l_new, ctypes.c_int64),
+            _ptr(rev, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(cb.ev_flat), ctypes.c_uint32),
+            _ptr(ev_off, ctypes.c_int64),
+            _ptr(n_ev, ctypes.c_int64),
+            _ptr(np.ascontiguousarray(n_ev_log, np.int64), ctypes.c_int64),
+            _ptr(genome_flat, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(g_off, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(g_len, np.int64), ctypes.c_int64),
+            _ptr(start_pos, ctypes.c_int64),
+            _ptr(ubf, ctypes.c_int64),
+            _ptr(ube, ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.byref(fw),
+            _ptr(self._err_buf, ctypes.c_char),
+            ctypes.byref(ew),
+            ctypes.c_int32(1 if write_errors else 0),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"emit_batch_recon failed rc={rc}")
         return (
             memoryview(self._fastx_buf)[: fw.value],
             memoryview(self._err_buf)[: ew.value],

@@ -28,8 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+import os
+
 TILE = 1024  # output positions per grid step
-ROWS = 8  # lanes per grid step
+ROWS = int(os.environ.get("NANOSIM_TPU_GATHER_ROWS", "8"))  # lanes per grid step
 W8 = 8  # window subrows of 128 bytes = 1024-byte window = 4096 codes
 WINDOW_CODES = W8 * 128 * 4
 

@@ -114,7 +114,7 @@ def _chunk_compact(rows_bytes, lane_bytes, cap_chunks):
     jax.jit,
     static_argnames=(
         "nr_cap", "ne_cap", "nq_cap", "fastq", "with_events", "pack_reads",
-        "with_checksum",
+        "with_checksum", "with_reads",
     ),
 )
 def compact_pack(
@@ -143,6 +143,7 @@ def compact_pack(
     with_events: bool,
     pack_reads: bool = True,
     with_checksum: bool = False,
+    with_reads: bool = True,
 ) -> jax.Array:
     """ONE uint8 transfer buffer:
 
@@ -155,17 +156,19 @@ def compact_pack(
     parts = []
 
     # --- reads ---
-    if pack_reads:
-        packed = _pack2(read)  # [B, P4]
-        lane_bytes = v32 * ((total + 3) // 4)
-    else:
-        packed = read  # raw bytes (uracil-bearing output)
-        lane_bytes = v32 * total
-    padw = (-packed.shape[1]) % CHUNK
-    if padw:
-        packed = jnp.pad(packed, ((0, 0), (0, padw)))
-    flat_r, need_r = _chunk_compact(packed, lane_bytes, nr_cap)
-    parts.append(flat_r)
+    need_r = jnp.int32(0)
+    if with_reads:
+        if pack_reads:
+            packed = _pack2(read)  # [B, P4]
+            lane_bytes = v32 * ((total + 3) // 4)
+        else:
+            packed = read  # raw bytes (uracil-bearing output)
+            lane_bytes = v32 * total
+        padw = (-packed.shape[1]) % CHUNK
+        if padw:
+            packed = jnp.pad(packed, ((0, 0), (0, padw)))
+        flat_r, need_r = _chunk_compact(packed, lane_bytes, nr_cap)
+        parts.append(flat_r)
 
     # --- events ---
     need_e = jnp.int32(0)
@@ -235,7 +238,7 @@ class CompactBatch:
         "valid", "total", "head", "tail", "middle_ref", "l_new", "chrom",
         "pos", "rev", "n_events", "cap_over",
         "reads_flat", "read_off", "ev_flat", "ev_off", "quals_flat", "qual_off",
-        "pack_reads", "needs", "m_ref", "ev_checksum", "slots",
+        "pack_reads", "needs", "m_ref", "ev_checksum", "slots", "recon",
     )
 
     def __getitem__(self, k):  # dict-style access for writer compatibility
@@ -254,6 +257,7 @@ def decode_compact(
     fastq: bool,
     with_events: bool,
     pack_reads: bool = True,
+    with_reads: bool = True,
 ):
     """Parse the fused transfer buffer.  Returns (CompactBatch, ok) where
     ok=False means a stream overflowed its capacity (repack needed)."""
@@ -283,12 +287,17 @@ def decode_compact(
 
     v = cb.valid.astype(np.int64)
     off = meta_n
+    cb.recon = None
 
-    lane_bytes = v * ((cb.total + 3) // 4 if pack_reads else cb.total)
-    nch = (lane_bytes + CHUNK - 1) // CHUNK
-    cb.read_off = (np.cumsum(nch) - nch) * CHUNK
-    cb.reads_flat = buf[off : off + nr_cap * CHUNK]
-    off += nr_cap * CHUNK
+    if with_reads:
+        lane_bytes = v * ((cb.total + 3) // 4 if pack_reads else cb.total)
+        nch = (lane_bytes + CHUNK - 1) // CHUNK
+        cb.read_off = (np.cumsum(nch) - nch) * CHUNK
+        cb.reads_flat = buf[off : off + nr_cap * CHUNK]
+        off += nr_cap * CHUNK
+    else:
+        cb.read_off = None
+        cb.reads_flat = None
 
     if with_events:
         ev_bytes = v * 4 * cb.n_events

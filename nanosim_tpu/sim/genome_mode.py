@@ -179,6 +179,7 @@ def assemble_read(
         "kmer_bias",
         "hp_r_max",
         "use_pallas_gather",
+        "emit_reads",
     ),
 )
 def genome_batch(
@@ -201,6 +202,7 @@ def genome_batch(
     kmer_bias: Optional[int] = None,
     hp_r_max: int = 256,
     use_pallas_gather: bool = False,
+    emit_reads: bool = True,
 ) -> BatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -268,6 +270,46 @@ def genome_batch(
         sk, middle_ref, genome, circular_dna
     )
     valid &= pos_ok
+
+    if not emit_reads:
+        # Meta-only program (host read reconstruction, sim/reconstruct.py):
+        # acceptance must match the full program's exactly, so the final
+        # length filters run on the DEDUP-aware l_new that fused_read_v2
+        # would materialize; the window-drift overflow flag is intentionally
+        # absent — output is window-invariant by the rescue construction, so
+        # the reconstruction equals the no-window bytes either way.
+        eff = apply_errors.effective_lens(ev_pos2x, ev_type, ev_len, ev_valid)
+        dsum = jnp.sum(jnp.where(ev_valid & (ev_type == 2), eff, 0), axis=1)
+        isum = jnp.sum(jnp.where(ev_valid & (ev_type == 1), eff, 0), axis=1)
+        l_new2 = (middle_ref - dsum + isum).astype(jnp.int32)
+        total = head + l_new2 + tail
+        u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+        is_rev = u_strand > tables.strandness_rate
+        valid &= (total >= min_len) & (total <= max_len)
+        cap_over |= total > l_out
+        valid &= ~cap_over
+        dummy = jnp.zeros((B, 4), jnp.uint8)
+        return BatchOut(
+            read=dummy,
+            quals=dummy,
+            valid=valid,
+            total_len=total,
+            head=head,
+            tail=tail,
+            middle_ref=middle_ref,
+            l_new=l_new2,
+            chrom=chrom,
+            local_pos=local_pos,
+            is_reversed=is_rev,
+            ev_pos2x=ev_pos2x,
+            ev_type=ev_type,
+            ev_len=ev_len,
+            ev_valid=ev_valid,
+            n_events=n_events,
+            read_prehp=dummy,
+            capacity_overflow=cap_over,
+            m_ref_init=m_ref,
+        )
     # chunked path: fetch 256-byte rows and fold the intra-chunk offset into
     # the mutation gather (per-byte extraction gathers serialize on TPU);
     # circular wrap and the hp run analysis need the aligned per-byte path
@@ -636,10 +678,11 @@ class GenomeSimulator:
 
         return window_gather.supported()
 
-    def batch_fn(self, full_events: bool = False):
+    def batch_fn(self, full_events: bool = False, emit_reads: bool = True):
         """full_events=True uses the full (rescue-grade) event budget in ONE
         program — canonical semantics without a rescue pass; used by runners
-        that cannot splice rescued lanes (multi-host sharded numbering)."""
+        that cannot splice rescued lanes (multi-host sharded numbering).
+        emit_reads=False builds the meta-only program (host reconstruction)."""
         from .bundles import FULL_EVENT_SLACK
 
         e_max = (
@@ -665,6 +708,7 @@ class GenomeSimulator:
             kmer_bias=self.kmer_bias,
             hp_r_max=max(128, self.l_cap // 32),
             use_pallas_gather=self._pallas_gather_ok(self.l_cap),
+            emit_reads=emit_reads,
         )
 
     # Routing margin: drawn length -> bucket whose l_cap covers the walk's
@@ -732,11 +776,11 @@ class GenomeSimulator:
             # measurement without touching call sites.
             bucketed = os.environ.get("NANOSIM_TPU_BUCKETED", "") == "1"
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
-        fn = self.batch_fn()
         from .output import CompactFetcher, PipelinedFetcher
 
         with_events = getattr(writer, "error_log", None) is not None and not self.perfect
         hp_mode = with_events and self.kmer_bias is not None
+        recon_mode = False
         if hp_mode:
             # -hp needs the pre-resize middle buffer for the ground-truth log
             make_fetcher = lambda replay=False: PipelinedFetcher(
@@ -748,7 +792,13 @@ class GenomeSimulator:
             est_events = est_bases / (estimate_mean_match(self.profile) + 1.0)
             replayer = None
             p = self.profile
-            if (with_events and not self.perfect
+            # the walk replayer elides the event transfer (error log) and is
+            # the prerequisite for full host read RECONSTRUCTION
+            want_recon = (
+                not self.fastq and not self.perfect and not self.circular_dna
+                and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
+            )
+            if ((with_events or want_recon) and not self.perfect
                     and p.first_match is not None and p.match_markov is not None
                     and p.mix_params is not None and p.trans_error is not None):
                 from ..io.native import WalkReplayer, get_lib
@@ -759,10 +809,14 @@ class GenomeSimulator:
                         e_guard=plan_event_budget(self.profile, self.l_cap,
                                                   slack=FULL_EVENT_SLACK),
                     )
+            recon_mode = want_recon and replayer is not None
             make_fetcher = lambda replay=False: CompactFetcher(
                 self.fastq, with_events, self.batch, est_bases, est_events,
                 replayer=replayer if replay else None,
+                with_reads=not (recon_mode and replay),
+                recon_info=(seed, rng.STREAM_ALIGNED, self.ht_cap),
             )
+        fn = self.batch_fn(emit_reads=not recon_mode)
         if bucketed and len(buckets) > 1:
             if resume_state is not None:
                 raise ValueError("resume is supported on the flat scheduler only")

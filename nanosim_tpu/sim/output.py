@@ -451,12 +451,15 @@ class GenomeBatchWriter:
         return names
 
     def _write_flat(self, sim, cb, lanes, accepted_so_far: int, with_events: bool) -> int:
-        """Emit a compacted batch (2-bit flat reads + packed events)."""
+        """Emit a compacted batch (2-bit flat reads + packed events; or a
+        meta-only batch whose read bytes are reconstructed host-side)."""
         g = sim.genome_host
         names = self._lane_names(sim, cb, lanes, accepted_so_far)
         chrom = cb.chrom[lanes]
-        if self._emitter.available:
-            fastx_mv, err_mv = self._emitter.emit_flat(
+        recon = cb.reads_flat is None
+        if self._emitter.available and (not recon or self._emitter.recon_available):
+            emit = self._emitter.emit_recon if recon else self._emitter.emit_flat
+            fastx_mv, err_mv = emit(
                 cb, np.asarray(lanes, np.int64), names,
                 g_off=g.offsets[chrom], g_len=g.lengths[chrom],
                 g_circ=np.ascontiguousarray(g.circular[chrom], np.uint8),
@@ -472,7 +475,13 @@ class GenomeBatchWriter:
         # pure-python fallback (native emitter unavailable)
         from . import compact as _c
 
-        reads = _c.decode_reads_ascii(cb, lanes)
+        if recon:
+            from .reconstruct import reconstruct_batch
+
+            seed, stream, ht_cap = cb.recon
+            reads = reconstruct_batch(cb, lanes, g, seed, stream, ht_cap)
+        else:
+            reads = _c.decode_reads_ascii(cb, lanes)
         for rank, b in enumerate(lanes):
             name = names[rank]
             seq = reads[rank]
@@ -903,7 +912,7 @@ class CompactFetcher:
 
     def __init__(self, fastq: bool, with_events: bool, batch: int,
                  est_bases: float, est_events: float, pack_reads: bool = True,
-                 replayer=None):
+                 replayer=None, with_reads: bool = True, recon_info=None):
         from . import compact as _c
 
         self._c = _c
@@ -911,15 +920,21 @@ class CompactFetcher:
         self.with_events = with_events
         self.pack_reads = pack_reads
         # with a walk replayer, events are REGENERATED host-side and verified
-        # against the device checksum — the event stream stays off the link
-        self.replayer = replayer if (with_events and replayer is not None
+        # against the device checksum — the event stream stays off the link.
+        # with_reads=False additionally drops the read payload: the host
+        # RECONSTRUCTS the bytes (sim/reconstruct.py) from the replayed
+        # events + genome + counter RNG; recon_info = (seed, stream, ht_cap).
+        self.replayer = replayer if (replayer is not None
                                      and replayer.available) else None
+        self.with_reads = with_reads or self.replayer is None
+        self.recon_info = recon_info
         self.transfer_events = with_events and self.replayer is None
         self._locked = False
         B = batch
         ch = _c.CHUNK
         rb = (est_bases / 4.0 if pack_reads else est_bases)
-        self.nr_cap = self._tier(int(B * (rb / ch + 1) * self.FIRST_MARGIN))
+        self.nr_cap = (self._tier(int(B * (rb / ch + 1) * self.FIRST_MARGIN))
+                       if self.with_reads else 1)
         self.ne_cap = (
             self._tier(int(B * (est_events * 4.0 / ch + 1) * self.FIRST_MARGIN))
             if with_events else 1
@@ -937,7 +952,8 @@ class CompactFetcher:
     def _lock(self, need_r, need_e, need_q):
         """Shrink capacities to the first observed batch's need (the full
         capacity is what crosses the link, so slack = wasted bandwidth)."""
-        self.nr_cap = self._tier(int(need_r * self.LOCKED_MARGIN) + 1)
+        if self.with_reads:
+            self.nr_cap = self._tier(int(need_r * self.LOCKED_MARGIN) + 1)
         if self.transfer_events:
             self.ne_cap = self._tier(int(need_e * self.LOCKED_MARGIN) + 1)
         if self.fastq:
@@ -958,6 +974,7 @@ class CompactFetcher:
             fastq=self.fastq, with_events=transfer_events,
             pack_reads=self.pack_reads,
             with_checksum=self.replayer is not None and not force_events,
+            with_reads=self.with_reads,
         )
         return buf, caps
 
@@ -971,11 +988,12 @@ class CompactFetcher:
         caps = h.caps
         cb, ok = self._c.decode_compact(
             buf, B, caps[0], caps[1], caps[2], self.fastq, self.transfer_events,
-            self.pack_reads,
+            self.pack_reads, self.with_reads,
         )
         if not ok:
             need_r, need_e, need_q = cb
-            self.nr_cap = max(self.nr_cap, self._tier(int(need_r * 1.1) + 1))
+            if self.with_reads:
+                self.nr_cap = max(self.nr_cap, self._tier(int(need_r * 1.1) + 1))
             if self.transfer_events:
                 self.ne_cap = max(self.ne_cap, self._tier(int(need_e * 1.1) + 1))
             if self.fastq:
@@ -984,12 +1002,14 @@ class CompactFetcher:
             buf_dev, caps = self._dispatch(h.out)
             cb, ok = self._c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
-                self.fastq, self.transfer_events, self.pack_reads,
+                self.fastq, self.transfer_events, self.pack_reads, self.with_reads,
             )
             assert ok, "compaction overflow after capacity bump"
         elif not self._locked:
             self._lock(*cb.needs)
         cb.slots = getattr(h, "slots", None)
+        if not self.with_reads:
+            cb.recon = self.recon_info
         if self.replayer is not None:
             self._replay_events(h, cb)
         return cb
@@ -1018,7 +1038,7 @@ class CompactFetcher:
             buf_dev, caps = self._dispatch(h.out, force_events=True)
             cb2, ok = _c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
-                self.fastq, True, self.pack_reads,
+                self.fastq, True, self.pack_reads, self.with_reads,
             )
             if ok:
                 cb.ev_flat = cb2.ev_flat

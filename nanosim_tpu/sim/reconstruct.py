@@ -1,0 +1,242 @@
+"""Host-side read reconstruction: final read bytes from (genome, events, RNG).
+
+Under the counter-based RNG contract every byte of an accepted read is a
+deterministic function of host-resident state: the genome (host copy), the
+walk event list (replayed bit-exactly by the C++ WalkReplayer), and
+counter-addressed threefry draws (IUPAC resolution, substituted / inserted /
+head-tail bases).  The reads therefore never need to cross the device->host
+link at all: the device batch program runs draws + walk + position sampling +
+acceptance (`emit_reads=False`), transfers ~100 bytes of metadata per lane,
+and the host regenerates the exact bytes the device's fused_read_v2 kernel
+would have produced (byte-equality is enforced by tests/test_reconstruct.py
+against the device path).
+
+This module is the NUMPY REFERENCE implementation — the spec that
+native/fastwriter.cpp's reconstruction mirrors — and the fallback when the
+native library is unavailable.
+
+Scope: the aligned-genome fast path (linear DNA, no -hp, not perfect); other
+paths keep the device read materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# IUPAC candidate sets (ops/seqops.py; case_convert, simulator.py:743-755)
+_IUPAC = {
+    "Y": "CT", "R": "AG", "W": "AT", "S": "GC", "K": "TG", "M": "CA",
+    "D": "AGT", "V": "ACG", "H": "ACT", "B": "CGT",
+    "N": "ATCG", "X": "ATCG",
+}
+_CODE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+# random-base choice order (A, T, C, G) -> 2-bit code
+_CHOICE_CODE = np.array([0, 3, 1, 2], np.uint8)
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """uint32 numpy threefry-2x32, bit-identical to jax (ops/rng.py)."""
+    rot0 = (13, 15, 26, 6)
+    rot1 = (17, 29, 16, 24)
+    k0 = np.uint32(k0)
+    k1 = np.uint32(k1)
+    k2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    x0 = (np.asarray(x0, np.uint32) + k0).astype(np.uint32)
+    x1 = (np.asarray(x1, np.uint32) + k1).astype(np.uint32)
+    ks = (k0, k1, k2)
+    with np.errstate(over="ignore"):
+        for i in range(5):
+            for r in rot0 if i % 2 == 0 else rot1:
+                x0 = (x0 + x1).astype(np.uint32)
+                x1 = ((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))).astype(np.uint32)
+                x1 = x0 ^ x1
+            x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
+            x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
+    return x0, x1
+
+
+def fold_in(k, data):
+    y0, y1 = _threefry2x32(k[0], k[1], np.uint32(0), np.uint32(data))
+    return (y0, y1)
+
+
+def key_root(seed: int, stream: int, slot: int, site: int):
+    k = (np.uint32(np.uint64(seed) >> np.uint64(32)),
+         np.uint32(np.uint64(seed) & np.uint64(0xFFFFFFFF)))
+    k = fold_in(k, stream)
+    k = fold_in(k, slot)
+    return fold_in(k, site)
+
+
+def bits_at(key, pos):
+    """jax.random.bits(key, (n,))[pos] for array pos (counter (0, p))."""
+    y0, y1 = _threefry2x32(key[0], key[1], np.zeros_like(pos, np.uint32),
+                           np.asarray(pos, np.uint32))
+    return y0 ^ y1
+
+
+def uniform_at(key, pos):
+    """jax.random.uniform(key, (n,))[pos] (f32 in [0,1))."""
+    b = bits_at(key, pos)
+    f = ((b >> np.uint32(9)) | np.uint32(0x3F800000)).view(np.float32)
+    return f - np.float32(1.0)
+
+
+def uniform2_at(key, pos):
+    """ops/rng.uniform2_per_slot at positions pos -> (lo, hi) f32."""
+    b = bits_at(key, pos)
+    scale = np.float32(1.0 / 65536.0)
+    lo = (b & np.uint32(0xFFFF)).astype(np.float32) * scale
+    hi = (b >> np.uint32(16)).astype(np.float32) * scale
+    return lo, hi
+
+
+def resolve_codes(raw: np.ndarray, iupac_key, buf_idx: np.ndarray) -> np.ndarray:
+    """Uppercase-ASCII ref bytes -> 2-bit codes with IUPAC resolution.
+
+    buf_idx: per-byte index into the SITE_IUPAC uniform pool (the chunked
+    extraction buffer coordinate: (chrom_offset + local_pos) % CHUNK + i).
+    """
+    codes = np.zeros(len(raw), np.uint8)
+    plain = np.isin(raw, (65, 67, 71, 84))
+    codes[plain] = np.select(
+        [raw[plain] == 67, raw[plain] == 71, raw[plain] == 84],
+        [1, 2, 3], 0,
+    )
+    odd = np.nonzero(~plain)[0]
+    if len(odd):
+        u, _ = uniform2_at(iupac_key, buf_idx[odd])
+        for j, i in enumerate(odd):
+            ch = chr(raw[i])
+            opts = _IUPAC.get(ch)
+            if opts is None:
+                codes[i] = 0  # non-IUPAC byte -> 'A' (ops/apply_errors._ascii_to_code)
+                continue
+            cnt = len(opts)
+            idx = min(int(np.float32(u[j]) * np.float32(cnt)), cnt - 1)
+            codes[i] = _CODE[ord(opts[idx])]
+    return codes
+
+
+def reconstruct_lane(
+    genome_flat: np.ndarray,  # uint8 uppercase ASCII
+    g_off: int,  # chromosome byte offset in genome_flat
+    spos: int,  # local start position
+    events,  # (pos2x, type, len) int arrays, ascending, RAW lengths
+    head: int,
+    tail: int,
+    l_new: int,  # final (dedup-aware) mutated middle length
+    total: int,
+    rev: bool,
+    keys,  # dict with 'iupac', 'mis', 'ht' site keys (key_root outputs)
+    ht_cap: int,
+    chunk: int = 256,
+) -> np.ndarray:
+    """Final-orientation ASCII read bytes, byte-identical to fused_read_v2."""
+    ev_pos2x, ev_type, ev_len = events
+    ne = len(ev_pos2x)
+
+    # effective lengths: consecutive same-key insertions keep only the last
+    eff = np.asarray(ev_len, np.int64).copy()
+    for e in range(ne - 1):
+        if (ev_type[e] == 1 and ev_type[e + 1] == 1
+                and ev_pos2x[e + 1] == ev_pos2x[e]):
+            eff[e] = 0
+
+    # --- middle (pre-reverse): class + ref index per position ---
+    cls = np.zeros(l_new, np.uint8)  # 0 match, 1 mis, 2 ins
+    src = np.zeros(l_new, np.int64)
+    i = 0  # ref cursor
+    m = 0  # mid cursor
+    for e in range(ne):
+        t = int(ev_type[e])
+        ln = int(eff[e])
+        key = (int(ev_pos2x[e]) + 1) // 2
+        ref_start = key if t == 1 else int(ev_pos2x[e]) // 2
+        span = ref_start - i
+        if span > 0:
+            src[m : m + span] = np.arange(i, ref_start)
+            m += span
+            i = ref_start
+        if ln == 0:
+            continue
+        if t == 0:  # mis
+            cls[m : m + ln] = 1
+            src[m : m + ln] = np.arange(i, i + ln)
+            m += ln
+            i += ln
+        elif t == 1:  # ins
+            cls[m : m + ln] = 2
+            m += ln
+        else:  # del
+            i += ln
+    if m < l_new:
+        src[m:] = np.arange(i, i + (l_new - m))
+
+    buf_off = (g_off + spos) % chunk
+    raw = genome_flat[g_off + spos + src]
+    code = resolve_codes(raw, keys["iupac"], buf_off + src)
+
+    # --- pre-reverse full read with output-indexed mutation draws ---
+    jj = np.arange(total, dtype=np.int64)
+    j_out = (total - 1 - jj) if rev else jj
+    u_mis, u_ins = uniform2_at(keys["mis"], j_out)
+
+    pre = np.zeros(total, np.uint8)
+    # middle
+    mid_jj = np.arange(head, head + l_new)
+    c = code.copy()
+    is_mis = cls == 1
+    if is_mis.any():
+        off = 1 + np.floor(u_mis[mid_jj[is_mis]] * np.float32(3.0)).astype(np.uint8)
+        c[is_mis] = (c[is_mis] + np.minimum(off, 3)) % 4
+    is_ins = cls == 2
+    if is_ins.any():
+        c[is_ins] = np.minimum(
+            np.floor(u_ins[mid_jj[is_ins]] * np.float32(4.0)).astype(np.int32), 3
+        ).astype(np.uint8)
+    pre[head : head + l_new] = c
+
+    # head/tail random bases: pool index = jj (head) / jj - l_new (tail)
+    if head or tail:
+        ht_jj = np.concatenate([np.arange(head), np.arange(head + l_new, total)])
+        pool = np.where(ht_jj < head, ht_jj, ht_jj - l_new)
+        u = uniform_at(keys["ht"], np.clip(pool, 0, ht_cap - 1))
+        choice = np.minimum(np.floor(u * np.float32(4.0)).astype(np.int32), 3)
+        pre[ht_jj] = _CHOICE_CODE[choice]
+
+    if rev:
+        out_codes = (3 - pre[::-1]).astype(np.uint8)
+    else:
+        out_codes = pre
+    return _BASES[out_codes]
+
+
+def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int):
+    """Reconstruct selected lanes of a meta-only CompactBatch -> ASCII list."""
+    from ..ops import rng
+
+    out = []
+    for b in lanes:
+        slot = int(cb.slots[b])
+        keys = {
+            "iupac": key_root(seed, stream, slot, rng.SITE_IUPAC),
+            "mis": key_root(seed, stream, slot, rng.SITE_MIS_BASE),
+            "ht": key_root(seed, stream, slot, rng.SITE_HEAD_TAIL),
+        }
+        ne = int(cb.n_events[b])
+        o = int(cb.ev_off[b])
+        w = cb.ev_flat[o : o + ne]
+        events = (
+            (w & np.uint32(0x1FFFF)).astype(np.int64),
+            (w >> np.uint32(30)).astype(np.int64),
+            ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64),
+        )
+        chrom = int(cb.chrom[b])
+        out.append(reconstruct_lane(
+            genome.flat, int(genome.offsets[chrom]), int(cb.pos[b]), events,
+            int(cb.head[b]), int(cb.tail[b]), int(cb.l_new[b]),
+            int(cb.total[b]), bool(cb.rev[b]), keys, ht_cap,
+        ))
+    return out

@@ -235,6 +235,244 @@ struct Ecdf {
 
 }  // namespace walkreplay
 
+inline uint32_t bits_at(walkreplay::Key k, uint32_t pos) {
+  uint32_t y0, y1;
+  walkreplay::tf_block(k.k0, k.k1, 0u, pos, &y0, &y1);
+  return y0 ^ y1;
+}
+
+// ops/rng.uniform2_per_slot: one u32 draw -> two 16-bit-resolution uniforms
+inline float u2_lo(uint32_t b) { return static_cast<float>(b & 0xFFFFu) * (1.0f / 65536.0f); }
+inline float u2_hi(uint32_t b) { return static_cast<float>(b >> 16) * (1.0f / 65536.0f); }
+
+// --- host read reconstruction ----------------------------------------------
+//
+// Under the counter-based RNG contract the final read bytes are a pure
+// function of (genome, walk events, threefry draws); sim/reconstruct.py is
+// the numpy spec, this is the fast mirror.  Byte-identical to the device's
+// fused_read_v2 (enforced by tests/test_reconstruct.py).
+
+// IUPAC candidate sets (ops/seqops.py; case_convert, simulator.py:743-755);
+// 2-bit code for ref byte c whose chunk-buffer index is bidx.
+inline int resolve_code(uint8_t c, walkreplay::Key kiupac, int64_t bidx) {
+  switch (c) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+  }
+  const char* opts;
+  int cnt;
+  switch (c) {
+    case 'Y': opts = "CT"; cnt = 2; break;
+    case 'R': opts = "AG"; cnt = 2; break;
+    case 'W': opts = "AT"; cnt = 2; break;
+    case 'S': opts = "GC"; cnt = 2; break;
+    case 'K': opts = "TG"; cnt = 2; break;
+    case 'M': opts = "CA"; cnt = 2; break;
+    case 'D': opts = "AGT"; cnt = 3; break;
+    case 'V': opts = "ACG"; cnt = 3; break;
+    case 'H': opts = "ACT"; cnt = 3; break;
+    case 'B': opts = "CGT"; cnt = 3; break;
+    case 'N': case 'X': opts = "ATCG"; cnt = 4; break;
+    default: return 0;  // non-IUPAC byte -> 'A' (_ascii_to_code)
+  }
+  float u = u2_lo(bits_at(kiupac, static_cast<uint32_t>(bidx)));
+  int idx = static_cast<int>(u * static_cast<float>(cnt));
+  if (idx > cnt - 1) idx = cnt - 1;
+  switch (opts[idx]) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    default: return 3;
+  }
+}
+
+// random-base choice order (A, T, C, G) -> 2-bit code (seqops.random_bases)
+const int kChoiceCode[4] = {0, 3, 1, 2};
+
+struct ReconArgs {
+  int64_t seed, stream, site_iupac, site_mis, site_ht, ht_cap, chunk;
+  const int64_t* slots;
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* total_len;
+  const int64_t* head;
+  const int64_t* l_new;
+  const uint8_t* rev;
+  const uint32_t* ev_flat;
+  const int64_t* ev_off;
+  const int64_t* n_events;      // events for RECONSTRUCTION (always)
+  const int64_t* n_events_log;  // events for the error log (0 if log off)
+  const uint8_t* genome_flat;
+  const int64_t* g_off;
+  const int64_t* g_len;
+  const int64_t* start_pos;
+  const int64_t* ubf;
+  const int64_t* ube;
+  char* fastx_out;
+  char* err_out;
+  int write_errors;
+};
+
+void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
+                 int64_t* fw, int64_t* ew) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(a.seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(a.seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
+
+  std::vector<char> pre_buf;
+  std::vector<int64_t> rpos_buf;
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* ep = a.err_out + a.ube[r0];
+  char* const fp0 = fp;
+  char* const ep0 = ep;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t total = a.total_len[r];
+    const int64_t head = a.head[r];
+    const int64_t lnew = a.l_new[r];
+    const bool rev = a.rev[r] != 0;
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+    const int64_t ne = a.n_events[r];
+    const uint32_t* ev = a.ev_flat + a.ev_off[r];
+    const int64_t goff = a.g_off[r];
+    const int64_t spos = a.start_pos[r];
+    const uint8_t* gseq = a.genome_flat + goff + spos;
+    const int64_t buf_off = (goff + spos) % a.chunk;
+
+    Key ks = walkreplay::fold_in(base, static_cast<uint32_t>(a.slots[r]));
+    Key k_iupac = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_iupac));
+    Key k_mis = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_mis));
+    Key k_ht = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ht));
+
+    if ((int64_t)pre_buf.size() < total + 4) pre_buf.resize(total + 4);
+    char* pre = pre_buf.data();
+    if ((int64_t)rpos_buf.size() < (ne ? ne : 1)) rpos_buf.resize(ne ? ne : 1);
+    int64_t* rpos = rpos_buf.data();
+
+    auto eff_len = [&](int64_t e) -> int64_t {
+      const uint32_t w = ev[e];
+      const int64_t len = (w >> 17) & 0x1FFF;
+      if ((w >> 30) == 1 && e + 1 < ne) {
+        const uint32_t w2 = ev[e + 1];
+        if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+      }
+      return len;
+    };
+    // output coordinate of pre-reverse position jj
+    auto out_j = [&](int64_t jj) -> uint32_t {
+      return static_cast<uint32_t>(rev ? total - 1 - jj : jj);
+    };
+    // resolved 2-bit code of ref index i
+    auto ref_code = [&](int64_t i) -> int {
+      return resolve_code(gseq[i], k_iupac, buf_off + i);
+    };
+
+    // --- middle (pre-reverse) -------------------------------------------
+    int64_t i = 0, m = 0;
+    for (int64_t e = 0; e < ne; ++e) {
+      const uint32_t w = ev[e];
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t len = eff_len(e);
+      const int64_t key = (px + 1) / 2;
+      const int64_t ref_start = (t == 1) ? key : px / 2;
+      rpos[e] = m + (ref_start - i);
+      for (; i < ref_start; ++i, ++m)  // match span
+        pre[head + m] = kCode2Base[ref_code(i)];
+      if (len == 0) continue;
+      if (t == 0) {  // mis: ref code + 1..3, OUTPUT-indexed uniforms
+        for (int64_t x = 0; x < len; ++x, ++i, ++m) {
+          const uint32_t b = bits_at(k_mis, out_j(head + m));
+          int off = 1 + static_cast<int>(u2_lo(b) * 3.0f);
+          if (off > 3) off = 3;
+          pre[head + m] = kCode2Base[(ref_code(i) + off) & 3];
+        }
+      } else if (t == 1) {  // ins: uniform base, OUTPUT-indexed uniforms
+        for (int64_t x = 0; x < len; ++x, ++m) {
+          const uint32_t b = bits_at(k_mis, out_j(head + m));
+          int code = static_cast<int>(u2_hi(b) * 4.0f);
+          if (code > 3) code = 3;
+          pre[head + m] = kCode2Base[code];
+        }
+      } else {  // del
+        i += len;
+      }
+    }
+    for (; m < lnew; ++i, ++m)  // trailing matches
+      pre[head + m] = kCode2Base[ref_code(i)];
+
+    // --- head/tail random bases -----------------------------------------
+    for (int64_t jj = 0; jj < head; ++jj) {
+      int64_t pool = jj > a.ht_cap - 1 ? a.ht_cap - 1 : jj;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(pool));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[jj] = kCode2Base[kChoiceCode[c]];
+    }
+    for (int64_t jj = head + lnew; jj < total; ++jj) {
+      int64_t pool = jj - lnew;
+      if (pool > a.ht_cap - 1) pool = a.ht_cap - 1;
+      if (pool < 0) pool = 0;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(pool));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[jj] = kCode2Base[kChoiceCode[c]];
+    }
+
+    // --- FASTA record ----------------------------------------------------
+    *fp++ = '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    if (rev) {
+      for (int64_t j = 0; j < total; ++j)
+        *fp++ = g_comp[(uint8_t)pre[total - 1 - j]];
+    } else {
+      fp = put_bytes(fp, pre, total);
+    }
+    *fp++ = '\n';
+
+    // --- ground-truth error log (reverse event order) --------------------
+    if (!a.write_errors || a.n_events_log[r] == 0) continue;
+    const char* mid = pre + head;
+    for (int64_t e = ne - 1; e >= 0; --e) {
+      const uint32_t w = ev[e];
+      const int64_t len = eff_len(e);
+      if (len == 0) continue;
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t key = (px + 1) / 2;
+      ep = put_bytes(ep, name, name_len);
+      *ep++ = '\t';
+      ep = put_i64(ep, key);
+      *ep++ = '\t';
+      ep = put_bytes(ep, kTypeNames[t], 3);
+      *ep++ = '\t';
+      ep = put_i64(ep, len);
+      *ep++ = '\t';
+      if (t == 1) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, gseq + key, len);
+      }
+      *ep++ = '\t';
+      if (t == 2) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, mid + rpos[e], len);
+      }
+      *ep++ = '\n';
+    }
+  }
+  *fw = fp - fp0;
+  *ew = ep - ep0;
+}
+
 struct FlatArgs {
   const uint8_t* reads_packed;
   const int64_t* read_off;  // [k] byte offsets into reads_packed
@@ -545,6 +783,63 @@ int64_t emit_batch_flat(
   }
 
   // compact the per-range outputs (ranges start at upper-bound offsets)
+  int64_t fpos = fws[0], epos = ews[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+    std::memmove(err_out + epos, err_out + a.ube[r0s[t]], ews[t]);
+    epos += ews[t];
+  }
+  *fastx_written = fpos;
+  *err_written = epos;
+  return 0;
+}
+
+// Reconstruction emitter: like emit_batch_flat, but read bytes never arrive
+// from the device — they are regenerated from (genome, replayed events,
+// counter RNG).  Aligned-genome linear fast path only (FASTA; FASTQ keeps
+// the device path).  Output offsets are exact upper bounds (ubf/ube) so
+// ranges run in parallel and are compacted afterwards.
+int64_t emit_batch_recon(
+    int64_t seed, int64_t stream, int64_t site_iupac, int64_t site_mis,
+    int64_t site_ht, int64_t ht_cap, int64_t chunk,
+    int64_t k, const int64_t* slots,
+    const char* names_buf, const int64_t* name_off,
+    const int64_t* total_len, const int64_t* head, const int64_t* l_new,
+    const uint8_t* rev,
+    const uint32_t* ev_flat, const int64_t* ev_off, const int64_t* n_events,
+    const int64_t* n_events_log,
+    const uint8_t* genome_flat, const int64_t* g_off, const int64_t* g_len,
+    const int64_t* start_pos,
+    const int64_t* ubf, const int64_t* ube,
+    char* fastx_out, int64_t* fastx_written,
+    char* err_out, int64_t* err_written,
+    int32_t write_errors, int32_t n_threads) {
+  init_comp();
+  init_dec();
+  ReconArgs a{seed,     stream,   site_iupac, site_mis, site_ht, ht_cap,
+              chunk,    slots,    names_buf,  name_off, total_len, head,
+              l_new,    rev,      ev_flat,    ev_off,   n_events,
+              n_events_log, genome_flat, g_off, g_len, start_pos,
+              ubf,      ube,      fastx_out,  err_out,
+              static_cast<int>(write_errors)};
+
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0), ews(T, 0);
+
+  if (T == 1) {
+    recon_range(a, 0, k, &fws[0], &ews[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t]() { recon_range(a, r0s[t], r0s[t + 1], &fws[t], &ews[t]); });
+    for (auto& th : threads) th.join();
+  }
+
   int64_t fpos = fws[0], epos = ews[0];
   for (int t = 1; t < T; ++t) {
     std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);

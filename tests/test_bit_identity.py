@@ -34,7 +34,13 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
         assert hasattr(d, "reads_flat"), "bit-identity capture needs the compact path"
         from nanosim_tpu.sim import compact as _c
 
-        reads = _c.decode_reads_ascii(d, lanes)
+        if d.reads_flat is None:  # meta-only batch: host reconstruction
+            from nanosim_tpu.sim.reconstruct import reconstruct_batch
+
+            seed, stream, ht_cap = d.recon
+            reads = reconstruct_batch(d, lanes, sim.genome_host, seed, stream, ht_cap)
+        else:
+            reads = _c.decode_reads_ascii(d, lanes)
         assert d.slots is not None
         for rank, b in enumerate(lanes):
             ne = int(d.n_events[b])

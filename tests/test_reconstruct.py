@@ -1,0 +1,101 @@
+"""Host read reconstruction must be byte-identical to the device read path.
+
+The meta-only batch program (emit_reads=False) + sim/reconstruct.py (and its
+C++ mirror in native/fastwriter.cpp) replace the device's fused_read_v2
+materialization + read transfer.  These tests run the SAME simulation twice —
+device-materialized reads vs host-reconstructed — and require byte-equal
+FASTA and error-log files, on genomes with and without IUPAC ambiguity
+codes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from nanosim_tpu.io import PackedGenome
+from nanosim_tpu.profiles import fixtures, profile
+from nanosim_tpu.sim import output as out_mod
+from nanosim_tpu.sim.genome_mode import GenomeSimulator
+
+
+def _run(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, batch=64):
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome")
+    sim = GenomeSimulator(genome, prof, batch=batch)
+    fa = str(d / f"{tag}.fasta")
+    er = str(d / f"{tag}.err")
+    fw = out_mod.FastxWriter(fa, False)
+    el = out_mod.ErrorLogWriter(er)
+    got = sim.run(n, out_mod.GenomeBatchWriter(fw, el), seed=seed)
+    fw.close()
+    el.close()
+    assert got == n
+    return fa, er
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("recon")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=700, sd_read_len=250)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [50000, 20000], seed=7)
+    # IUPAC variant: sprinkle ambiguity codes through a copy of the genome
+    iupac_fa = str(d / "ref_iupac.fa")
+    rs = np.random.RandomState(3)
+    lines = open(ref_fa).read().splitlines()
+    amb = "NRYWSKMBDHV"
+    out = []
+    for line in lines:
+        if line.startswith(">"):
+            out.append(line)
+            continue
+        chars = list(line)
+        for i in rs.choice(len(chars), max(1, len(chars) // 40), replace=False):
+            chars[i] = amb[rs.randint(len(amb))]
+        out.append("".join(chars))
+    with open(iupac_fa, "w") as f:
+        f.write("\n".join(out) + "\n")
+    return d, prefix, ref_fa, iupac_fa
+
+
+def test_recon_matches_device_reads(setup, monkeypatch):
+    d, prefix, ref_fa, _ = setup
+    fa0, er0 = _run(d, "dev", ref_fa, prefix, 150, 31, False, monkeypatch)
+    fa1, er1 = _run(d, "rec", ref_fa, prefix, 150, 31, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_recon_matches_device_reads_iupac(setup, monkeypatch):
+    d, prefix, _, iupac_fa = setup
+    fa0, er0 = _run(d, "devi", iupac_fa, prefix, 120, 5, False, monkeypatch)
+    fa1, er1 = _run(d, "reci", iupac_fa, prefix, 120, 5, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_recon_python_equals_native(setup, monkeypatch):
+    """The C++ reconstruction and the numpy reference must agree (the numpy
+    path is forced by disabling the native emitter)."""
+    from nanosim_tpu.io import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(), "emit_batch_recon"):
+        pytest.skip("native reconstruction not built")
+    d, prefix, ref_fa, _ = setup
+    fa0, er0 = _run(d, "natrec", ref_fa, prefix, 100, 17, True, monkeypatch)
+
+    import nanosim_tpu.sim.output as om
+
+    class NoRecon:
+        def __get__(self, obj, owner=None):
+            return False
+
+    monkeypatch.setattr(
+        native.NativeEmitter, "recon_available", property(lambda self: False)
+    )
+    fa1, er1 = _run(d, "pyrec", ref_fa, prefix, 100, 17, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
