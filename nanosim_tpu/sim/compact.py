@@ -239,6 +239,7 @@ class CompactBatch:
         "pos", "rev", "n_events", "cap_over",
         "reads_flat", "read_off", "ev_flat", "ev_off", "quals_flat", "qual_off",
         "pack_reads", "needs", "m_ref", "ev_checksum", "slots", "recon",
+        "finish",
     )
 
     def __getitem__(self, k):  # dict-style access for writer compatibility
@@ -288,6 +289,7 @@ def decode_compact(
     v = cb.valid.astype(np.int64)
     off = meta_n
     cb.recon = None
+    cb.finish = None
 
     if with_reads:
         lane_bytes = v * ((cb.total + 3) // 4 if pack_reads else cb.total)

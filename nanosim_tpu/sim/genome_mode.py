@@ -815,6 +815,7 @@ class GenomeSimulator:
                 replayer=replayer if replay else None,
                 with_reads=not (recon_mode and replay),
                 recon_info=(seed, rng.STREAM_ALIGNED, self.ht_cap),
+                lazy_replay=replay,
             )
         fn = self.batch_fn(emit_reads=not recon_mode)
         if bucketed and len(buckets) > 1:

@@ -453,6 +453,9 @@ class GenomeBatchWriter:
     def _write_flat(self, sim, cb, lanes, accepted_so_far: int, with_events: bool) -> int:
         """Emit a compacted batch (2-bit flat reads + packed events; or a
         meta-only batch whose read bytes are reconstructed host-side)."""
+        fin = getattr(cb, "finish", None)
+        if fin is not None:
+            fin()  # lazy walk replay (idempotent), in the emission worker
         g = sim.genome_host
         names = self._lane_names(sim, cb, lanes, accepted_so_far)
         chrom = cb.chrom[lanes]
@@ -912,7 +915,8 @@ class CompactFetcher:
 
     def __init__(self, fastq: bool, with_events: bool, batch: int,
                  est_bases: float, est_events: float, pack_reads: bool = True,
-                 replayer=None, with_reads: bool = True, recon_info=None):
+                 replayer=None, with_reads: bool = True, recon_info=None,
+                 lazy_replay: bool = False):
         from . import compact as _c
 
         self._c = _c
@@ -929,6 +933,10 @@ class CompactFetcher:
         self.with_reads = with_reads or self.replayer is None
         self.recon_info = recon_info
         self.transfer_events = with_events and self.replayer is None
+        # lazy_replay: defer the host walk replay from the fetch (critical
+        # path of the accept loop) to an idempotent cb.finish() the emission
+        # worker calls — the replay's CPU then overlaps the next batch
+        self.lazy_replay = lazy_replay
         self._locked = False
         B = batch
         ch = _c.CHUNK
@@ -1011,7 +1019,17 @@ class CompactFetcher:
         if not self.with_reads:
             cb.recon = self.recon_info
         if self.replayer is not None:
-            self._replay_events(h, cb)
+            if self.lazy_replay:
+                done = []
+
+                def finish(fetcher=self, handle=h, batch=cb):
+                    if not done:
+                        fetcher._replay_events(handle, batch)
+                        done.append(True)
+
+                cb.finish = finish
+            else:
+                self._replay_events(h, cb)
         return cb
 
     def _replay_events(self, h: CompactHandle, cb):

@@ -370,6 +370,18 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
     auto ref_code = [&](int64_t i) -> int {
       return resolve_code(gseq[i], k_iupac, buf_off + i);
     };
+    // match span [i, ref_start): bulk copy (genome bytes are already the
+    // output ASCII for A/C/G/T), then patch the rare non-ACGT bytes
+    auto copy_match = [&](int64_t i0, int64_t i1, int64_t m0) {
+      const int64_t n = i1 - i0;
+      if (n <= 0) return;
+      std::memcpy(pre + head + m0, gseq + i0, static_cast<size_t>(n));
+      for (int64_t x = 0; x < n; ++x) {
+        const uint8_t c = gseq[i0 + x];
+        if (c != 'A' && c != 'C' && c != 'G' && c != 'T')
+          pre[head + m0 + x] = kCode2Base[resolve_code(c, k_iupac, buf_off + i0 + x)];
+      }
+    };
 
     // --- middle (pre-reverse) -------------------------------------------
     int64_t i = 0, m = 0;
@@ -381,8 +393,9 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
       const int64_t key = (px + 1) / 2;
       const int64_t ref_start = (t == 1) ? key : px / 2;
       rpos[e] = m + (ref_start - i);
-      for (; i < ref_start; ++i, ++m)  // match span
-        pre[head + m] = kCode2Base[ref_code(i)];
+      copy_match(i, ref_start, m);
+      m += ref_start > i ? ref_start - i : 0;
+      i = ref_start > i ? ref_start : i;
       if (len == 0) continue;
       if (t == 0) {  // mis: ref code + 1..3, OUTPUT-indexed uniforms
         for (int64_t x = 0; x < len; ++x, ++i, ++m) {
@@ -402,8 +415,7 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
         i += len;
       }
     }
-    for (; m < lnew; ++i, ++m)  // trailing matches
-      pre[head + m] = kCode2Base[ref_code(i)];
+    copy_match(i, i + (lnew - m), m);  // trailing matches
 
     // --- head/tail random bases -----------------------------------------
     for (int64_t jj = 0; jj < head; ++jj) {

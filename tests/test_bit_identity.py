@@ -34,6 +34,9 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
         assert hasattr(d, "reads_flat"), "bit-identity capture needs the compact path"
         from nanosim_tpu.sim import compact as _c
 
+        if getattr(d, "finish", None) is not None:
+            d.finish()
+
         if d.reads_flat is None:  # meta-only batch: host reconstruction
             from nanosim_tpu.sim.reconstruct import reconstruct_batch
 
