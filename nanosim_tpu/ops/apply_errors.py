@@ -152,6 +152,107 @@ def build_gather_map(
 QCLASS_HT = 3
 
 
+@functools.partial(jax.jit, static_argnames=("l_read", "p_cap"))
+def build_unaligned_map(
+    events_pos2x: jax.Array,  # [B, E] int32 (ins at 2*pos + 1)
+    events_type: jax.Array,  # [B, E] int32 (0=mis 1=ins 2=del)
+    events_len: jax.Array,  # [B, E] int32
+    events_valid: jax.Array,  # [B, E] bool
+    middle_ref: jax.Array,  # [B] int32
+    l_read: int,
+    p_cap: int = 0,
+):
+    """Gather map with the UNALIGNED walk's reference edit semantics.
+
+    The reference keys unaligned insertions at pos + 0.1 (simulator.py:
+    1810-1814), so mutate_read's reverse-order splicing makes a mis/del at
+    the SAME pos act on L CONTIGUOUS post-insertion positions — starting at
+    ref_pos and swallowing the just-inserted bases — not on L reference
+    bases (the aligned walk's pos - 0.5 keys cannot overlap this way).
+    Model: build the PRESENTATION sequence (ref bases with each ins block
+    spliced after its ref_pos - 1 ... i.e. after ref_{pos}), mark mis spans /
+    del spans as L contiguous presentation positions from ref_pos, then
+    compress deletions out.
+
+    Returns (GatherMap, under_ins [B, l_read] bool) — under_ins marks read
+    positions whose PRE-substitution base is an inserted base (qclass says
+    MIS there; materialize_read must mutate the ins draw, not the ref).
+    """
+    B, E = events_pos2x.shape
+    P = p_cap or (l_read + (l_read >> 1) + 256)
+    L = l_read
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, E))
+
+    is_mis = events_valid & (events_type == 0)
+    is_ins = events_valid & (events_type == 1)
+    is_del = events_valid & (events_type == 2)
+    pos = events_pos2x // 2  # walk position of the event (ins: (2p+1)//2 = p)
+    ilen = jnp.where(is_ins, events_len, 0)
+    prior_ins = jnp.cumsum(ilen, axis=1) - ilen
+    # K_same: summed length of the immediately-preceding consecutive ins run
+    # (an ins run never spans a pos-advancing event, so consecutive-in-buffer
+    # means same walk position)
+    r = jnp.cumsum(ilen, axis=1)
+    boundary = jnp.where(is_ins, jnp.int32(-1), r)  # value at non-ins steps
+    reset = jax.lax.cummax(boundary, axis=1)
+    reset_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.maximum(reset[:, :-1], 0)], axis=1
+    )
+    k_same = (r - ilen) - reset_prev  # ins len accumulated since last non-ins
+
+    # presentation starts
+    pres_ins = pos + prior_ins + 1
+    pres_err = pos + (prior_ins - k_same)
+    pres_start = jnp.where(is_ins, pres_ins, pres_err)
+    pres_end = pres_start + jnp.where(events_valid, events_len, 0)
+
+    def span(flag):
+        diff = jnp.zeros((B, P + 1), jnp.int32)
+        f = flag.astype(jnp.int32)
+        diff = diff.at[b_idx, jnp.clip(pres_start, 0, P)].add(f)
+        diff = diff.at[b_idx, jnp.clip(pres_end, 0, P)].add(-f)
+        return jnp.cumsum(diff[:, :P], axis=1) > 0
+
+    ins_mask = span(is_ins)
+    mis_mask = span(is_mis)
+    dead = span(is_del)
+
+    j_p = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (B, P))
+    I = jnp.cumsum(ins_mask.astype(jnp.int32), axis=1)
+    src_pres = jnp.where(ins_mask, -1, j_p - I)
+    tot_ins = jnp.sum(ilen, axis=1)
+    pres_len = middle_ref + tot_ins  # total presentation positions
+    in_pres = j_p < pres_len[:, None]
+    alive = in_pres & ~dead
+    read_idx = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+    read_len = jnp.sum(alive, axis=1).astype(jnp.int32)
+    overflow = pres_len > P
+
+    dst = jnp.where(alive, read_idx, L)
+    src = jnp.full((B, L + 1), -1, jnp.int32).at[b_idx_p(B, P), dst].set(
+        src_pres, mode="drop")[:, :L]
+    misr = jnp.zeros((B, L + 1), bool).at[b_idx_p(B, P), dst].set(
+        mis_mask, mode="drop")[:, :L]
+    insr = jnp.zeros((B, L + 1), bool).at[b_idx_p(B, P), dst].set(
+        ins_mask, mode="drop")[:, :L]
+
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < read_len[:, None]
+    qclass = jnp.where(misr, CLASS_MIS, jnp.where(insr, CLASS_INS, CLASS_MATCH))
+    under_ins = insr
+    gm = GatherMap(
+        src=jnp.where(valid & ~insr, src, -1),
+        src_left=src,
+        qclass=qclass,
+        valid=valid,
+        read_len=read_len,
+    )
+    return gm, under_ins, overflow
+
+
+def b_idx_p(B, P):
+    return jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, P))
+
+
 @functools.partial(jax.jit, static_argnames=("l_out", "use_pallas"))
 def fused_read(
     events_pos2x: jax.Array,  # [B, E] int32
@@ -504,6 +605,9 @@ def materialize_read(
     src_offset=None,  # [B] optional per-lane offset into ref_seg (chunked
     # extraction leaves the segment at an intra-chunk offset; folding it here
     # avoids a second full-width shuffle)
+    under_ins=None,  # [B, L] bool: read positions whose PRE-substitution base
+    # is an inserted base (unaligned-walk overlap semantics,
+    # build_unaligned_map) — substitutions there mutate the ins draw
 ) -> jax.Array:
     """[B, L] uint8 ASCII mutated read (padding positions = 0).
 
@@ -519,9 +623,11 @@ def materialize_read(
     ref_base = jnp.take_along_axis(ref_seg, src, axis=1)
     code = _ascii_to_code(ref_base)
 
+    ins_code = jnp.minimum(jnp.floor(u_ins * 4.0).astype(jnp.uint8), 3)
+    if under_ins is not None:
+        code = jnp.where(under_ins, ins_code, code)
     mis_off = 1 + jnp.floor(u_mis * 3.0).astype(jnp.uint8)
     mis_code = (code + jnp.minimum(mis_off, 3)) % 4
-    ins_code = jnp.minimum(jnp.floor(u_ins * 4.0).astype(jnp.uint8), 3)
 
     out_code = jnp.where(gm_qclass == CLASS_MIS, mis_code, code)
     out_code = jnp.where(gm_qclass == CLASS_INS, ins_code, out_code)

@@ -51,6 +51,16 @@ class ChimericBatchOut(NamedTuple):
     ev_len: jax.Array  # [B*S, E]
     n_events: jax.Array  # [B, S]
     seg_read_prehp: jax.Array  # [B*S, l_cap] pass-1 mutated segments (log source)
+    # walk INPUT lengths + gap-walk provenance (bit-identity replay inputs;
+    # tiny next to the event buffers)
+    seg_mref_init: jax.Array = None  # [B, S] int32
+    gap_mref_init: jax.Array = None  # [B, S-1] int32
+    gap_chrom: jax.Array = None  # [B, S-1] int32
+    gap_pos: jax.Array = None  # [B, S-1] int64
+    gap_ev_pos2x: jax.Array = None  # [B*(S-1), Eg] (per-STEP, matches len 0)
+    gap_ev_type: jax.Array = None
+    gap_ev_len: jax.Array = None
+    gap_n_steps: jax.Array = None  # [B, S-1]
 
 
 def _geometric(u, p):
@@ -127,6 +137,7 @@ def chimeric_batch(
     )  # [S*B] segment-major
     m_ref_flat = jnp.where(seg_active, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap), 0)
     seg_len_ok = jnp.where(seg_active, ref_ok & (ref_f <= l_cap), True)
+    seg_mref_init = m_ref_flat
 
     # --- head/tail (perfect reads have none; simulator.py:900-901) ---
     if perfect:
@@ -147,6 +158,7 @@ def chimeric_batch(
             ok_ln = (ln_f > 0) & (ln_f <= max_len)
         m_ref_flat = jnp.where(seg_active, jnp.clip(ln_f.astype(jnp.int32), 0, l_cap), 0)
         seg_len_ok = jnp.where(seg_active, ok_ln & (ln_f <= l_cap), True)
+        seg_mref_init = m_ref_flat
 
     # --- segment error walks on the flattened batch ---
     if perfect:
@@ -209,20 +221,34 @@ def chimeric_batch(
         gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
         gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
         gap_seg = seqops.resolve_iupac(gap_seg, gu_iupac)
-        # gap (unaligned) walk: consecutive insertions MERGE
-        ggm = apply_errors.build_gather_map(
+        # gap (unaligned) walk: mutate_read's reverse splicing of the
+        # pos + 0.1 insertion keys makes same-pos mis/del act on contiguous
+        # POST-insertion positions (build_unaligned_map)
+        ggm, g_under_ins, g_map_ov = apply_errors.build_unaligned_map(
             gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
-            gwalk.middle_ref, gap_cap, dedup_ins=False,
+            gwalk.middle_ref, gap_cap,
         )
+        gap_ok &= jnp.where(gap_active, ~g_map_ov, True).reshape(S - 1, B).T.all(axis=1)
         gu_ins, _ = rng.uniform2_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,))
         gap_read = apply_errors.materialize_read(
             ggm.src, ggm.qclass, ggm.valid, gap_seg, gu_mis, gu_ins,
+            under_ins=g_under_ins,
         )  # [(S-1)*B, gap_cap]
         gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
+        gap_mref_init = jnp.where(gap_active, gap_ref, 0).reshape(S - 1, B).T
+        gap_chrom = g_chrom.reshape(S - 1, B).T
+        gap_pos = g_pos.reshape(S - 1, B).T
+        gap_ev = (gwalk.events_pos2x, gwalk.events_type, gwalk.events_len)
+        gap_n_steps = jnp.where(gap_active, gwalk.n_events, 0).reshape(S - 1, B).T
     else:
         gap_ok = jnp.ones(B, bool)
         gap_read = jnp.zeros((max(S - 1, 1) * B, gap_cap), jnp.uint8)
         gap_lens = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
+        gap_mref_init = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
+        gap_chrom = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
+        gap_pos = jnp.zeros((B, max(S - 1, 1)), jnp.int64)
+        gap_ev = tuple(jnp.zeros((max(S - 1, 1) * B, 8), jnp.int32) for _ in range(3))
+        gap_n_steps = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
 
     # --- total-length filter (simulator.py:1354-1368; metagenome includes
     # gaps at :935-946, genome does not) ---
@@ -368,6 +394,14 @@ def chimeric_batch(
         ev_len=ev_len_seg,
         n_events=jnp.where(seg_active, walk.n_events, 0).reshape(S, B).T,
         seg_read_prehp=seg_read_prehp,
+        seg_mref_init=seg_mref_init.reshape(S, B).T,
+        gap_mref_init=gap_mref_init,
+        gap_chrom=gap_chrom,
+        gap_pos=gap_pos,
+        gap_ev_pos2x=gap_ev[0],
+        gap_ev_type=gap_ev[1],
+        gap_ev_len=gap_ev[2],
+        gap_n_steps=gap_n_steps,
     )
 
 

@@ -87,13 +87,17 @@ def unaligned_batch(
     u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
-    # unaligned walk: consecutive insertions MERGE (simulator.py:1810-1814)
-    gm = apply_errors.build_gather_map(
+    # unaligned walk: mutate_read's reverse splicing of the pos + 0.1
+    # insertion keys makes same-pos mis/del act on contiguous POST-insertion
+    # positions (build_unaligned_map)
+    gm, under_ins, map_ov = apply_errors.build_unaligned_map(
         walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid,
-        middle_ref, l_cap, dedup_ins=False,
+        middle_ref, l_cap,
     )
+    valid &= ~map_ov
     u_ins, _ = rng.uniform2_per_slot(sk, rng.SITE_INS_BASE, (l_cap,))
-    read = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins)
+    read = apply_errors.materialize_read(gm.src, gm.qclass, gm.valid, ref_seg, u_mis, u_ins,
+                                         under_ins=under_ins)
 
     # mutated-length filter (simulator.py:1517-1518)
     valid &= (l_new >= min_len) & (l_new <= max_len)

@@ -415,3 +415,316 @@ def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
     finally:
         for k, v in saved.items():
             setattr(sim, k, v)
+
+
+# --- chimeric genome bit-identity ------------------------------------------
+
+
+def _walk_uniform(slot_key_arr, part_base, part_idx, site, t, idx):
+    raise NotImplementedError  # documentation stub; feeds are built in bulk
+
+
+def build_chimeric_feed(records, profile, genome, seed: int) -> _Feed:
+    """Feed for simulation_aligned_genome(chimeric=True) (simulator.py:
+    1266-1454, 1552-1568): per accepted read — strand, per-gap unaligned
+    walk + extraction + mutation draws, per-segment error walks, per-segment
+    extraction randints, per-segment mutation choices, head/tail strings.
+
+    Each record: slot, n_seg, head, tail, total, rev, read (final bytes),
+    segs: [{m_ref, middle_ref, l_new, off, chrom, pos,
+            ev_pos2x/ev_type/ev_len}],
+    gaps: [{gap_ref, l_new, off, chrom, pos, n_steps,
+            st_pos2x/st_type/st_len}]  (per-STEP, matches len 0).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nanosim_tpu.ops import rng
+
+    feed = _Feed()
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.asarray(np.array([r["slot"] for r in records], np.int64))
+    sk = rng.slot_keys(base, slots)
+    n = len(records)
+    u_strand = np.asarray(rng.uniform_per_slot(sk, rng.SITE_STRAND))
+
+    S = max((r["n_seg"] for r in records), default=1)
+    G = max(S - 1, 1)
+    max_ev = max((len(s["ev_pos2x"]) for r in records for s in r["segs"]), default=0)
+    max_gst = max((int(g["n_steps"]) for r in records for g in r["gaps"]), default=0)
+
+    # bulk uniforms: segment walks [n, S, max_ev+1, 3], gap walks [n, G, max_gst, 2]
+    def part_keys(base_const, idx):
+        return jax.vmap(lambda k: jax.random.fold_in(k, base_const + idx))(sk)
+
+    ts_seg = jnp.arange(max_ev + 1, dtype=jnp.int32)
+    U_seg = np.zeros((n, S, max_ev + 1, 3), np.float32)
+    UP_seg = np.zeros((n, S, 8), np.float64)
+    for s in range(S):
+        pk = part_keys(rng.PART_SEGMENT_BASE, s)
+        wk = rng.site_keys(pk, rng.SITE_WALK)
+        U_seg[:, s] = np.asarray(jax.vmap(
+            lambda k: jax.vmap(lambda t: jax.random.uniform(
+                jax.random.fold_in(k, t), (3,), dtype=jnp.float32))(ts_seg)
+        )(wk))
+        posk = rng.site_keys(pk, rng.SITE_POSITION)
+        UP_seg[:, s] = np.asarray(jax.vmap(
+            lambda k: jax.vmap(lambda r: jax.random.uniform(
+                jax.random.fold_in(k, r), dtype=jnp.float64))(jnp.arange(8))
+        )(posk))
+    ts_gap = jnp.arange(max(max_gst, 1), dtype=jnp.int32)
+    U_gap = np.zeros((n, G, max(max_gst, 1), 2), np.float32)
+    UP_gap = np.zeros((n, G, 8), np.float64)
+    for g in range(G):
+        pk = part_keys(rng.PART_GAP_BASE, g)
+        wk = rng.site_keys(pk, rng.SITE_UNALIGNED_WALK)
+        U_gap[:, g] = np.asarray(jax.vmap(
+            lambda k: jax.vmap(lambda t: jax.random.uniform(
+                jax.random.fold_in(k, t), (2,), dtype=jnp.float32))(ts_gap)
+        )(wk))
+        posk = rng.site_keys(pk, rng.SITE_POSITION)
+        UP_gap[:, g] = np.asarray(jax.vmap(
+            lambda k: jax.vmap(lambda r: jax.random.uniform(
+                jax.random.fold_in(k, r), dtype=jnp.float64))(jnp.arange(8))
+        )(posk))
+
+    glen = genome.total_len
+    g_offsets = np.asarray(genome.offsets)
+    g_lengths = np.asarray(genome.lengths)
+
+    def feed_position(upos_row, middle_ref, want_chrom, want_pos, tag):
+        for rr in range(8):
+            gpos = min(int(upos_row[rr] * (glen + 1)), glen)
+            c = int(np.searchsorted(g_offsets, gpos, side="right")) - 1
+            c = min(max(c, 0), len(g_lengths) - 1)
+            lp = gpos - int(g_offsets[c])
+            fits = lp + middle_ref <= int(g_lengths[c])
+            feed.push("randint", gpos)
+            if fits:
+                if c != want_chrom or lp != want_pos:
+                    raise Desync(f"{tag}: position replay ({c},{lp}) != ({want_chrom},{want_pos})")
+                return
+        raise Desync(f"{tag}: no fitting position in 8 draws")
+
+    def feed_mutation(events, mid_bytes):
+        """Reference mutate_read choice feed: reverse key order; events =
+        [(key2x, type, eff_len, rpos)] ascending."""
+        for key2x, t, ln, rp in sorted(events, key=lambda e: -e[0]):
+            if t == 2 or ln == 0:
+                continue
+            for j in range(ln):
+                feed.push("choice", chr(mid_bytes[rp + j]))
+
+    def feed_gap_mutation(merged, gap_ref, gap_bytes, ins_key):
+        """Unaligned-walk mutation choices via a tag simulation of the
+        reference's reverse-order splicing: the + 0.1 insertion keys mean a
+        same-pos mis/del swallows the just-inserted bases, so values are
+        resolved by tracking each drawn base to its FINAL position (or to
+        the device's ins draw when overwritten, or 'A' when deleted)."""
+        from nanosim_tpu.sim.reconstruct import uniform2_at
+
+        tags = [("ref", i) for i in range(gap_ref)]
+        draws = []  # (kind, tag) in reference draw order
+        for key2x, t, ln in sorted(merged, key=lambda e: -e[0]):
+            key = (key2x + 1) // 2
+            if t == 1:  # ins: draw ln bases, insert at key
+                new = [["ins", None] for _ in range(ln)]
+                for tg in new:
+                    draws.append(("ins", tg))
+                tags[key:key] = new
+            elif t == 0:  # mis: draw ln bases replacing tags[key:key+ln]
+                replaced = tags[key : key + ln]
+                new = [["mis", None, r] for r in replaced]
+                for tg in new:
+                    draws.append(("mis", tg))
+                tags[key : key + ln] = new
+            else:  # del: remove tags[key:key+ln]
+                del tags[key : key + ln]
+        if len(tags) != len(gap_bytes):
+            raise Desync(
+                f"gap tag sim length {len(tags)} != emitted {len(gap_bytes)}")
+        pos_of = {id(tg): i for i, tg in enumerate(tags)}
+        bases = "ACGT"
+        for kind, tg in draws:
+            i = pos_of.get(id(tg))
+            if kind == "mis":
+                feed.push("choice", chr(gap_bytes[i]))
+            elif i is not None:  # surviving insertion
+                feed.push("choice", chr(gap_bytes[i]))
+            else:
+                # overwritten (under a mis) or deleted insertion: the device's
+                # ins draw at the OVERWRITING tag's read position, or free
+                host = None
+                for t2 in tags:
+                    if len(t2) == 3 and t2[2] is tg:
+                        host = t2
+                        break
+                if host is None:
+                    feed.push("choice", "A")  # deleted: unobservable
+                else:
+                    # device ins draw = LO half of SITE_INS_BASE at the
+                    # overwriting tag's read position (chimeric_mode gu_ins)
+                    j = pos_of[id(host)]
+                    lo, _ = uniform2_at(ins_key, np.asarray([j]))
+                    code = min(int(np.float32(lo[0]) * np.float32(4.0)), 3)
+                    feed.push("choice", "ACGT"[code])
+
+    for i, r in enumerate(records):
+        pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
+        feed.push("random", u_strand[i])
+
+        # --- gaps (simulation_gap per gap, before the segment walks) ---
+        for g_idx, g in enumerate(r["gaps"]):
+            gap_ref = int(g["gap_ref"])
+            if gap_ref == 0:
+                continue
+            n_steps = int(g["n_steps"])
+            # walk: per step u_type; error steps consume a mixture draw
+            merged = []  # (key2x, type, len) with consecutive-ins merge
+            pos = 0
+            middle = gap_ref
+            for t in range(n_steps):
+                feed.push("random", U_gap[i, g_idx, t, 0])
+                st_t = int(g["st_type"][t])
+                st_l = int(g["st_len"][t])
+                if st_l == 0:  # match step
+                    pos += 1
+                    if pos > middle:
+                        middle = pos
+                    continue
+                feed.push("mix", (st_t, st_l))
+                if st_t == 1:  # ins: merge into previous if consecutive
+                    if merged and merged[-1][1] == 1 and merged[-1][0] == 2 * pos + 1:
+                        merged[-1] = (merged[-1][0], 1, merged[-1][2] + st_l)
+                    else:
+                        merged.append((2 * pos + 1, 1, st_l))
+                else:
+                    merged.append((2 * pos, st_t, st_l))
+                    pos += st_l
+                    if pos > middle:
+                        middle = pos
+            # extraction at the walk's final middle_ref
+            feed_position(UP_gap[i, g_idx], middle, int(g["chrom"]), int(g["pos"]),
+                          f"slot {r['slot']} gap {g_idx}")
+            # mutation choices via the overlap-aware tag simulation
+            from nanosim_tpu.sim import reconstruct as _rc
+
+            ins_key = _rc.fold_in(
+                _rc.key_root(seed, rng.STREAM_ALIGNED, int(r["slot"]),
+                             rng.PART_GAP_BASE + g_idx),
+                rng.SITE_INS_BASE,
+            )
+            gap_bytes = pre[int(g["off"]): int(g["off"]) + int(g["l_new"])]
+            feed_gap_mutation(merged, middle, gap_bytes, ins_key)
+
+        # --- segment walks (error_list per segment) ---
+        for s_idx, s in enumerate(r["segs"]):
+            ne = len(s["ev_pos2x"])
+            feed.push("random", U_seg[i, s_idx, 0, 0])  # first match
+            for e in range(ne):
+                feed.push("random", U_seg[i, s_idx, e + 1, 0])
+                feed.push("mix", (int(s["ev_type"][e]), int(s["ev_len"][e])))
+                feed.push("random", U_seg[i, s_idx, e + 1, 2])
+
+        # --- total-length filter passes; per-segment extraction ---
+        for s_idx, s in enumerate(r["segs"]):
+            feed_position(UP_seg[i, s_idx], int(s["middle_ref"]), int(s["chrom"]),
+                          int(s["pos"]), f"slot {r['slot']} seg {s_idx}")
+
+        # --- per-segment mutation ---
+        from nanosim_tpu.sim.output import event_read_positions
+
+        for s_idx, s in enumerate(r["segs"]):
+            ne = len(s["ev_pos2x"])
+            if ne == 0:
+                continue
+            keys, rpos, eff = event_read_positions(
+                np.asarray(s["ev_pos2x"])[None, :], np.asarray(s["ev_type"])[None, :],
+                np.asarray(s["ev_len"])[None, :], np.ones((1, ne), bool),
+            )
+            mid = pre[int(s["off"]): int(s["off"]) + int(s["l_new"])]
+            ev = [(int(s["ev_pos2x"][e]), int(s["ev_type"][e]), int(eff[0, e]),
+                   int(rpos[0, e])) for e in range(ne)]
+            feed_mutation(ev, mid)
+
+        # --- head/tail strings ---
+        head, tail = int(r["head"]), int(r["tail"])
+        feed.push("npchoice", pre[:head].decode())
+        feed.push("npchoice", pre[int(r["total"]) - tail: int(r["total"])].decode())
+    return feed
+
+
+def run_reference_fed_chimeric(model_prefix: str, ref_fa: str, records, profile,
+                               genome, seed: int, out_dir: str, n_reads: int):
+    """Run the reference's chimeric genome pipeline fed with our stream."""
+    sim = import_reference_simulator()
+    feed = build_chimeric_feed(records, profile, genome, seed)
+
+    import multiprocessing as mp
+
+    saved = {k: getattr(sim, k, None) for k in
+             ("random", "np", "mm", "get_length_kde", "get_lengths_and_ht_ratios")}
+    try:
+        sim.read_profile(ref_fa, [n_reads], model_prefix, False, "genome", None,
+                         fastq=False, chimeric=True)
+        for state, d in sim.trans_error_pr.items():
+            items = sorted(d.items())
+            widths = [float(k[1]) - float(k[0]) for k, _ in items]
+            bounds = np.cumsum(np.asarray(widths, np.float64)).astype(np.float32)
+            newd = {}
+            prev = 0.0
+            for idx, ((k, v), b) in enumerate(zip(items, bounds)):
+                hi = 2.0 if idx == len(items) - 1 else float(b)
+                newd[(prev, hi)] = v
+                prev = float(b)
+            sim.trans_error_pr[state] = newd
+        sim.strandness_rate = float(np.float32(sim.strandness_rate))
+
+        n_seg_arr = np.asarray([int(r["n_seg"]) for r in records])
+        seg_lengths = np.asarray(
+            [float(s["m_ref"]) for r in records for s in r["segs"]])
+        gap_lengths = np.asarray(
+            [float(g["gap_ref"]) for r in records for g in r["gaps"]])
+        remainders = np.asarray([float(r["head"] + r["tail"]) for r in records])
+        ratios = np.asarray([
+            (r["head"] / (r["head"] + r["tail"])) if (r["head"] + r["tail"]) else 0.5
+            for r in records
+        ])
+
+        class _NpChimProxy(_NpProxy):
+            def __init__(self, feed):
+                super().__init__(feed)
+                rnd = self.random
+
+                class _R(_NpRandomProxy):
+                    def geometric(self, p, size=None):
+                        if abs(p - 1.0 / sim.segment_mean) > 1e-9:
+                            raise Desync(f"geometric p={p}")
+                        if size != len(n_seg_arr):
+                            raise Desync(f"geometric size={size}")
+                        return n_seg_arr.copy()
+
+                self.random = _R(feed)
+
+        sim.random = _RandomProxy(feed)
+        sim.np = _NpChimProxy(feed)
+        sim.mm = _MixProxy(feed)
+        sim.get_length_kde = (
+            lambda kde, num, log=False, flatten=True:
+            gap_lengths if log else seg_lengths
+        )
+        sim.get_lengths_and_ht_ratios = lambda n: (list(remainders), list(ratios))
+        sim.total_simulated = mp.Value("i", 0)
+
+        out_reads = os.path.join(out_dir, "ref_chi_aligned_reads.fasta")
+        out_error = os.path.join(out_dir, "ref_chi_error_profile")
+        sim.simulation_aligned_genome(
+            "linear", 50, float("inf"), None, None, out_reads, out_error,
+            None, False, len(records), chimeric=True,
+        )
+        if feed.pos != len(feed.q):
+            raise Desync(f"feed not fully consumed: {feed.pos}/{len(feed.q)}")
+        return out_reads, out_error
+    finally:
+        for k, v in saved.items():
+            setattr(sim, k, v)

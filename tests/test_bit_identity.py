@@ -126,3 +126,11 @@ def test_bit_identity_genome_fasta(setup):
 
 def test_bit_identity_genome_fastq(setup):
     _run_bit_identity(setup, fastq=True, seed=23, n=100)
+
+
+def test_bit_identity_genome_10k(setup):
+    """Scale the byte-equality guarantee to 10k reads so the edge cases it
+    exists to catch (ECDF inversion boundaries, 8-retry position rejection,
+    dedup-insertion chains, capacity rescue splicing) get dense sampling
+    (VERDICT r2 weak-point 8)."""
+    _run_bit_identity(setup, fastq=False, seed=3, n=10000)
