@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--coordinator", default=None,
                        help="jax.distributed coordinator address (real pods)")
     t.add_argument("--uracil", action="store_true", default=False)
+    t.add_argument("--resume", action="store_true", default=False,
+                   help="continue an interrupted run from its checkpoint")
     t.add_argument("--batch", type=int, default=256)
 
     m = sub.add_parser("metagenome", help="Run the simulator on metagenome mode")
@@ -111,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="this process's rank in a multi-host run")
     m.add_argument("--coordinator", default=None,
                        help="jax.distributed coordinator address (real pods)")
+    m.add_argument("--resume", action="store_true", default=False,
+                   help="continue an interrupted run from its checkpoint")
     m.add_argument("--batch", type=int, default=256)
 
     return parser
@@ -251,6 +255,7 @@ def _dispatch(args, parser):
             n_hosts=args.num_hosts,
             host_id=args.host_id,
             coordinator=args.coordinator,
+            resume=getattr(args, "resume", False),
         )
 
     elif args.mode == "metagenome":
@@ -289,6 +294,7 @@ def _dispatch(args, parser):
             n_hosts=args.num_hosts,
             host_id=args.host_id,
             coordinator=args.coordinator,
+            resume=getattr(args, "resume", False),
         )
 
 

@@ -819,9 +819,9 @@ class GenomeSimulator:
             )
         fn = self.batch_fn(emit_reads=not recon_mode)
         if bucketed and len(buckets) > 1:
-            if resume_state is not None:
-                raise ValueError("resume is supported on the flat scheduler only")
-            return self._run_bucketed(n_reads, writer, base, buckets, make_fetcher)
+            return self._run_bucketed(n_reads, writer, base, buckets, make_fetcher,
+                                      resume_state=resume_state,
+                                      max_blocks=max_batches)
 
         fetcher = make_fetcher(replay=True)
         wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
@@ -836,7 +836,8 @@ class GenomeSimulator:
         return run_prefetched(make_batch, self.batch, n_reads, wrapped, self,
                               max_batches, state=state)
 
-    def _run_bucketed(self, n_reads: int, writer, base, buckets, make_fetcher) -> int:
+    def _run_bucketed(self, n_reads: int, writer, base, buckets, make_fetcher,
+                      resume_state=None, max_blocks=None) -> int:
         """Block-synchronous bucket scheduler.
 
         Per block of slots: a cheap length-draw pass (dispatched one block
@@ -904,12 +905,15 @@ class GenomeSimulator:
                 out.append((h, ch, n_real, lc))
             return out
 
+        state = ResumeState(resume_state) if resume_state else None
+        c0 = state.slot_start if state else 0
+
         def block_stream():
             """Route + dispatch one block ahead of consumption so the device
             stream always has the next block's programs queued while the
             current block's results transfer and emit."""
-            c = 0
-            pending_draw = draw_lengths(jnp.asarray(np.arange(0, block, dtype=np.int64)))
+            c = c0
+            pending_draw = draw_lengths(jnp.asarray(np.arange(c, c + block, dtype=np.int64)))
             while True:
                 slots = np.arange(c, c + block, dtype=np.int64)
                 c += block
@@ -923,7 +927,8 @@ class GenomeSimulator:
                     dispatch_chunks(big_slots, big) if len(big_slots) else []
                 )
 
-        accepted = 0
+        accepted = state.accepted if state else 0
+        consumed = 0
         stream = block_stream()
         dispatched = next(stream)
         while accepted < n_reads:
@@ -974,4 +979,11 @@ class GenomeSimulator:
                     accepted += writer.write_run(self, d, lanes, accepted)
                     i = j
                 report_progress(prev_acc, accepted)
+            consumed += 1
+            if state is not None:
+                # per-block checkpoint: the next run re-routes from this
+                # block cursor with identical slot-keyed draws
+                state.checkpoint(writer, c0 + consumed * block, accepted)
+            if max_blocks is not None and consumed >= max_blocks:
+                break
         return accepted

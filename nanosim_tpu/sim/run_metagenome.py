@@ -39,6 +39,42 @@ def _log(msg):
     sys.stderr.flush()
 
 
+class MetaResumeState:
+    """Batch-granular metagenome checkpoint: (slot cursor, accepted count,
+    per-species accepted base totals, host RNG state) — everything the
+    sequential quota/abundance machinery needs to continue deterministically.
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        self.loaded = False
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            self.slot_start = int(d["slot_start"])
+            self.accepted = int(d["accepted"])
+            self.current_bases = d["current_bases"]
+            self.rng_state = d["rng_state"]
+            self.loaded = True
+
+    def write(self, slot_start, accepted, current_bases, rng_state):
+        import json
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "slot_start": int(slot_start),
+                "accepted": int(accepted),
+                "current_bases": [float(x) for x in np.asarray(current_bases)],
+                "rng_state": rng_state,
+            }, f)
+        os.replace(tmp, self.path)
+
+
 def read_abundance_matrix(path: str, species_names):
     """Parse the multi-sample abundance tsv (simulator.py:357-380).
 
@@ -255,14 +291,24 @@ class MetagenomeSimulator:
             chimeric_batch, genome=self.genome_dev, tables=self.tables, **self.kw
         )
 
-    def run(self, n_reads, writer, seed=0):
+    def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
         fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
         rng_py = np.random.default_rng(np.random.SeedSequence([seed, 0xA55]))
-        writer.species_bases = self.current_bases
         accepted = 0
         slot_start = 0
+        state = MetaResumeState(resume_state) if resume_state else None
+        if state is not None and state.loaded:
+            slot_start = state.slot_start
+            accepted = state.accepted
+            self.current_bases = np.asarray(state.current_bases, np.float64)
+            rng_py.bit_generator.state = state.rng_state
+        writer.species_bases = self.current_bases
+        batches = 0
         while accepted < n_reads:
+            if max_batches is not None and batches >= max_batches:
+                break
+            batches += 1
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
             n_seg, m_ref = self._phase_a(base, slots)
             species = assign_species_batch(
@@ -273,6 +319,11 @@ class MetagenomeSimulator:
             accepted += writer.write_batch(self, out, accepted, n_reads)
             output.report_progress(prev, accepted)
             slot_start += self.batch
+            # the writer advances self.current_bases (quota feedback) before
+            # the checkpoint is written, so the state never outruns the files
+            if state is not None:
+                state.write(slot_start, accepted, self.current_bases,
+                            rng_py.bit_generator.state)
         return accepted
 
 
@@ -299,6 +350,7 @@ def simulate_metagenome(
     n_hosts: int = 1,
     host_id: int = 0,
     coordinator=None,
+    resume: bool = False,
 ) -> dict:
     """Full metagenome run over all samples (simulator.py:2416-2527).
 
@@ -363,9 +415,19 @@ def simulate_metagenome(
         )
         prefix = f"{out}_{sample}"
         tag = f"_h{host_id}" if n_hosts > 1 else ""
-        fw = output.FastxWriter(prefix + "_aligned_reads" + tag + ext, fastq)
+        import os as _os
+
+        done_marker = prefix + ".resume_done"
+        if resume and _os.path.exists(done_marker):
+            _log(f"Sample {sample} already complete; skipping")
+            totals[sample] = aligned_l[s_idx]
+            continue
+        a_state = prefix + "_aligned.resume.json"
+        a_resuming = resume and n_hosts == 1 and _os.path.exists(a_state)
+        fw = output.FastxWriter(prefix + "_aligned_reads" + tag + ext, fastq,
+                                append=a_resuming)
         el = output.ErrorLogWriter(prefix + "_aligned_error_profile" + tag,
-                                   header=(host_id == 0))
+                                   header=(host_id == 0), append=a_resuming)
         w = output.ChimericBatchWriter(
             fw,
             el,
@@ -381,7 +443,8 @@ def simulate_metagenome(
             runner = MultiHostMetagenomeRunner(sim, n_hosts, host_id)
             got = runner.run(aligned_l[s_idx], w, seed=seed + s_idx)
         else:
-            got = sim.run(aligned_l[s_idx], w, seed=seed + s_idx)
+            got = sim.run(aligned_l[s_idx], w, seed=seed + s_idx,
+                          resume_state=a_state if resume else None)
         fw.close()
         el.close()
 
@@ -396,9 +459,16 @@ def simulate_metagenome(
                 max_len=max_len,
                 batch=batch,
             )
-            ufw = output.FastxWriter(prefix + "_unaligned_reads" + ext, fastq)
-            usim.run(unaligned_l[s_idx], UnalignedBatchWriter(ufw), seed=seed + s_idx)
+            u_state = prefix + "_unaligned.resume.json"
+            u_resuming = resume and _os.path.exists(u_state)
+            ufw = output.FastxWriter(prefix + "_unaligned_reads" + ext, fastq,
+                                     append=u_resuming)
+            usim.run(unaligned_l[s_idx], UnalignedBatchWriter(ufw), seed=seed + s_idx,
+                     resume_state=u_state if resume else None)
             ufw.close()
+        if resume:
+            with open(done_marker, "w") as f:
+                f.write("done\n")
         totals[sample] = got
     _log("Finished!")
     return totals

@@ -286,8 +286,8 @@ class TranscriptomeSimulator:
             **self.kw,
         )
 
-    def run(self, n_reads, writer, seed=0, max_batches=None):
-        from .genome_mode import run_prefetched
+    def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
+        from .genome_mode import ResumeState, run_prefetched
 
         fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
@@ -296,7 +296,9 @@ class TranscriptomeSimulator:
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
             return fn(base, slots)
 
-        return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches)
+        state = ResumeState(resume_state) if resume_state else None
+        return run_prefetched(make_batch, self.batch, n_reads, writer, self, max_batches,
+                              state=state)
 
 
 def simulate_transcriptome(
@@ -323,6 +325,7 @@ def simulate_transcriptome(
     n_hosts: int = 1,
     host_id: int = 0,
     coordinator=None,
+    resume: bool = False,
 ) -> dict:
     """Full transcriptome run (reference main transcriptome branch,
     simulator.py:2322-2414).  With n_hosts > 1, this process writes
@@ -381,13 +384,21 @@ def simulate_transcriptome(
         runner = MultiHostModeRunner(sim, n_hosts, host_id)
         runner.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
     else:
-        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq)
-        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True)
-        sim.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed)
+        import os as _os
+
+        state_path = out + "_aligned.resume.json"
+        resuming = resume and _os.path.exists(state_path)
+        fw = output.FastxWriter(out + "_aligned_reads" + ext, fastq, append=resuming)
+        el = output.ErrorLogWriter(out + "_aligned_error_profile", header=True,
+                                   append=resuming)
+        sim.run(n_aligned[0], TrxBatchWriter(fw, el, perfect=perfect), seed=seed,
+                resume_state=state_path if resume else None)
     fw.close()
     el.close()
 
     if not perfect and n_unaligned[0] > 0 and host_id == 0:
+        import os as _os
+
         _log("Start simulation of random reads")
         from .unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
 
@@ -401,8 +412,11 @@ def simulate_transcriptome(
             uracil=uracil,
             transcriptome_mode=True,
         )
-        ufw = output.FastxWriter(out + "_unaligned_reads" + ext, fastq)
-        usim.run(n_unaligned[0], UnalignedBatchWriter(ufw), seed=seed)
+        ustate = out + "_unaligned.resume.json"
+        uresuming = resume and _os.path.exists(ustate)
+        ufw = output.FastxWriter(out + "_unaligned_reads" + ext, fastq, append=uresuming)
+        usim.run(n_unaligned[0], UnalignedBatchWriter(ufw), seed=seed,
+                 resume_state=ustate if resume else None)
         ufw.close()
 
     _log("Finished!")

@@ -246,8 +246,8 @@ class UnalignedSimulator:
             unaligned_batch, genome=self.genome_dev, tables=self.tables, **self.kw
         )
 
-    def run(self, n_reads, writer, seed=0):
-        from .genome_mode import run_prefetched
+    def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
+        from .genome_mode import ResumeState, run_prefetched
 
         fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_UNALIGNED)
@@ -256,4 +256,6 @@ class UnalignedSimulator:
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
             return fn(base, slots)
 
-        return run_prefetched(make_batch, self.batch, n_reads, writer, self)
+        state = ResumeState(resume_state) if resume_state else None
+        return run_prefetched(make_batch, self.batch, n_reads, writer, self,
+                              max_batches, state=state)
