@@ -203,6 +203,10 @@ class TranscriptomeSimulator:
         self.perfect = perfect
         self.batch = batch
         self.kmer_bias = kmer_bias
+        # the uracil flag routes emission to the python writer (the native
+        # emitter would log post-translate U bases; the reference logs
+        # BEFORE the T->U translate, simulator.py:1247)
+        self.uracil = uracil
 
         name_to_idx = transcriptome.name_index()
         # expression-eligible transcripts present in the reference

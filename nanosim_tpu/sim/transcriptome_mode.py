@@ -56,6 +56,7 @@ class TrxBatchOut(NamedTuple):
     n_ir: jax.Array  # [B]
     ref_seg: jax.Array  # [B, l_cap] IUPAC-resolved extracted reference
     read_prehp: jax.Array  # [B, l_cap] pass-1 mutated middle (log source)
+    m_ref_init: jax.Array = None  # [B] walk INPUT length (2D-KDE aligned draw)
 
 
 def pick_transcripts(sk, cum_weights: jax.Array, site=rng.SITE_TRANSCRIPT):
@@ -319,4 +320,5 @@ def transcriptome_batch(
         n_ir=n_ir,
         ref_seg=ref_seg,
         read_prehp=read_prehp,
+        m_ref_init=aligned,
     )

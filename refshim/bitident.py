@@ -728,3 +728,166 @@ def run_reference_fed_chimeric(model_prefix: str, ref_fa: str, records, profile,
     finally:
         for k, v in saved.items():
             setattr(sim, k, v)
+
+
+# --- transcriptome (non-IR) bit-identity -----------------------------------
+
+
+def build_trx_feed(records, profile, transcriptome, seed: int) -> _Feed:
+    """Feed for simulation_aligned_transcriptome(model_ir=False)
+    (simulator.py:1043-1263): per accepted read — transcript choice, 2D-KDE
+    aligned length (select_nearest_kde2d patched), strand, error walk,
+    extraction randint, polyA length, mutation choices, head/tail strings.
+
+    Each record: slot, trx_name, trx_len, m_ref (2D-KDE aligned draw),
+    middle_ref, l_new, pos, head, tail, polya_len, total, rev, read (final
+    bytes, uracil already reverted), n_events, ev_pos2x/ev_type/ev_len.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.output import event_read_positions
+
+    feed = _Feed()
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.asarray(np.array([r["slot"] for r in records], np.int64))
+    sk = rng.slot_keys(base, slots)
+    n = len(records)
+    u_strand = np.asarray(rng.uniform_per_slot(sk, rng.SITE_STRAND))
+    wk = rng.site_keys(sk, rng.SITE_WALK)
+    max_e = max((int(r["n_events"]) for r in records), default=0)
+    ts = jnp.arange(max_e + 1, dtype=jnp.int32)
+    U = np.asarray(jax.vmap(
+        lambda k: jax.vmap(lambda t: jax.random.uniform(
+            jax.random.fold_in(k, t), (3,), dtype=jnp.float32))(ts)
+    )(wk))
+
+    for i, r in enumerate(records):
+        feed.push("trxchoice", (r["trx_name"], int(r["trx_len"])))
+        feed.push("aligned2d", int(r["m_ref"]))
+        feed.push("random", u_strand[i])
+
+        ne = int(r["n_events"])
+        feed.push("random", U[i, 0, 0])
+        for e in range(ne):
+            feed.push("random", U[i, e + 1, 0])
+            feed.push("mix", (int(r["ev_type"][e]), int(r["ev_len"][e])))
+            feed.push("random", U[i, e + 1, 2])
+
+        feed.push("randint", int(r["pos"]))
+
+        if int(r["polya_len"]) > 0 or r.get("retain_polya"):
+            feed.push("polya", float(r["polya_len"]))
+
+        pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
+        head, l_new = int(r["head"]), int(r["l_new"])
+        mid = pre[head : head + l_new]
+        if ne:
+            keys, rpos, eff = event_read_positions(
+                np.asarray(r["ev_pos2x"])[None, :], np.asarray(r["ev_type"])[None, :],
+                np.asarray(r["ev_len"])[None, :], np.ones((1, ne), bool),
+            )
+            order = np.argsort(-(np.asarray(r["ev_pos2x"]).astype(np.int64)), kind="stable")
+            for e in order:
+                t = int(r["ev_type"][e])
+                ln = int(eff[0, e])
+                rp = int(rpos[0, e])
+                if t == 2:
+                    continue
+                for j in range(ln):
+                    feed.push("choice", chr(mid[rp + j]))
+
+        total = int(r["total"])
+        tail = int(r["tail"])
+        feed.push("npchoice", pre[:head].decode())
+        feed.push("npchoice", pre[total - tail : total].decode())
+    return feed
+
+
+class _ScipyProxy:
+    """sim.scipy stand-in: expon.rvs feeds the polyA length."""
+
+    def __init__(self, feed):
+        class _Expon:
+            def rvs(_self, loc=0.0, scale=1.0):
+                return float(feed.pop("polya"))
+
+        class _Stats:
+            expon = _Expon()
+
+        self.stats = _Stats()
+
+
+def run_reference_fed_transcriptome(model_prefix: str, ref_t: str, exp_path: str,
+                                    polya_path, records, profile, transcriptome,
+                                    seed: int, out_dir: str, n_reads: int,
+                                    basecaller: str = "guppy",
+                                    uracil: bool = False):
+    """Run the reference's transcriptome pipeline (model_ir=False) fed with
+    our stream; returns (reads_file, error_file)."""
+    sim = import_reference_simulator()
+    feed = build_trx_feed(records, profile, transcriptome, seed)
+
+    import multiprocessing as mp
+
+    saved = {k: getattr(sim, k, None) for k in
+             ("random", "np", "mm", "get_length_kde", "select_nearest_kde2d",
+              "scipy")}
+    try:
+        sim.read_profile("", [n_reads], model_prefix, False, "transcriptome",
+                         None, ref_t=ref_t, polya=polya_path, exp=exp_path,
+                         model_ir=False, fastq=False)
+        for state, d in sim.trans_error_pr.items():
+            items = sorted(d.items())
+            widths = [float(k[1]) - float(k[0]) for k, _ in items]
+            bounds = np.cumsum(np.asarray(widths, np.float64)).astype(np.float32)
+            newd = {}
+            prev = 0.0
+            for idx, ((k, v), b) in enumerate(zip(items, bounds)):
+                hi = 2.0 if idx == len(items) - 1 else float(b)
+                newd[(prev, hi)] = v
+                prev = float(b)
+            sim.trans_error_pr[state] = newd
+        sim.strandness_rate = float(np.float32(sim.strandness_rate))
+
+        remainders = np.asarray([float(r["head"] + r["tail"]) for r in records])
+        ratios = np.asarray([
+            (r["head"] / (r["head"] + r["tail"])) if (r["head"] + r["tail"]) else 0.5
+            for r in records
+        ])
+
+        class _RandomTrxProxy(_RandomProxy):
+            def choices(self, population, weights=None, k=1):
+                v = self._feed.pop("trxchoice")
+                if v not in population:
+                    raise Desync(f"transcript {v!r} not in ECDF population")
+                return [v]
+
+        def fake_get_length_kde(kde, num, log=False, flatten=True):
+            if kde is sim.kde_ht:
+                return remainders
+            if kde is sim.kde_ht_ratio:
+                return ratios
+            return np.zeros((max(num, 1), 2))  # 2D pool (values unused)
+
+        sim.random = _RandomTrxProxy(feed)
+        sim.np = _NpProxy(feed)
+        sim.mm = _MixProxy(feed)
+        sim.scipy = _ScipyProxy(feed)
+        sim.get_length_kde = fake_get_length_kde
+        sim.select_nearest_kde2d = lambda sampled, ref_len: int(feed.pop("aligned2d"))
+        sim.total_simulated = mp.Value("i", 0)
+
+        out_reads = os.path.join(out_dir, "ref_trx_aligned_reads.fasta")
+        out_error = os.path.join(out_dir, "ref_trx_error_profile")
+        sim.simulation_aligned_transcriptome(
+            False, out_reads, out_error, None, basecaller, len(records),
+            True if polya_path else False, False, per=False, uracil=uracil,
+        )
+        if feed.pos != len(feed.q):
+            raise Desync(f"feed not fully consumed: {feed.pos}/{len(feed.q)}")
+        return out_reads, out_error
+    finally:
+        for k, v in saved.items():
+            setattr(sim, k, v)

@@ -1,0 +1,147 @@
+"""Transcriptome bit-identity vs the reference (non-IR family:
+expression-weighted transcript choice, 2D-KDE aligned lengths, polyA tails;
+simulator.py:1043-1263).
+
+The IR path remains distribution-gated (tests/test_vs_reference_configs);
+this proves the cDNA/polyA family byte-for-byte.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "refshim"))
+
+from nanosim_tpu.io import PackedGenome
+from nanosim_tpu.profiles import fixtures, profile
+from nanosim_tpu.sim import output as out_mod
+from nanosim_tpu.sim.run_transcriptome import TranscriptomeSimulator, TrxBatchWriter
+
+
+class RecordingTrxWriter(TrxBatchWriter):
+    def __init__(self, fastx, error_log, batch: int, uracil: bool = False):
+        super().__init__(fastx, error_log)
+        self.records = []
+        self.batch = batch
+        self.uracil = uracil
+        self._batch_no = 0
+
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int,
+                    lanes=None, start=None) -> int:
+        B = self.batch
+        slot0 = self._batch_no * B
+        self._batch_no += 1
+        valid = np.asarray(out.valid)
+        sel = np.nonzero(valid)[0][: quota - accepted_so_far]
+        reads = np.asarray(out.read)
+        total = np.asarray(out.total_len)
+        head = np.asarray(out.head)
+        tail = np.asarray(out.tail)
+        pa = np.asarray(out.polya_len)
+        mref = np.asarray(out.middle_ref)
+        m_init = np.asarray(out.m_ref_init)
+        l_new = np.asarray(out.l_new)
+        trx = np.asarray(out.trx)
+        pos = np.asarray(out.local_pos)
+        rev = np.asarray(out.is_reversed)
+        ne_arr = np.asarray(out.n_events)
+        px = np.asarray(out.ev_pos2x)
+        ty = np.asarray(out.ev_type)
+        ln = np.asarray(out.ev_len)
+        names = sim.genome_host.names
+        lengths = sim.genome_host.lengths
+
+        for b in sel:
+            ne = int(ne_arr[b])
+            read = reads[b, : int(total[b])].copy()
+            if self.uracil:
+                read = np.where(read == ord("U"), np.uint8(ord("T")), read)
+            self.records.append(dict(
+                slot=slot0 + int(b),
+                trx_name=names[int(trx[b])],
+                trx_len=int(lengths[int(trx[b])]),
+                m_ref=int(m_init[b]),
+                middle_ref=int(mref[b]),
+                l_new=int(l_new[b]),
+                pos=int(pos[b]),
+                head=int(head[b]),
+                tail=int(tail[b]),
+                polya_len=int(pa[b]),
+                total=int(total[b]),
+                rev=bool(rev[b]),
+                read=read,
+                n_events=ne,
+                ev_pos2x=px[b, :ne].astype(np.int64),
+                ev_type=ty[b, :ne].astype(np.int64),
+                ev_len=ln[b, :ne].astype(np.int64),
+            ))
+        return super().write_batch(sim, out, accepted_so_far, quota,
+                                   lanes=lanes, start=start)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bit")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=150,
+                            transcriptome=True, mean_2d_ref_len=1200)
+    trx_fa = str(d / "trx.fa")
+    fixtures.make_reference_fasta(trx_fa, [2500] * 10 + [1200] * 6, seed=21,
+                                  name_prefix="ENST")
+    trx = PackedGenome.from_fasta(trx_fa)
+    seq_len = dict(zip(trx.names, (int(x) for x in trx.lengths)))
+    exp = str(d / "exp.tsv")
+    fixtures.make_expression_tsv(exp, [(n, l) for n, l in seq_len.items()], seed=8)
+    polya = str(d / "polya.txt")
+    with open(polya, "w") as f:
+        for name in trx.names[:8]:
+            f.write(name + "\n")
+    return d, prefix, trx_fa, exp, polya, trx, seq_len
+
+
+def _run(setup, uracil: bool, seed: int, n: int, tag: str):
+    d, prefix, trx_fa, exp, polya, trx, seq_len = setup
+    prof = profile.load_profile(prefix, mode="transcriptome", model_ir=False,
+                                polya_path=polya)
+    expression = profile.load_expression(exp, seq_len)
+    sim = TranscriptomeSimulator(
+        trx, prof, expression, model_ir=False, batch=64,
+        polya_scale=4.168299657168961, uracil=uracil,  # guppy scale
+    )
+    ours_reads = str(d / f"ours_{tag}.fasta")
+    ours_err = str(d / f"ours_{tag}.err")
+    fw = out_mod.FastxWriter(ours_reads, False)
+    el = out_mod.ErrorLogWriter(ours_err)
+    w = RecordingTrxWriter(fw, el, batch=64, uracil=uracil)
+    got = sim.run(n, w, seed=seed)
+    fw.close()
+    el.close()
+    assert got == n and len(w.records) == n
+    assert any(r["polya_len"] > 0 for r in w.records), "no polyA tails sampled"
+
+    from refshim.bitident import run_reference_fed_transcriptome
+
+    ref_reads, ref_err = run_reference_fed_transcriptome(
+        prefix, trx_fa, exp, polya, w.records, prof, trx, seed, str(d), n,
+        basecaller="guppy", uracil=uracil,
+    )
+    ours_b = open(ours_reads, "rb").read()
+    ref_b = open(ref_reads, "rb").read()
+    if ours_b != ref_b:
+        a = ours_b.split(b">")
+        r = ref_b.split(b">")
+        for i, (x, y) in enumerate(zip(a, r)):
+            assert x == y, f"record {i} differs:\nOURS: {x[:300]}\nREF : {y[:300]}"
+        assert len(a) == len(r)
+    assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
+
+
+def test_bit_identity_transcriptome_cdna_polya(setup):
+    _run(setup, uracil=False, seed=19, n=120, tag="cdna")
+
+
+def test_bit_identity_transcriptome_uracil(setup):
+    _run(setup, uracil=True, seed=29, n=100, tag="drna")
