@@ -49,6 +49,17 @@ def build_fixture(d):
     return prefix, ref_fa
 
 
+def _cache_stats():
+    import jax
+
+    cdir = jax.config.jax_compilation_cache_dir
+    try:
+        files = set(os.listdir(cdir)) if cdir else set()
+    except OSError:
+        files = set()
+    return cdir, files
+
+
 def run_ours(prefix, ref_fa, d):
     import jax
 
@@ -58,6 +69,8 @@ def run_ours(prefix, ref_fa, d):
     from nanosim_tpu.sim.genome_mode import GenomeSimulator
 
     log("devices:", jax.devices())
+    cdir, pre_files = _cache_stats()
+    log(f"compilation cache: {cdir} ({len(pre_files)} entries before warmup)")
     genome = PackedGenome.from_fasta(ref_fa)
     prof = profile.load_profile(prefix, mode="genome")
     sim = GenomeSimulator(genome, prof, batch=BATCH)
@@ -73,7 +86,11 @@ def run_ours(prefix, ref_fa, d):
             max_batches=None if n_warm > 1 else 1)
     fw.close()
     el.close()
-    log(f"warmup (compile) {time.time() - t0:.1f}s")
+    _, post_files = _cache_stats()
+    new_entries = len(post_files - pre_files)
+    log(f"warmup (compile) {time.time() - t0:.1f}s; persistent-cache misses "
+        f"(new entries written): {new_entries}"
+        + ("" if new_entries else " — fully warm"))
 
     # Two noise sources dominate pass-to-pass variance: the remote-TPU
     # tunnel's program/transfer latency, and this VM's token-bucket memory

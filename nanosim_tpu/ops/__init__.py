@@ -26,8 +26,17 @@ if _plat:
             pass
 
 # Persistent compilation cache: the batch pipelines are large programs and
-# remote-TPU compiles are expensive; cache survives across runs.
-_cache_dir = os.environ.get("NANOSIM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/nanosim_tpu_xla"))
+# remote-TPU compiles are expensive; cache survives across runs.  A
+# repo-local `.xla_cache/` (prebuilt and committed with the bench shapes)
+# takes precedence so a fresh checkout starts warm; otherwise a user cache.
+_repo_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".xla_cache",
+)
+_cache_dir = os.environ.get(
+    "NANOSIM_TPU_COMPILATION_CACHE",
+    _repo_cache if os.path.isdir(_repo_cache) else os.path.expanduser("~/.cache/nanosim_tpu_xla"),
+)
 if _cache_dir:
     try:
         os.makedirs(_cache_dir, exist_ok=True)

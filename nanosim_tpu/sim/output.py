@@ -469,6 +469,22 @@ class GenomeBatchWriter:
                 genome_flat=g.flat, fastq=sim.fastq,
                 write_errors=with_events,
             )
+            io = getattr(self, "io_pool", None)
+            if io is not None:
+                # hand the composed bytes to the io stage (copies out of the
+                # emitter's reused buffers; ~3 GB/s warm vs the file write's
+                # first-touch fault cost, which then overlaps the next emit)
+                fdata = bytes(fastx_mv)
+                edata = bytes(err_mv) if (with_events and self.error_log is not None) else None
+
+                def do_io(fdata=fdata, edata=edata):
+                    self.fastx.flush()
+                    self.fastx.f.write(fdata)
+                    if edata is not None:
+                        self.error_log.write_bytes(edata)
+
+                io.submit(do_io)
+                return len(lanes)
             self.fastx.flush()
             self.fastx.f.write(fastx_mv)
             if with_events and self.error_log is not None:
@@ -478,6 +494,9 @@ class GenomeBatchWriter:
         # pure-python fallback (native emitter unavailable)
         from . import compact as _c
 
+        io = getattr(self, "io_pool", None)
+        if io is not None:
+            io.drain()  # keep file-write ordering with the io stage
         if recon:
             from .reconstruct import reconstruct_batch
 
@@ -1066,6 +1085,49 @@ class CompactFetcher:
         raise RuntimeError("event fallback transfer kept overflowing")
 
 
+class _OrderedIO:
+    """Single-thread ordered file-write stage (the second pipeline stage
+    behind the emit worker): composing the batch's bytes and writing them to
+    the filesystem then overlap batch-to-batch."""
+
+    def __init__(self, depth: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self.exc = None
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                if self.exc is None:
+                    fn()
+            except BaseException as e:
+                self.exc = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn):
+        if self.exc is not None:
+            raise self.exc
+        self._q.put(fn)
+
+    def drain(self):
+        self._q.join()
+        if self.exc is not None:
+            raise self.exc
+
+    def close(self):
+        self.drain()
+        self._q.put(None)
+        self._t.join()
+
+
 class AsyncBatchWriter:
     """Pipelined wrapper around a batch writer.
 
@@ -1076,6 +1138,11 @@ class AsyncBatchWriter:
     they overlap the next batch's transfers).  Queue depth is bounded so
     host memory stays flat; writes happen in submission order, keeping the
     output byte-identical to the synchronous path.
+
+    A second `_OrderedIO` stage takes the file writes off the emit worker
+    (writers that support it submit their composed bytes to `io_pool`), so
+    walk replay + emission overlap the previous batch's first-touch page
+    faults — the dominant host cost on memory-throttled VMs.
     """
 
     def __init__(self, inner, depth: int = 2):
@@ -1087,13 +1154,18 @@ class AsyncBatchWriter:
         self.perfect = getattr(inner, "perfect", False)
         self._q = queue.Queue(maxsize=depth)
         self._exc = None
+        self._io = _OrderedIO()
+        if hasattr(inner, "_write_flat"):
+            inner.io_pool = self._io
         self._t = threading.Thread(target=self._worker, daemon=True)
         self._t.start()
 
     def enqueue_task(self, fn):
-        """Run `fn` on the writer thread AFTER all previously queued writes
-        (used for resume-state checkpoints that must not outrun the files)."""
-        self._q.put(("task", fn))
+        """Run `fn` AFTER all previously queued writes have reached the
+        FILES (resume-state checkpoints must not outrun them): enqueue a
+        forwarding task so it lands on the io stage behind this batch's
+        writes."""
+        self._q.put(("task", lambda: self._io.submit(fn)))
 
     def _worker(self):
         while True:
@@ -1146,6 +1218,7 @@ class AsyncBatchWriter:
 
     def drain(self):
         self._q.join()
+        self._io.drain()
         if self._exc is not None:
             raise self._exc
 
@@ -1153,6 +1226,9 @@ class AsyncBatchWriter:
         self.drain()
         self._q.put(None)
         self._t.join()
+        self._io.close()
+        if getattr(self.inner, "io_pool", None) is self._io:
+            self.inner.io_pool = None
 
 
 def merge_files(out_path: str, parts, header: str = ""):
