@@ -27,7 +27,7 @@ N_READS = int(os.environ.get("BENCH_READS", "20000"))
 MEAN_LEN = float(os.environ.get("BENCH_MEAN_LEN", "8000"))
 SD_LEN = float(os.environ.get("BENCH_SD_LEN", "2200"))
 GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "48"))
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 

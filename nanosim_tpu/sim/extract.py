@@ -21,6 +21,20 @@ from ..io.genome import MetagenomeSet, PackedGenome
 from ..ops import rng
 
 
+@jax.jit
+def _unpack_genome(packed: jax.Array, exc_idx: jax.Array, exc_val: jax.Array):
+    """[P] packed 2-bit codes -> [P*4] uint8 ASCII with sparse exception
+    bytes (IUPAC codes etc.) scattered back in (padding indices drop)."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
+    ascii_ = jnp.where(
+        codes == 0, jnp.uint8(ord("A")),
+        jnp.where(codes == 1, jnp.uint8(ord("C")),
+                  jnp.where(codes == 2, jnp.uint8(ord("G")), jnp.uint8(ord("T")))),
+    ).reshape(-1)
+    return ascii_.at[exc_idx].set(exc_val, mode="drop")
+
+
 @dataclasses.dataclass
 class GenomeDevice:
     """Device-resident packed genome."""
@@ -43,12 +57,48 @@ class GenomeDevice:
             flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
         return flat.reshape(-1, 256)
 
+    @staticmethod
+    def _upload_flat(flat_np: np.ndarray):
+        """Upload the genome 2-bit packed (+ sparse non-ACGT exceptions) and
+        unpack on device: 4x fewer bytes over the host link than raw ASCII —
+        the genome transfer, not compilation, dominates warm cold-start on
+        slow links.  Returns (flat [Ppad*4] u8 ascii, chunks view [.,256]);
+        the padded tail holds 'A' and is never addressed (all gathers clip
+        to chromosome bounds)."""
+        n = len(flat_np)
+        # pad the PACKED array to 1 MiB tiers so the unpack program compiles
+        # for a handful of shapes, not one per genome
+        pb = -(-((n + 3) // 4) // (1 << 20)) * (1 << 20)
+        lut = np.zeros(256, np.uint8)
+        lut[ord("C")] = 1
+        lut[ord("G")] = 2
+        lut[ord("T")] = 3
+        codes = lut[flat_np]
+        packed = np.zeros(pb, np.uint8)
+        c4 = np.zeros(pb * 4, np.uint8)
+        c4[:n] = codes
+        c4 = c4.reshape(-1, 4)
+        packed = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)).astype(np.uint8)
+        is_plain = np.isin(flat_np, np.frombuffer(b"ACGT", np.uint8))
+        exc_idx = np.nonzero(~is_plain)[0]
+        exc_val = flat_np[exc_idx]
+        et = max(256, 1 << int(np.ceil(np.log2(max(len(exc_idx), 1) + 1))))
+        exc_i = np.full(et, pb * 4, np.int64)  # pad -> dropped by the scatter
+        exc_v = np.zeros(et, np.uint8)
+        exc_i[: len(exc_idx)] = exc_idx
+        exc_v[: len(exc_idx)] = exc_val
+        flat_dev = _unpack_genome(
+            jnp.asarray(packed), jnp.asarray(exc_i), jnp.asarray(exc_v)
+        )
+        return flat_dev, flat_dev.reshape(-1, 256)
+
     @classmethod
     def from_packed(cls, g: PackedGenome) -> "GenomeDevice":
         n = g.n_chrom
+        flat_dev, chunks = cls._upload_flat(g.flat)
         return cls(
-            flat=jnp.asarray(g.flat),
-            flat_chunks=jnp.asarray(cls._chunked(g.flat)),
+            flat=flat_dev,
+            flat_chunks=chunks,
             offsets=jnp.asarray(g.offsets, jnp.int64),
             lengths=jnp.asarray(g.lengths, jnp.int64),
             circular=jnp.asarray(g.circular),
@@ -60,9 +110,10 @@ class GenomeDevice:
     @classmethod
     def from_metagenome(cls, m: MetagenomeSet) -> "GenomeDevice":
         g = m.packed
+        flat_dev, chunks = cls._upload_flat(g.flat)
         return cls(
-            flat=jnp.asarray(g.flat),
-            flat_chunks=jnp.asarray(cls._chunked(g.flat)),
+            flat=flat_dev,
+            flat_chunks=chunks,
             offsets=jnp.asarray(g.offsets, jnp.int64),
             lengths=jnp.asarray(g.lengths, jnp.int64),
             circular=jnp.asarray(g.circular),

@@ -707,7 +707,10 @@ class GenomeSimulator:
             sd_len=self.sd_len,
             kmer_bias=self.kmer_bias,
             hp_r_max=max(128, self.l_cap // 32),
-            use_pallas_gather=self._pallas_gather_ok(self.l_cap),
+            # the meta-only program performs no read gather: skip the Pallas
+            # probe compile (a cold-start cost on remote backends)
+            use_pallas_gather=(self._pallas_gather_ok(self.l_cap)
+                               if emit_reads else False),
             emit_reads=emit_reads,
         )
 
@@ -825,6 +828,15 @@ class GenomeSimulator:
 
         fetcher = make_fetcher(replay=True)
         wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
+
+        if recon_mode:
+            # warm starts: a stored jax.export artifact skips trace+lower
+            from . import aot
+
+            ex_slots = jnp.arange(self.batch, dtype=jnp.int64)
+            afn = aot.maybe_aot(fn, BatchOut, (base, ex_slots))
+            if afn is not None:
+                fn = afn
 
         def make_batch(slot_start):
             slots = np.arange(slot_start, slot_start + self.batch, dtype=np.int64)
