@@ -8,6 +8,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests must not pollute the repo-local prebuilt cache (.xla_cache ships the
+# bench shapes); route their compile cache to the user cache instead
+os.environ.setdefault(
+    "NANOSIM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/nanosim_tpu_xla")
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
