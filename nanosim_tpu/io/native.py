@@ -372,14 +372,15 @@ class NativeEmitter:
         g_len: np.ndarray,
         g_circ: np.ndarray,  # unused (linear fast path only)
         genome_flat: np.ndarray,
-        fastq: bool,  # must be False
+        fastq: bool,
         write_errors: bool,
         n_threads: int = 0,
+        qual_table=None,  # (breaks [5, K] f32, vals [5, K] i32), required for fastq
     ):
-        """Format a meta-only batch: read bytes are RECONSTRUCTED from
-        (genome, replayed events, counter RNG) — sim/reconstruct.py is the
-        spec, native recon_range the implementation."""
-        assert not fastq, "reconstruction path is FASTA-only"
+        """Format a meta-only batch: read bytes (and FASTQ qualities) are
+        RECONSTRUCTED from (genome, replayed events, counter RNG) —
+        sim/reconstruct.py is the spec, native recon_range the
+        implementation."""
         from ..ops import rng as rng_mod
 
         seed, stream, ht_cap = cb.recon
@@ -397,9 +398,19 @@ class NativeEmitter:
         ev_off = np.ascontiguousarray(cb.ev_off[lanes], np.int64)
         start_pos = np.ascontiguousarray(cb.pos[lanes], np.int64)
 
+        if fastq:
+            assert qual_table is not None, "fastq reconstruction needs the qual table"
+            q_breaks = np.ascontiguousarray(qual_table[0], np.float32)
+            q_vals = np.ascontiguousarray(qual_table[1], np.int32)
+            qK = q_breaks.shape[1]
+        else:
+            q_breaks = np.zeros((1, 1), np.float32)
+            q_vals = np.zeros((1, 1), np.int32)
+            qK = 1
+
         name_lens = np.diff(name_off)
         ubf = np.zeros(k + 1, np.int64)
-        ubf[1:] = np.cumsum(name_lens + total + 12)
+        ubf[1:] = np.cumsum(name_lens + total * (2 if fastq else 1) + 16)
         ube = np.zeros(k + 1, np.int64)
         if write_errors:
             used = int((ev_off + n_ev).max()) if k else 0
@@ -449,6 +460,11 @@ class NativeEmitter:
             ctypes.byref(ew),
             ctypes.c_int32(1 if write_errors else 0),
             ctypes.c_int32(n_threads),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int64(rng_mod.SITE_QUAL),
+            _ptr(q_breaks, ctypes.c_float),
+            _ptr(q_vals, ctypes.c_int32),
+            ctypes.c_int64(qK),
         )
         if rc != 0:
             raise RuntimeError(f"emit_batch_recon failed rc={rc}")

@@ -67,21 +67,25 @@ def _uniforms(walk_keys, t, n):
 
 
 def _bulk_uniforms(walk_keys, n_steps, n):
-    """All per-step uniforms in one batched threefry pass: [B, n_steps, n].
+    """All per-step uniforms in one batched threefry pass: [n_steps, B, n].
 
     Bit-identical to calling `_uniforms(walk_keys, t, n)` for t in
     range(n_steps) — the per-(lane, step) stream stays fold_in(key, t) — but
     hashed in bulk OUTSIDE the sequential walk loop, where it vectorizes,
-    instead of serializing ~3 threefry rounds into every loop step.
+    instead of serializing ~3 threefry rounds into every loop step.  The
+    output is STEP-major so a walk step's uniforms are one contiguous
+    [1, B, n] slice (a lane-major layout would make every step a strided
+    read across the whole buffer, and transposing afterwards costs ~3 ms
+    at [1024, 1121, 3] on v5e).
     """
     ts = jnp.arange(n_steps, dtype=jnp.int32)
     return jax.vmap(
-        lambda k: jax.vmap(
-            lambda t: jax.random.uniform(
+        lambda t: jax.vmap(
+            lambda k: jax.random.uniform(
                 jax.random.fold_in(k, t), (n,), dtype=jnp.float32
             )
-        )(ts)
-    )(walk_keys)
+        )(walk_keys)
+    )(ts)
 
 
 @functools.partial(jax.jit, static_argnames=("max_events",))
@@ -103,19 +107,18 @@ def error_walk(
     fm = first_match.invert(jnp.zeros(B, jnp.int32), u0)
     prev_match = jnp.maximum(fm, 2)
 
-    # per-step uniforms for t in 1..E, hashed in bulk (see _bulk_uniforms)
+    # per-step uniforms for t in 1..E, hashed in bulk, step-major [E+1, B, 3]
     U = _bulk_uniforms(walk_keys, E + 1, 3)
 
     def sub_step(t, st):
-        (pos, middle_ref, l_new, prev_state, prev_match, n_events,
-         ecnt_mis, ecnt_ins, ecnt_match, ev_word) = st
+        (pos, middle_ref, l_new, prev_state, prev_match, n_events) = st
         active = pos < middle_ref
 
-        us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 3))[:, 0, :]
+        us = jax.lax.dynamic_slice(U, (t, jnp.int32(0), jnp.int32(0)), (1, B, 3))[0]
         u_err, u_len, u_match = us[:, 0], us[:, 1], us[:, 2]
 
-        etype = trans.sample(prev_state, u_err)
-        elen = mixtures.sample(etype, u_len)
+        etype = trans.sample_all(prev_state, u_err)
+        elen = mixtures.sample_all(etype, u_len)
         is_ins = etype == E_INS
         is_del = etype == E_DEL
 
@@ -129,29 +132,29 @@ def error_walk(
 
         # match draw (simulator.py:1891-1906)
         bins = match_markov.select_bin(prev_match)
-        mstep = match_markov.invert(bins, u_match)
+        mstep = match_markov.invert_all(bins, u_match)
         mstep = jnp.where((prev_match == 0) & (mstep == 0), 1, mstep)
         over2 = jnp.maximum(pos_after + mstep - middle_ref_n, 0)
         l_new_n = l_new_n + over2
         middle_ref_n = jnp.maximum(middle_ref_n, pos_after + mstep)
         new_state = etype + 1 + jnp.where(mstep == 0, 3, 0)
 
-        # write the event at this lane's current event index (= t - 1 for
-        # every active lane, a prefix per lane); inactive-lane columns hold
-        # garbage masked out by the prefix validity.  The three fields pack
-        # into ONE u32 word so the loop carries a single [B, E] buffer and
-        # performs one update per step.  Layout (device-internal only; the
-        # word is unpacked before leaving the kernel): pos2x 19 bits (reads
-        # to 262k bases) | len 11 bits (mixture tables cap lengths at 1024)
-        # | type 2 bits.  (native/fastwriter.cpp's ev_flat uses its own
-        # independent 17|13|2 host-side packing.)
-        col = t - 1
+        # The event at this lane's current event index (= t - 1 for every
+        # active lane, a prefix per lane); inactive-lane columns hold garbage
+        # masked out by the prefix validity.  The three fields pack into ONE
+        # u32 word; the UNROLL words of an iteration are stacked and written
+        # as a single [B, UNROLL] column block into the [B, E] buffer (one
+        # update per iteration, not per step — per-step column writes copy
+        # the whole carried buffer on TPU, ~6 us each).  Layout
+        # (device-internal only; the word is unpacked before leaving the
+        # kernel): pos2x 19 bits (reads to 262k bases) | len 11 bits (mixture
+        # tables cap lengths at 1024) | type 2 bits.  (native/fastwriter.cpp's
+        # ev_flat uses its own independent 17|13|2 host-side packing.)
         word = (
             e_pos2x.astype(jnp.uint32)
             | (elen.astype(jnp.uint32) << jnp.uint32(19))
             | (etype.astype(jnp.uint32) << jnp.uint32(30))
         )
-        ev_word = jax.lax.dynamic_update_slice(ev_word, word[:, None], (jnp.int32(0), col))
 
         upd = lambda new, old: jnp.where(active, new, old)
         return (
@@ -161,21 +164,22 @@ def error_walk(
             upd(new_state, prev_state),
             upd(mstep, prev_match),
             upd(n_events + 1, n_events),
-            upd(ecnt_mis + jnp.where(etype == E_MIS, elen, 0), ecnt_mis),
-            upd(ecnt_ins + jnp.where(is_ins, elen, 0), ecnt_ins),
-            upd(ecnt_match + mstep, ecnt_match),
-        ) + (ev_word,)
+        ), word
 
     def cond(carry):
-        i, st = carry
+        i, st, _ = carry
         pos, middle_ref = st[0], st[1]
         return (i < E) & jnp.any(pos < middle_ref)
 
     def body(carry):
-        i, st = carry
+        i, st, ev = carry
+        words = []
         for k in range(UNROLL):
-            st = sub_step(i + k + 1, st)
-        return (i + UNROLL, st)
+            st, w = sub_step(i + k + 1, st)
+            words.append(w)
+        block = jnp.stack(words, axis=1)  # [B, UNROLL]
+        ev = jax.lax.dynamic_update_slice(ev, block, (jnp.int32(0), i))
+        return (i + UNROLL, st, ev)
 
     zero = jnp.zeros(B, jnp.int32)
     init_st = (
@@ -185,20 +189,27 @@ def error_walk(
         jnp.full(B, STATE_START, jnp.int32),
         prev_match,
         zero,  # n_events
-        zero,
-        zero,
-        jnp.minimum(prev_match, m_ref),  # ecnt_match (first match)
-        jnp.zeros((B, E), jnp.uint32),
     )
     assert E % UNROLL == 0, "max_events must be a multiple of the unroll factor"
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init_st))
-    (pos, middle_ref, l_new, _, _, n_events, ecnt_mis, ecnt_ins, ecnt_match,
-     ev_word) = st
+    ev0 = jnp.zeros((B, E), jnp.uint32)
+    _, st, ev_word = jax.lax.while_loop(cond, body, (jnp.int32(0), init_st, ev0))
+    (pos, middle_ref, l_new, _, _, n_events) = st
 
     ev_pos2x = (ev_word & jnp.uint32(0x7FFFF)).astype(jnp.int32)
     ev_type = (ev_word >> jnp.uint32(30)).astype(jnp.int32)
     ev_len = ((ev_word >> jnp.uint32(19)) & jnp.uint32(0x7FF)).astype(jnp.int32)
     ev_valid = jnp.arange(E, dtype=jnp.int32)[None, :] < n_events[:, None]
+    # Per-type base counts, derived post-loop from the event prefix instead of
+    # carried through the hot loop (they had been ~8 extra ops per step).
+    # Every consumed reference base is a match, mismatch, or deletion, and the
+    # walk's overshoot extension ends each completed lane at pos == middle_ref,
+    # so matches = middle_ref - mis - del (for overflow lanes — rejected and
+    # resampled downstream — this overstates matches by the unconsumed span).
+    vlen = jnp.where(ev_valid, ev_len, 0)
+    ecnt_mis = jnp.sum(jnp.where(ev_type == E_MIS, vlen, 0), axis=1)
+    ecnt_ins = jnp.sum(jnp.where(ev_type == E_INS, vlen, 0), axis=1)
+    ecnt_del = jnp.sum(jnp.where(ev_type == E_DEL, vlen, 0), axis=1)
+    ecnt_match = middle_ref - ecnt_mis - ecnt_del
     return WalkResult(
         events_pos2x=ev_pos2x,
         events_type=ev_type,
@@ -233,13 +244,13 @@ def unaligned_walk(
     B = m_ref.shape[0]
     E = max_steps
     walk_keys = rng.site_keys(slot_keys, rng.SITE_UNALIGNED_WALK)
-    U = _bulk_uniforms(walk_keys, E, 2)
+    U = _bulk_uniforms(walk_keys, E, 2)  # [E, B, 2] step-major
 
     def sub_step(t, st):
-        (pos, middle_ref, l_new, n_steps, ev_word) = st
+        (pos, middle_ref, l_new, n_steps) = st
         active = pos < middle_ref
 
-        us = jax.lax.dynamic_slice(U, (jnp.int32(0), t, jnp.int32(0)), (B, 1, 2))[:, 0, :]
+        us = jax.lax.dynamic_slice(U, (t, jnp.int32(0), jnp.int32(0)), (1, B, 2))[0]
         u_type, u_len = us[:, 0], us[:, 1]
         kind = (
             (u_type >= 0.4).astype(jnp.int32)
@@ -248,7 +259,7 @@ def unaligned_walk(
         )  # 0=match 1=mis 2=ins 3=del
         etype = jnp.clip(kind - 1, 0, 2)
         is_err = kind > 0
-        elen = jnp.where(is_err, mixtures.sample(etype, u_len), 1)
+        elen = jnp.where(is_err, mixtures.sample_all(etype, u_len), 1)
         is_ins = kind == 2
         is_del = kind == 3
 
@@ -261,13 +272,11 @@ def unaligned_walk(
         l_new_n = l_new_n + jnp.where(is_ins, 0, over)
         middle_ref_n = jnp.maximum(middle_ref, jnp.where(is_ins, middle_ref, pos_after))
 
-        col = t
         word = (
             e_pos2x.astype(jnp.uint32)
             | (e_len_store.astype(jnp.uint32) << jnp.uint32(19))
             | (etype.astype(jnp.uint32) << jnp.uint32(30))
         )
-        ev_word = jax.lax.dynamic_update_slice(ev_word, word[:, None], (jnp.int32(0), col))
 
         upd = lambda new, old: jnp.where(active, new, old)
         return (
@@ -275,18 +284,20 @@ def unaligned_walk(
             upd(middle_ref_n, middle_ref),
             upd(l_new_n, l_new),
             upd(n_steps + 1, n_steps),
-            ev_word,
-        )
+        ), word
 
     def cond(carry):
-        i, st = carry
+        i, st, _ = carry
         return (i < E) & jnp.any(st[0] < st[1])
 
     def body(carry):
-        i, st = carry
+        i, st, ev = carry
+        words = []
         for k in range(UNROLL):
-            st = sub_step(i + k, st)
-        return (i + UNROLL, st)
+            st, w = sub_step(i + k, st)
+            words.append(w)
+        ev = jax.lax.dynamic_update_slice(ev, jnp.stack(words, axis=1), (jnp.int32(0), i))
+        return (i + UNROLL, st, ev)
 
     zero = jnp.zeros(B, jnp.int32)
     init = (
@@ -294,11 +305,11 @@ def unaligned_walk(
         m_ref,
         m_ref,
         zero,
-        jnp.zeros((B, E), jnp.uint32),
     )
     assert E % UNROLL == 0, "max_steps must be a multiple of the unroll factor"
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
-    pos, middle_ref, l_new, n_steps, ev_word = st
+    ev0 = jnp.zeros((B, E), jnp.uint32)
+    _, st, ev_word = jax.lax.while_loop(cond, body, (jnp.int32(0), init, ev0))
+    pos, middle_ref, l_new, n_steps = st
 
     ev_pos2x = (ev_word & jnp.uint32(0x7FFFF)).astype(jnp.int32)
     ev_type = (ev_word >> jnp.uint32(30)).astype(jnp.int32)

@@ -9,7 +9,7 @@ uniform -> compare/searchsorted -> gather, fully batched on the VPU:
 * Mixture length distributions (pois_geom / wei_geom, mixed_model.py:41-63) —
   exact CDFs of the mixtures, tabulated to a length cap.
 * Truncated log-normal base qualities (model_base_qualities.py:9-20) —
-  analytic inverse CDF (no table needed), parameters only.
+  exact f32 inverse-CDF breakpoints (build_qual_breakpoints).
 * KDE length models — fitted points + bandwidth.
 """
 
@@ -57,6 +57,14 @@ class EcdfDevice:
         from ..profiles.ecdf import exact_breakpoints
 
         breaks, vals, n_bk = exact_breakpoints(t)
+        # invert_all's masked-max form needs each bin's value sequence to be
+        # non-decreasing — guaranteed by the parser (entry value intervals
+        # are consecutive row ranges) but asserted here because a violation
+        # would silently corrupt the walk.
+        for b in range(vals.shape[0]):
+            k = int(n_bk[b])
+            if k > 1 and np.any(np.diff(vals[b, :k]) < 0):
+                raise ValueError("ECDF bin values are not monotone; invert_all unusable")
         return cls(
             bin_lo=jnp.asarray(t.bin_lo, jnp.int32),
             breaks=jnp.asarray(breaks),
@@ -66,9 +74,17 @@ class EcdfDevice:
 
     def select_bin(self, value: jax.Array) -> jax.Array:
         """[B] conditioning values -> [B] lane indices (clamped fall-through,
-        simulator.py:1891-1893)."""
-        idx = jnp.searchsorted(self.bin_lo, value, side="right") - 1
-        return jnp.clip(idx, 0, self.bin_lo.shape[0] - 1)
+        simulator.py:1891-1893).
+
+        Count-compare form of ``searchsorted(bin_lo, value, 'right') - 1``:
+        bin_lo is tiny (~15 entries), so a fused compare-reduce beats the
+        binary search's serialized per-iteration gathers in loop bodies.
+        """
+        n = self.bin_lo.shape[0]
+        cnt = jnp.sum(
+            (self.bin_lo[None, :] <= value[:, None]).astype(jnp.int32), axis=-1
+        ).astype(jnp.int32)
+        return jnp.clip(cnt - 1, 0, n - 1)
 
     def invert(self, lane: jax.Array, p: jax.Array) -> jax.Array:
         """Batched CDF inversion: [B] lanes, [B] uniforms -> [B] int32 values.
@@ -81,6 +97,24 @@ class EcdfDevice:
         cnt = jnp.sum((rows <= p[:, None]).astype(jnp.int32), axis=-1)
         idx = jnp.clip(cnt - 1, 0, self.n_bk[lane] - 1)
         return self.vals[lane, idx]
+
+    def invert_all(self, lane: jax.Array, p: jax.Array) -> jax.Array:
+        """Gather-free :meth:`invert` for sequential-loop bodies.
+
+        The [B, K] row gather + [B] value gather of :meth:`invert` serialize
+        on TPU and dominated the walk (~75% of its runtime); this computes the
+        same value with one fused masked-max over ALL bins: since each bin's
+        vals are non-decreasing (asserted in from_table), the inverted value
+        ``vals[lane, count(breaks <= p) - 1]`` equals the max val among
+        breakpoints at or below p, with vals[lane, 0] as the count==0
+        fallback.  Bit-identical to :meth:`invert`.
+        """
+        nb = self.breaks.shape[0]
+        sel = lane[:, None] == jnp.arange(nb, dtype=lane.dtype)[None, :]  # [B, nb]
+        hit = self.breaks[None, :, :] <= p[:, None, None]  # [B, nb, K]
+        masked = jnp.where(hit & sel[:, :, None], self.vals[None, :, :], -1)
+        fallback = jnp.sum(jnp.where(sel, self.vals[None, :, 0], 0), axis=1)
+        return jnp.maximum(jnp.max(masked, axis=(1, 2)), fallback).astype(jnp.int32)
 
 
 _register(EcdfDevice, ("bin_lo", "breaks", "vals", "n_bk"))
@@ -119,16 +153,28 @@ class MixtureDevice:
     """Inverse-CDF tables for the three error-length distributions.
 
     Row order matches the walk's error-type encoding: 0=mis, 1=ins, 2=del.
+    `cdf_t` is the f32-saturation-truncated prefix of `cdf`: entries equal to
+    1.0f can never satisfy ``cdf < u`` for a u in [0, 1), so counting over the
+    prefix of entries strictly below 1.0f is EXACTLY equal to counting over
+    the full row — but ~4-8x narrower, which is what the walk's per-step
+    compare-reduce pays for.
     """
 
     cdf: jax.Array  # [3, n_max] f32
+    cdf_t: jax.Array  # [3, n_t] f32, n_t = rounded-up count of sub-1.0f entries
 
     @classmethod
     def from_params(cls, params: MixtureParams, n_max: int = 1024) -> "MixtureDevice":
         mis = _pois_geom_cdf(params.mis[0], params.mis[2], params.mis[3], n_max)
         ins = _wei_geom_cdf(params.ins[0], params.ins[1], params.ins[2], params.ins[3], n_max)
         dele = _wei_geom_cdf(params.dele[0], params.dele[1], params.dele[2], params.dele[3], n_max)
-        return cls(cdf=jnp.asarray(np.stack([mis, ins, dele]), jnp.float32))
+        arr = np.stack([mis, ins, dele]).astype(np.float32)
+        n_t = int((arr < 1.0).sum(axis=1).max())
+        n_t = min(n_max, max(64, -(-n_t // 64) * 64))
+        return cls(
+            cdf=jnp.asarray(arr),
+            cdf_t=jnp.asarray(arr[:, :n_t]),
+        )
 
     def sample(self, etype: jax.Array, u: jax.Array) -> jax.Array:
         """[B] error types, [B] uniforms -> [B] int32 lengths >= 1."""
@@ -136,8 +182,20 @@ class MixtureDevice:
         idx = jnp.sum(rows < u[:, None], axis=-1)
         return (idx + 1).astype(jnp.int32)
 
+    def sample_all(self, etype: jax.Array, u: jax.Array) -> jax.Array:
+        """Gather-free variant of :meth:`sample` for sequential-loop bodies.
 
-_register(MixtureDevice, ("cdf",))
+        Counts over ALL (truncated) rows with a fused compare-reduce, then
+        selects the requested row arithmetically — no [B, n_max] row gather
+        materializes, which dominates on TPU where small dynamic gathers
+        serialize.  Bit-identical to :meth:`sample`.
+        """
+        cnt = jnp.sum(self.cdf_t[None, :, :] < u[:, None, None], axis=-1)  # [B, 3]
+        sel = etype[:, None] == jnp.arange(3, dtype=etype.dtype)[None, :]
+        return (1 + jnp.sum(jnp.where(sel, cnt, 0), axis=1)).astype(jnp.int32)
+
+
+_register(MixtureDevice, ("cdf", "cdf_t"))
 
 
 @dataclasses.dataclass
@@ -158,6 +216,16 @@ class TransErrorDevice:
         """
         rows = self.cum[state]
         return jnp.minimum(jnp.sum(rows <= u[:, None], axis=-1), 2).astype(jnp.int32)
+
+    def sample_all(self, state: jax.Array, u: jax.Array) -> jax.Array:
+        """Gather-free variant of :meth:`sample`: counts over all states with
+        a fused compare-reduce + arithmetic row select (bit-identical)."""
+        n_states = self.cum.shape[0]
+        cnt = jnp.minimum(
+            jnp.sum(self.cum[None, :, :] <= u[:, None, None], axis=-1), 2
+        )  # [B, n_states]
+        sel = state[:, None] == jnp.arange(n_states, dtype=state.dtype)[None, :]
+        return jnp.sum(jnp.where(sel, cnt, 0), axis=1).astype(jnp.int32)
 
 
 _register(TransErrorDevice, ("cum",))
@@ -232,56 +300,128 @@ class KdeDevice:
 _register(KdeDevice, ("data", "bandwidth"), ("log_transform",))
 
 
+def build_qual_breakpoints(params: dict, classes) -> tuple:
+    """Exact f32 inverse-CDF breakpoints for the truncated log-normal base
+    qualities (model_base_qualities.py:9-20, truncation to [1, 93]).
+
+    The quality for a uniform u is the non-decreasing step function
+        val(u) = clip(int(exp(mu + sd * ndtri(u * (F93 - F1) + F1))), 1, 93)
+    evaluated here in FLOAT64 (scipy semantics).  breaks[c, j] is the
+    SMALLEST f32 u whose f64 value is vals[c, j]; sampling then needs only
+    f32 comparisons — identical on every platform and in the host
+    reconstruction mirrors.  (The previous analytic form used XLA's f32
+    erfinv, whose integer outputs MEASURABLY DIFFER between the TPU and CPU
+    backends.)
+
+    Returns (breaks [C, K] f32 padded with 2.0, vals [C, K] int32).  Each
+    row starts with a sentinel break at 0.0 so count(breaks <= u) >= 1 for
+    any u in [0, 1).
+    """
+    from scipy.special import ndtr, ndtri
+
+    all_breaks, all_vals = [], []
+    for c in classes:
+        sd = float(params[c]["sd"])
+        mu = float(params[c]["mu"])
+        scale = float(np.exp(mu))
+        # lognorm.cdf(x, sd, scale=e^mu) == ndtr((log x - mu) / sd)
+        lo = float(ndtr((np.log(1.0) - mu) / sd))
+        hi = float(ndtr((np.log(93.0) - mu) / sd))
+
+        def val(u_f32):
+            q = float(u_f32) * (hi - lo) + lo
+            q = min(max(q, 1e-300), 1.0 - 1e-16)
+            x = np.exp(mu + sd * ndtri(q))
+            return int(min(max(int(x), 1), 93))
+
+        breaks = [np.float32(0.0)]
+        vals = [val(np.float32(0.0))]
+        # f32 values in [0, 1) order identically to their bit patterns
+        hi_bits = int(np.array(1.0, np.float32).view(np.int32))
+        u_of = lambda b: np.array(b, np.int32).view(np.float32)
+        v_max = val(u_of(hi_bits - 1))
+        for v in range(vals[0] + 1, v_max + 1):
+            if val(u_of(hi_bits - 1)) < v:
+                continue
+            # analytic estimate of the crossing (u where q reaches cdf(v)),
+            # then a short bit-walk to the exact smallest f32; falls back to
+            # full bisection if the estimate was off by more than 64 ulps
+            u_est = (float(ndtr((np.log(float(v)) - mu) / sd)) - lo) / (hi - lo)
+            b = int(np.clip(np.array(max(u_est, 0.0), np.float32).view(np.int32),
+                            0, hi_bits - 1))
+            lo_b, hi_b = 0, hi_bits - 1
+            for _ in range(64):
+                if val(u_of(b)) >= v:
+                    hi_b = b
+                    if b == 0 or val(u_of(b - 1)) < v:
+                        lo_b = b
+                        break
+                    b -= 1
+                else:
+                    lo_b = b + 1
+                    if val(u_of(b + 1)) >= v:
+                        hi_b = b + 1
+                        lo_b = b + 1
+                        break
+                    b += 1
+            while lo_b < hi_b:
+                mid = (lo_b + hi_b) // 2
+                if val(u_of(mid)) >= v:
+                    hi_b = mid
+                else:
+                    lo_b = mid + 1
+            got = val(u_of(lo_b))
+            if got != vals[-1]:
+                breaks.append(u_of(lo_b))
+                vals.append(got)
+        all_breaks.append(breaks)
+        all_vals.append(vals)
+
+    K = max(len(b) for b in all_breaks)
+    br = np.full((len(classes), K), 2.0, np.float32)
+    vl = np.zeros((len(classes), K), np.int32)
+    for i, (b, v) in enumerate(zip(all_breaks, all_vals)):
+        br[i, : len(b)] = b
+        vl[i, : len(v)] = v
+    return br, vl
+
+
 @dataclasses.dataclass
 class QualDevice:
-    """Truncated log-normal base-quality parameters per class.
+    """Exact breakpoint table for truncated log-normal base qualities.
 
     Class order: 0=match, 1=mis, 2=ins, 3=ht, 4=unmapped
-    (model_base_qualities.py:120-130; truncation to [1, 93]).
+    (model_base_qualities.py:120-130; truncation to [1, 93]).  See
+    :func:`build_qual_breakpoints` for the exactness contract.
     """
 
-    sd: jax.Array  # [5] f32
-    mu: jax.Array  # [5] f32
-    cdf_lo: jax.Array  # [5] f32  lognorm.cdf(1)
-    cdf_hi: jax.Array  # [5] f32  lognorm.cdf(93)
+    breaks: jax.Array  # [5, K] f32, row-sorted, sentinel 0.0 first, pad 2.0
+    vals: jax.Array  # [5, K] int32 (non-decreasing per row)
 
     CLASSES = ("match", "mis", "ins", "ht", "unmapped")
 
     @classmethod
     def from_params(cls, params: dict) -> "QualDevice":
-        from scipy.stats import lognorm
-
-        sd = np.array([params[c]["sd"] for c in cls.CLASSES])
-        mu = np.array([params[c]["mu"] for c in cls.CLASSES])
-        scale = np.exp(mu)
-        lo = lognorm.cdf(1.0, sd, scale=scale)
-        hi = lognorm.cdf(93.0, sd, scale=scale)
-        return cls(
-            sd=jnp.asarray(sd, jnp.float32),
-            mu=jnp.asarray(mu, jnp.float32),
-            cdf_lo=jnp.asarray(lo, jnp.float32),
-            cdf_hi=jnp.asarray(hi, jnp.float32),
-        )
+        br, vl = build_qual_breakpoints(params, cls.CLASSES)
+        return cls(breaks=jnp.asarray(br), vals=jnp.asarray(vl))
 
     def sample(self, qclass: jax.Array, u: jax.Array) -> jax.Array:
         """[..] class indices + uniforms -> int32 qualities in [1, 93].
 
-        Analytic inverse CDF of the truncated lognormal:
-        q' = u * (F(93) - F(1)) + F(1);  x = exp(mu + sd * ndtri(q'));
-        integer truncation matches scipy rv_discrete.rvs' astype(int).
+        count(breaks[c] <= u) per class via searchsorted (pure f32
+        compares), row select arithmetically, then one flat value gather.
+        The 0.0 sentinel guarantees count >= 1; padding 2.0 caps it at the
+        row's entry count, so no clamping is needed.
         """
-        sd = self.sd[qclass]
-        mu = self.mu[qclass]
-        lo = self.cdf_lo[qclass]
-        hi = self.cdf_hi[qclass]
-        q = u * (hi - lo) + lo
-        q = jnp.clip(q, 1e-7, 1.0 - 1e-7)
-        x = jnp.exp(mu + sd * _ndtri(q))
-        return jnp.clip(x.astype(jnp.int32), 1, 93)
+        K = self.breaks.shape[1]
+        C = self.breaks.shape[0]
+        uf = u.ravel()
+        cnt = jnp.zeros(uf.shape, jnp.int32)
+        for c in range(C):
+            cc = jnp.searchsorted(self.breaks[c], uf, side="right").astype(jnp.int32)
+            cnt = jnp.where(qclass.ravel() == c, cc, cnt)
+        idx = qclass.ravel().astype(jnp.int32) * K + (cnt - 1)
+        return jnp.take(self.vals.ravel(), idx).reshape(u.shape)
 
 
-def _ndtri(q):
-    return jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * q - 1.0)
-
-
-_register(QualDevice, ("sd", "mu", "cdf_lo", "cdf_hi"))
+_register(QualDevice, ("breaks", "vals"))

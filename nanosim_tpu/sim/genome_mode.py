@@ -796,9 +796,12 @@ class GenomeSimulator:
             replayer = None
             p = self.profile
             # the walk replayer elides the event transfer (error log) and is
-            # the prerequisite for full host read RECONSTRUCTION
+            # the prerequisite for full host read RECONSTRUCTION (FASTQ
+            # qualities reconstruct too: counter-addressed draws through the
+            # exact QualDevice breakpoint table)
             want_recon = (
-                not self.fastq and not self.perfect and not self.circular_dna
+                not self.perfect and not self.circular_dna
+                and (not self.fastq or p.base_quals is not None)
                 and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
             )
             if ((with_events or want_recon) and not self.perfect

@@ -462,12 +462,16 @@ class GenomeBatchWriter:
         recon = cb.reads_flat is None
         if self._emitter.available and (not recon or self._emitter.recon_available):
             emit = self._emitter.emit_recon if recon else self._emitter.emit_flat
+            kw = {}
+            if recon and sim.fastq:
+                q = sim.tables.qual
+                kw["qual_table"] = (np.asarray(q.breaks), np.asarray(q.vals))
             fastx_mv, err_mv = emit(
                 cb, np.asarray(lanes, np.int64), names,
                 g_off=g.offsets[chrom], g_len=g.lengths[chrom],
                 g_circ=np.ascontiguousarray(g.circular[chrom], np.uint8),
                 genome_flat=g.flat, fastq=sim.fastq,
-                write_errors=with_events,
+                write_errors=with_events, **kw,
             )
             io = getattr(self, "io_pool", None)
             if io is not None:
@@ -497,11 +501,21 @@ class GenomeBatchWriter:
         io = getattr(self, "io_pool", None)
         if io is not None:
             io.drain()  # keep file-write ordering with the io stage
+        recon_quals = None
         if recon:
             from .reconstruct import reconstruct_batch
 
             seed, stream, ht_cap = cb.recon
-            reads = reconstruct_batch(cb, lanes, g, seed, stream, ht_cap)
+            qt = None
+            if sim.fastq:
+                qd = sim.tables.qual
+                qt = (np.asarray(qd.breaks), np.asarray(qd.vals))
+            out = reconstruct_batch(cb, lanes, g, seed, stream, ht_cap, qual_table=qt)
+            if sim.fastq:
+                reads = [r for r, _ in out]
+                recon_quals = [q for _, q in out]
+            else:
+                reads = out
         else:
             reads = _c.decode_reads_ascii(cb, lanes)
         for rank, b in enumerate(lanes):
@@ -509,8 +523,11 @@ class GenomeBatchWriter:
             seq = reads[rank]
             q = None
             if sim.fastq:
-                o = int(cb.qual_off[b])
-                q = cb.quals_flat[o : o + int(cb.total[b])]
+                if recon_quals is not None:
+                    q = recon_quals[rank]
+                else:
+                    o = int(cb.qual_off[b])
+                    q = cb.quals_flat[o : o + int(cb.total[b])]
             self.fastx.write(name, seq, q)
             if with_events:
                 ne = int(cb.n_events[b])
@@ -952,6 +969,9 @@ class CompactFetcher:
         self.with_reads = with_reads or self.replayer is None
         self.recon_info = recon_info
         self.transfer_events = with_events and self.replayer is None
+        # reconstruction regenerates FASTQ qualities host-side too, so the
+        # qual stream only crosses the link when the read bytes do
+        self.transfer_quals = fastq and self.with_reads
         # lazy_replay: defer the host walk replay from the fetch (critical
         # path of the accept loop) to an idempotent cb.finish() the emission
         # worker calls — the replay's CPU then overlaps the next batch
@@ -967,7 +987,8 @@ class CompactFetcher:
             if with_events else 1
         )
         self.nq_cap = (
-            self._tier(int(B * (est_bases / ch + 1) * self.FIRST_MARGIN)) if fastq else 1
+            self._tier(int(B * (est_bases / ch + 1) * self.FIRST_MARGIN))
+            if self.transfer_quals else 1
         )
 
     @staticmethod
@@ -983,7 +1004,7 @@ class CompactFetcher:
             self.nr_cap = self._tier(int(need_r * self.LOCKED_MARGIN) + 1)
         if self.transfer_events:
             self.ne_cap = self._tier(int(need_e * self.LOCKED_MARGIN) + 1)
-        if self.fastq:
+        if self.transfer_quals:
             self.nq_cap = self._tier(int(need_q * self.LOCKED_MARGIN) + 1)
         self._locked = True
 
@@ -998,7 +1019,7 @@ class CompactFetcher:
             out.ev_pos2x, out.ev_type, out.ev_len,
             getattr(out, "m_ref_init", None),
             nr_cap=caps[0], ne_cap=caps[1], nq_cap=caps[2],
-            fastq=self.fastq, with_events=transfer_events,
+            fastq=self.transfer_quals, with_events=transfer_events,
             pack_reads=self.pack_reads,
             with_checksum=self.replayer is not None and not force_events,
             with_reads=self.with_reads,
@@ -1014,8 +1035,8 @@ class CompactFetcher:
         B = h.out.read.shape[0]
         caps = h.caps
         cb, ok = self._c.decode_compact(
-            buf, B, caps[0], caps[1], caps[2], self.fastq, self.transfer_events,
-            self.pack_reads, self.with_reads,
+            buf, B, caps[0], caps[1], caps[2], self.transfer_quals,
+            self.transfer_events, self.pack_reads, self.with_reads,
         )
         if not ok:
             need_r, need_e, need_q = cb
@@ -1023,13 +1044,14 @@ class CompactFetcher:
                 self.nr_cap = max(self.nr_cap, self._tier(int(need_r * 1.1) + 1))
             if self.transfer_events:
                 self.ne_cap = max(self.ne_cap, self._tier(int(need_e * 1.1) + 1))
-            if self.fastq:
+            if self.transfer_quals:
                 self.nq_cap = max(self.nq_cap, self._tier(int(need_q * 1.1) + 1))
             self._locked = True
             buf_dev, caps = self._dispatch(h.out)
             cb, ok = self._c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
-                self.fastq, self.transfer_events, self.pack_reads, self.with_reads,
+                self.transfer_quals, self.transfer_events, self.pack_reads,
+                self.with_reads,
             )
             assert ok, "compaction overflow after capacity bump"
         elif not self._locked:
@@ -1075,7 +1097,7 @@ class CompactFetcher:
             buf_dev, caps = self._dispatch(h.out, force_events=True)
             cb2, ok = _c.decode_compact(
                 np.asarray(buf_dev), B, caps[0], caps[1], caps[2],
-                self.fastq, True, self.pack_reads, self.with_reads,
+                self.transfer_quals, True, self.pack_reads, self.with_reads,
             )
             if ok:
                 cb.ev_flat = cb2.ev_flat

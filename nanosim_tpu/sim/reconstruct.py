@@ -15,8 +15,10 @@ This module is the NUMPY REFERENCE implementation — the spec that
 native/fastwriter.cpp's reconstruction mirrors — and the fallback when the
 native library is unavailable.
 
-Scope: the aligned-genome fast path (linear DNA, no -hp, not perfect); other
-paths keep the device read materialization.
+Scope: the aligned-genome fast path (linear DNA, no -hp, not perfect),
+FASTA and FASTQ (base qualities are counter-addressed draws through the
+exact QualDevice breakpoint table, so they reconstruct exactly like bases);
+other paths keep the device read materialization.
 """
 
 from __future__ import annotations
@@ -132,8 +134,15 @@ def reconstruct_lane(
     keys,  # dict with 'iupac', 'mis', 'ht' site keys (key_root outputs)
     ht_cap: int,
     chunk: int = 256,
+    qual_table=None,  # (breaks [5, K] f32, vals [5, K] i32) -> also return quals
 ) -> np.ndarray:
-    """Final-orientation ASCII read bytes, byte-identical to fused_read_v2."""
+    """Final-orientation ASCII read bytes, byte-identical to fused_read_v2.
+
+    With qual_table set (FASTQ), returns (read, quals): quals[j] =
+    vals[class(j)][count(breaks[class(j)] <= u(j)) - 1] + 33 with u(j) the
+    SITE_QUAL draw at OUTPUT position j and class(j) the fused_read_v2
+    qclass (0 match / 1 mis / 2 ins / 3 head-tail) at that position (keys
+    must then also hold 'qual')."""
     ev_pos2x, ev_type, ev_len = events
     ne = len(ev_pos2x)
 
@@ -210,11 +219,28 @@ def reconstruct_lane(
         out_codes = (3 - pre[::-1]).astype(np.uint8)
     else:
         out_codes = pre
-    return _BASES[out_codes]
+    read = _BASES[out_codes]
+    if qual_table is None:
+        return read
+
+    breaks, vals = qual_table
+    cls_pre = np.full(total, 3, np.uint8)  # QCLASS_HT
+    cls_pre[head : head + l_new] = cls  # 0 match / 1 mis / 2 ins
+    cls_out = cls_pre[::-1] if rev else cls_pre
+    u = uniform_at(keys["qual"], np.arange(total, dtype=np.int64))
+    q = np.empty(total, np.uint8)
+    for c in range(4):
+        msk = cls_out == c
+        if msk.any():
+            cnt = np.searchsorted(breaks[c], u[msk], side="right")
+            q[msk] = vals[c, cnt - 1].astype(np.uint8)
+    return read, q + np.uint8(33)
 
 
-def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int):
-    """Reconstruct selected lanes of a meta-only CompactBatch -> ASCII list."""
+def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int,
+                      qual_table=None):
+    """Reconstruct selected lanes of a meta-only CompactBatch -> ASCII list
+    (with qual_table: list of (read, quals) tuples)."""
     from ..ops import rng
 
     out = []
@@ -224,6 +250,7 @@ def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int):
             "iupac": key_root(seed, stream, slot, rng.SITE_IUPAC),
             "mis": key_root(seed, stream, slot, rng.SITE_MIS_BASE),
             "ht": key_root(seed, stream, slot, rng.SITE_HEAD_TAIL),
+            "qual": key_root(seed, stream, slot, rng.SITE_QUAL),
         }
         ne = int(cb.n_events[b])
         o = int(cb.ev_off[b])
@@ -238,5 +265,6 @@ def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int):
             genome.flat, int(genome.offsets[chrom]), int(cb.pos[b]), events,
             int(cb.head[b]), int(cb.tail[b]), int(cb.l_new[b]),
             int(cb.total[b]), bool(cb.rev[b]), keys, ht_cap,
+            qual_table=qual_table,
         ))
     return out

@@ -313,6 +313,14 @@ struct ReconArgs {
   char* fastx_out;
   char* err_out;
   int write_errors;
+  // FASTQ: base-quality reconstruction through the exact QualDevice
+  // breakpoint table (ops/tables.build_qual_breakpoints); qK = row width,
+  // rows ordered 0=match 1=mis 2=ins 3=ht (4=unmapped unused here).
+  int fastq = 0;
+  int64_t site_qual = 0;
+  const float* q_breaks = nullptr;  // [>=4, qK], row-sorted, sentinel 0.0
+  const int32_t* q_vals = nullptr;  // [>=4, qK]
+  int64_t qK = 0;
 };
 
 void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
@@ -323,6 +331,7 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
   Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
 
   std::vector<char> pre_buf;
+  std::vector<uint8_t> cls_buf;  // per-position qclass (FASTQ only)
   std::vector<int64_t> rpos_buf;
   char* fp = a.fastx_out + a.ubf[r0];
   char* ep = a.err_out + a.ube[r0];
@@ -347,9 +356,19 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
     Key k_iupac = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_iupac));
     Key k_mis = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_mis));
     Key k_ht = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ht));
+    Key k_qual = a.fastq
+        ? walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_qual))
+        : ks;
 
     if ((int64_t)pre_buf.size() < total + 4) pre_buf.resize(total + 4);
     char* pre = pre_buf.data();
+    uint8_t* cls = nullptr;
+    if (a.fastq) {
+      if ((int64_t)cls_buf.size() < total + 4) cls_buf.resize(total + 4);
+      cls = cls_buf.data();
+      std::memset(cls, 3, total);  // head/tail default; middle overwritten
+      std::memset(cls + head, 0, lnew > 0 ? lnew : 0);  // match default
+    }
     if ((int64_t)rpos_buf.size() < (ne ? ne : 1)) rpos_buf.resize(ne ? ne : 1);
     int64_t* rpos = rpos_buf.data();
 
@@ -398,6 +417,7 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
       i = ref_start > i ? ref_start : i;
       if (len == 0) continue;
       if (t == 0) {  // mis: ref code + 1..3, OUTPUT-indexed uniforms
+        if (cls) std::memset(cls + head + m, 1, len);
         for (int64_t x = 0; x < len; ++x, ++i, ++m) {
           const uint32_t b = bits_at(k_mis, out_j(head + m));
           int off = 1 + static_cast<int>(u2_lo(b) * 3.0f);
@@ -405,6 +425,7 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
           pre[head + m] = kCode2Base[(ref_code(i) + off) & 3];
         }
       } else if (t == 1) {  // ins: uniform base, OUTPUT-indexed uniforms
+        if (cls) std::memset(cls + head + m, 2, len);
         for (int64_t x = 0; x < len; ++x, ++m) {
           const uint32_t b = bits_at(k_mis, out_j(head + m));
           int code = static_cast<int>(u2_hi(b) * 4.0f);
@@ -435,8 +456,8 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
       pre[jj] = kCode2Base[kChoiceCode[c]];
     }
 
-    // --- FASTA record ----------------------------------------------------
-    *fp++ = '>';
+    // --- FASTA/FASTQ record ----------------------------------------------
+    *fp++ = a.fastq ? '@' : '>';
     fp = put_bytes(fp, name, name_len);
     *fp++ = '\n';
     if (rev) {
@@ -446,6 +467,24 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
       fp = put_bytes(fp, pre, total);
     }
     *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      // qual(j) = vals[c][count(breaks[c] <= u(j)) - 1] + 33, u(j) the
+      // SITE_QUAL draw at OUTPUT position j (sentinel 0.0 => count >= 1)
+      for (int64_t j = 0; j < total; ++j) {
+        const int c = cls[rev ? total - 1 - j : j];
+        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(j));
+        const float* br = a.q_breaks + c * a.qK;
+        int64_t lo = 0, hi = a.qK;
+        while (lo < hi) {
+          const int64_t mid = (lo + hi) >> 1;
+          if (br[mid] <= u) lo = mid + 1; else hi = mid;
+        }
+        *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
+      }
+      *fp++ = '\n';
+    }
 
     // --- ground-truth error log (reverse event order) --------------------
     if (!a.write_errors || a.n_events_log[r] == 0) continue;
@@ -826,7 +865,9 @@ int64_t emit_batch_recon(
     const int64_t* ubf, const int64_t* ube,
     char* fastx_out, int64_t* fastx_written,
     char* err_out, int64_t* err_written,
-    int32_t write_errors, int32_t n_threads) {
+    int32_t write_errors, int32_t n_threads,
+    int32_t fastq, int64_t site_qual,
+    const float* q_breaks, const int32_t* q_vals, int64_t qK) {
   init_comp();
   init_dec();
   ReconArgs a{seed,     stream,   site_iupac, site_mis, site_ht, ht_cap,
@@ -834,7 +875,8 @@ int64_t emit_batch_recon(
               l_new,    rev,      ev_flat,    ev_off,   n_events,
               n_events_log, genome_flat, g_off, g_len, start_pos,
               ubf,      ube,      fastx_out,  err_out,
-              static_cast<int>(write_errors)};
+              static_cast<int>(write_errors),
+              static_cast<int>(fastq), site_qual, q_breaks, q_vals, qK};
 
   int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
   if (T > k) T = static_cast<int>(k < 1 ? 1 : k);

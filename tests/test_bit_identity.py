@@ -37,11 +37,22 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
         if getattr(d, "finish", None) is not None:
             d.finish()
 
+        rquals = None
         if d.reads_flat is None:  # meta-only batch: host reconstruction
             from nanosim_tpu.sim.reconstruct import reconstruct_batch
 
             seed, stream, ht_cap = d.recon
-            reads = reconstruct_batch(d, lanes, sim.genome_host, seed, stream, ht_cap)
+            qt = None
+            if self.fastx.fastq:
+                qd = sim.tables.qual
+                qt = (np.asarray(qd.breaks), np.asarray(qd.vals))
+            out = reconstruct_batch(d, lanes, sim.genome_host, seed, stream,
+                                    ht_cap, qual_table=qt)
+            if qt is not None:
+                reads = [r for r, _ in out]
+                rquals = [q for _, q in out]
+            else:
+                reads = out
         else:
             reads = _c.decode_reads_ascii(d, lanes)
         assert d.slots is not None
@@ -51,8 +62,11 @@ class RecordingWriter(out_mod.GenomeBatchWriter):
             w = d.ev_flat[o : o + ne]
             quals = None
             if self.fastx.fastq:
-                qo = int(d.qual_off[b])
-                quals = np.array(d.quals_flat[qo : qo + int(d.total[b])], np.uint8)
+                if rquals is not None:
+                    quals = rquals[rank]
+                else:
+                    qo = int(d.qual_off[b])
+                    quals = np.array(d.quals_flat[qo : qo + int(d.total[b])], np.uint8)
             self.records.append(dict(
                 slot=int(d.slots[b]),
                 m_ref=int(d.m_ref[b]),

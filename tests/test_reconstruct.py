@@ -19,14 +19,15 @@ from nanosim_tpu.sim import output as out_mod
 from nanosim_tpu.sim.genome_mode import GenomeSimulator
 
 
-def _run(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, batch=64):
+def _run(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, batch=64,
+         fastq=False):
     monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
     genome = PackedGenome.from_fasta(ref_fa)
-    prof = profile.load_profile(prefix, mode="genome")
-    sim = GenomeSimulator(genome, prof, batch=batch)
-    fa = str(d / f"{tag}.fasta")
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq)
+    sim = GenomeSimulator(genome, prof, batch=batch, fastq=fastq)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
     er = str(d / f"{tag}.err")
-    fw = out_mod.FastxWriter(fa, False)
+    fw = out_mod.FastxWriter(fa, fastq)
     el = out_mod.ErrorLogWriter(er)
     got = sim.run(n, out_mod.GenomeBatchWriter(fw, el), seed=seed)
     fw.close()
@@ -73,6 +74,32 @@ def test_recon_matches_device_reads_iupac(setup, monkeypatch):
     d, prefix, _, iupac_fa = setup
     fa0, er0 = _run(d, "devi", iupac_fa, prefix, 120, 5, False, monkeypatch)
     fa1, er1 = _run(d, "reci", iupac_fa, prefix, 120, 5, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_recon_matches_device_reads_fastq(setup, monkeypatch):
+    """FASTQ reconstruction: bases AND qualities byte-equal the device path
+    (qualities are counter-addressed draws through the exact QualDevice
+    breakpoint table on both sides)."""
+    d, prefix, ref_fa, _ = setup
+    fa0, er0 = _run(d, "devq", ref_fa, prefix, 120, 23, False, monkeypatch, fastq=True)
+    fa1, er1 = _run(d, "recq", ref_fa, prefix, 120, 23, True, monkeypatch, fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_recon_python_equals_native_fastq(setup, monkeypatch):
+    from nanosim_tpu.io import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(), "emit_batch_recon"):
+        pytest.skip("native reconstruction not built")
+    d, prefix, ref_fa, _ = setup
+    fa0, er0 = _run(d, "natrecq", ref_fa, prefix, 80, 29, True, monkeypatch, fastq=True)
+    monkeypatch.setattr(
+        native.NativeEmitter, "recon_available", property(lambda self: False)
+    )
+    fa1, er1 = _run(d, "pyrecq", ref_fa, prefix, 80, 29, True, monkeypatch, fastq=True)
     assert open(fa0, "rb").read() == open(fa1, "rb").read()
     assert open(er0, "rb").read() == open(er1, "rb").read()
 

@@ -39,29 +39,45 @@ def _ks_gate(a, b, what):
     assert d < thresh, f"{what}: KS D={d:.4f} >= {thresh:.4f} (n={len(a)},{len(b)})"
 
 
-def _error_rates(err_path, total_bases, skip_header):
-    per_type = {"mis": 0, "ins": 0, "del": 0}
+def _error_stats(err_path, skip_header):
+    """Per error type: (event count, base sum, base sum of squares)."""
+    stats = {t: [0, 0, 0.0] for t in ("mis", "ins", "del")}
     with open(err_path) as f:
         if skip_header:
             f.readline()
         for line in f:
             parts = line.rstrip("\n").split("\t")
-            if len(parts) >= 4 and parts[2] in per_type:
-                per_type[parts[2]] += int(parts[3])
-    return {t: n / total_bases for t, n in per_type.items()}
+            if len(parts) >= 4 and parts[2] in stats:
+                n = int(parts[3])
+                s = stats[parts[2]]
+                s[0] += 1
+                s[1] += n
+                s[2] += n * n
+    return stats
 
 
-def _rate_gates(ref_rates, our_rates, n_ref, n_our, what):
-    # 6 SE: the reference side is nondeterministic across runs (it reseeds
-    # workers from OS entropy before forking, simulator.py:1590-1592), so the
-    # gate must absorb two-sided sampling noise across MANY suite runs; the
-    # binomial SE here also understates the truth (error BASES cluster into
-    # events, so effective n is ~the event count, not the base count)
+def _rate_gates(ref_stats, our_stats, n_ref, n_our, what):
+    # 6 SE, with the SE computed from EVENT counts, not base counts: error
+    # bases arrive in events (log lines), so total error bases is compound-
+    # Poisson — Var(sum) ~ n_events * (mean_len^2 + var_len) — and a binomial
+    # per-base SE understates the noise ~3-5x.  Both sides are independent
+    # draws (the reference reseeds workers from OS entropy before forking,
+    # simulator.py:1590-1592), so the two SEs add in quadrature.
+    def rate_and_se(stats, total_bases):
+        n_ev, s1, s2 = stats
+        rate = s1 / total_bases
+        if n_ev == 0:
+            return rate, 0.0
+        mean_len = s1 / n_ev
+        var_len = max(s2 / n_ev - mean_len**2, 0.0)
+        return rate, np.sqrt(n_ev * (mean_len**2 + var_len)) / total_bases
+
     for t in ("mis", "ins", "del"):
-        p = (ref_rates[t] + our_rates[t]) / 2
-        se = np.sqrt(max(p * (1 - p), 1e-9) * (1 / n_ref + 1 / n_our))
-        assert abs(ref_rates[t] - our_rates[t]) < 6 * se + 1e-3, (
-            what, t, ref_rates[t], our_rates[t], se)
+        r_rate, r_se = rate_and_se(ref_stats[t], n_ref)
+        o_rate, o_se = rate_and_se(our_stats[t], n_our)
+        se = np.sqrt(r_se**2 + o_se**2)
+        assert abs(r_rate - o_rate) < 6 * se + 1e-4, (
+            what, t, r_rate, o_rate, se)
 
 
 def _lens(records):
@@ -96,8 +112,8 @@ def test_config_genome_fasta(genome_setup):
     assert len(ref) == len(our) == 135
     _ks_gate(_lens(ref), _lens(our), "genome-fasta lengths")
     _rate_gates(
-        _error_rates(str(d / "ref1_aligned_error_profile"), _lens(ref).sum(), True),
-        _error_rates(str(d / "our1_aligned_error_profile"), _lens(our).sum(), True),
+        _error_stats(str(d / "ref1_aligned_error_profile"), True),
+        _error_stats(str(d / "our1_aligned_error_profile"), True),
         _lens(ref).sum(), _lens(our).sum(), "genome-fasta",
     )
 
