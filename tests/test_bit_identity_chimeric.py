@@ -125,6 +125,52 @@ def setup(tmp_path_factory):
     return d, prefix, ref_fa
 
 
+def test_bit_identity_chimeric_genome_1k(tmp_path_factory):
+    """Dense-sampling variant (VERDICT r3 item 8): n=1000 with a small second
+    chromosome so segment-boundary rejection, retry rounds, and long
+    multi-segment chains are exercised at density, byte-equal end to end."""
+    d = tmp_path_factory.mktemp("bic1k")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=450, sd_read_len=200)
+    from nanosim_tpu.profiles import error_model
+
+    error_model.write_chimeric_info(prefix + "_chimeric_info", 1.9, 0.2)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [30000, 6000], seed=21)
+
+    n, seed = 1000, 13
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", chimeric=True)
+    sim = ChimericGenomeSimulator(genome, prof, batch=128)
+
+    ours_reads = str(d / "ours.fasta")
+    ours_err = str(d / "ours.err")
+    fw = out_mod.FastxWriter(ours_reads, False)
+    el = out_mod.ErrorLogWriter(ours_err)
+    w = RecordingChimericWriter(fw, el, batch=128)
+    got = sim.run(n, w, seed=seed)
+    fw.close()
+    el.close()
+    assert got == n and len(w.records) == n
+    n_multi = sum(1 for r in w.records if r["n_seg"] > 1)
+    assert n_multi >= 100, f"only {n_multi} multi-segment reads"
+
+    from refshim.bitident import run_reference_fed_chimeric
+
+    ref_reads, ref_err = run_reference_fed_chimeric(
+        prefix, ref_fa, w.records, prof, genome, seed, str(d), n,
+    )
+    ours_b = open(ours_reads, "rb").read()
+    ref_b = open(ref_reads, "rb").read()
+    if ours_b != ref_b:
+        a_recs = ours_b.split(b">")
+        r_recs = ref_b.split(b">")
+        for i, (x, y) in enumerate(zip(a_recs, r_recs)):
+            assert x == y, f"record {i} differs:\nOURS: {x[:400]}\nREF : {y[:400]}"
+        assert len(a_recs) == len(r_recs)
+    assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
+
+
 def test_bit_identity_chimeric_genome(setup):
     d, prefix, ref_fa = setup
     n, seed = 120, 7
