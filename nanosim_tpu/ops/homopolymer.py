@@ -192,7 +192,10 @@ def resize_homopolymers(
     # reference draws p = random.random() and mutates when 0 < p <= rate
     do_mis = src_big & (u <= hp_mis_rate) & (u > 0)
     code = _ascii_to_code(base)
-    u2 = rng.uniform_per_slot(sk, rng.SITE_HOMOPOLYMER, (L,))
+    # own site: SITE_HOMOPOLYMER's counter stream is consumed by the per-run
+    # size normals above; sharing it here would correlate the mis-base
+    # choices at low positions with the run-size draws
+    u2 = rng.uniform_per_slot(sk, rng.SITE_HP_MIS_BASE, (L,))
     off = 1 + jnp.minimum(jnp.floor(u2 * 3.0).astype(jnp.uint8), 2)
     mis_base = _code_to_ascii((code + off) % 4)
     base = jnp.where(do_mis, mis_base, base)

@@ -49,7 +49,8 @@ SITE_TRANSCRIPT = 17  # weighted transcript choice
 SITE_LOGNORMAL_LEN = 18  # median/sd lognormal length mode
 SITE_UNALIGNED_WALK = 19  # unaligned-read error walk
 SITE_ALIGNED_2D = 20  # conditional 2D-KDE aligned-length draw
-SITE_HP_QUAL = 21  # homopolymer patched qualities
+SITE_HP_QUAL = 21  # homopolymer in-run mismatch decision (p draw)
+SITE_HP_MIS_BASE = 22  # homopolymer in-run substituted-base choice
 
 # Distinct top-level streams so aligned/unaligned/gap slot counters never
 # collide.

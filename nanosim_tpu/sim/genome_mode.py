@@ -413,8 +413,13 @@ def genome_batch(
     read, quals, total, is_rev = assemble_read(
         read_mid, qclass_mid, l_new, head, tail, sk, tables, l_out, ht_cap, fastq
     )
-    # final length filter (simulator.py:1429-1430 / 897 for perfect)
-    valid &= (total >= min_len) & (total <= max_len)
+    # final length filter (simulator.py:1429-1430 / 897 for perfect).  The
+    # -hp path must NOT re-filter on the post-resize total: the reference's
+    # min/max check runs on error_list's pre-mutation total only
+    # (simulator.py:1367-1368) and mutate_homo never re-checks — that filter
+    # already ran above on total0.
+    if kmer_bias is None:
+        valid &= (total >= min_len) & (total <= max_len)
     if not perfect:
         cap_over |= total > l_out
         valid &= ~cap_over

@@ -916,6 +916,7 @@ class PipelinedFetcher:
         pack_ev = out.read.shape[1] < (1 << 16)
         _decode_wide(d, wide, lt, k if self.with_events else 0, lp,
                      self.fastq, self.pack_reads, pack_ev)
+        d["slots"] = getattr(h, "slots", None)
         return d
 
 

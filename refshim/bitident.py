@@ -352,6 +352,108 @@ def _push_qual_pools(feed, r, mid, keys, rpos, eff):
     feed.push("quals", pool_list("match", match_total))
 
 
+# --- host walk replay + -hp suppression (numpy twins of the device) ---------
+
+
+def make_walk_tables_np(profile):
+    """Numpy copies of the exact-breakpoint walk tables (same arrays the
+    device and the C++ replay use)."""
+    from nanosim_tpu.ops import tables as dev_tables
+    from nanosim_tpu.profiles.ecdf import exact_breakpoints
+
+    def ecdf_np(t):
+        breaks, vals, n_bk = exact_breakpoints(t)
+        return dict(bin_lo=np.asarray(t.bin_lo, np.int64), breaks=breaks,
+                    vals=vals, n_bk=n_bk)
+
+    p = profile.mix_params
+    mix = np.stack([
+        dev_tables._pois_geom_cdf(p.mis[0], p.mis[2], p.mis[3], 1024),
+        dev_tables._wei_geom_cdf(p.ins[0], p.ins[1], p.ins[2], p.ins[3], 1024),
+        dev_tables._wei_geom_cdf(p.dele[0], p.dele[1], p.dele[2], p.dele[3], 1024),
+    ]).astype(np.float32)
+    trans = np.cumsum(profile.trans_error, axis=1).astype(np.float32)
+    return dict(fm=ecdf_np(profile.first_match), mm=ecdf_np(profile.match_markov),
+                mix=mix, trans=trans)
+
+
+def _ecdf_invert_np(t, lane, p):
+    cnt = int((t["breaks"][lane] <= np.float32(p)).sum())
+    idx = min(max(cnt - 1, 0), int(t["n_bk"][lane]) - 1)
+    return int(t["vals"][lane, idx])
+
+
+def replay_walk_np(tables, seed, stream, slot, m_ref, e_guard=8192):
+    """Regenerate one lane's RAW walk events (pre -hp suppression), numpy
+    twin of ops/error_walk.error_walk (and the C++ replay_walk_batch).
+
+    Returns (events [(pos2x, type, len)], middle_ref, l_new)."""
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.reconstruct import bits_at, fold_in, key_root
+
+    wk = key_root(seed, stream, slot, rng.SITE_WALK)
+
+    def u3(t):
+        b = bits_at(fold_in(wk, t), np.arange(3))
+        return ((b >> np.uint32(9)) | np.uint32(0x3F800000)).view(np.float32) - np.float32(1.0)
+
+    u0 = u3(0)[0]
+    fm = _ecdf_invert_np(tables["fm"], 0, u0)
+    pm = max(fm, 2)
+    pos, mref, lnew, state = pm, int(m_ref), int(m_ref), 0
+    bin_lo = tables["mm"]["bin_lo"]
+    nb = len(bin_lo)
+    evs = []
+    t = 1
+    while pos < mref and len(evs) < e_guard:
+        ue, ul, um = u3(t)
+        etype = min(int((tables["trans"][state] <= ue).sum()), 2)
+        elen = 1 + int((tables["mix"][etype] < ul).sum())
+        is_ins = etype == 1
+        is_del = etype == 2
+        e_pos2x = 2 * pos - 1 if is_ins else 2 * pos
+        pos_after = pos + (0 if is_ins else elen)
+        over1 = max(pos_after - mref, 0)
+        lnew += (elen if is_ins else (-elen if is_del else 0)) + over1
+        if not is_ins:
+            mref = max(mref, pos_after)
+        bin_ = min(max(int((bin_lo <= pm).sum()) - 1, 0), nb - 1)
+        mstep = _ecdf_invert_np(tables["mm"], bin_, um)
+        if pm == 0 and mstep == 0:
+            mstep = 1
+        over2 = max(pos_after + mstep - mref, 0)
+        lnew += over2
+        mref = max(mref, pos_after + mstep)
+        state = etype + 1 + (3 if mstep == 0 else 0)
+        evs.append((e_pos2x, etype, elen))
+        pm = mstep
+        pos = pos_after + mstep
+        t += 1
+    return evs, mref, lnew
+
+
+def hp_suppressed_np(ref_seg: bytes, events, k: int):
+    """Which RAW events land in a >= k homopolymer run of the extracted
+    reference (numpy twin of ops/homopolymer.suppress_hp_errors; reference
+    semantics simulator.py:1920-1950).  Returns a bool list per event."""
+    import re
+
+    pattern = (
+        "A{" + str(k) + ",}|C{" + str(k) + ",}|G{" + str(k) + ",}|T{" + str(k) + ",}"
+    )
+    runs = [(m.start(), m.end()) for m in re.finditer(pattern, ref_seg.decode())]
+    out = []
+    for pos2x, t, ln in events:
+        if t == 1:
+            err_start = (pos2x + 1) // 2 - 0.5
+        else:
+            err_start = pos2x // 2
+        err_end = err_start + ln
+        hit = any(not (he <= err_start or err_end <= hs) for hs, he in runs)
+        out.append(hit)
+    return out
+
+
 def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
                       seed: int, out_dir: str, n_reads: int, fastq: bool = False):
     """Run the reference's genome pipeline fed with our stream; returns paths
@@ -415,6 +517,412 @@ def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
     finally:
         for k, v in saved.items():
             setattr(sim, k, v)
+
+
+# --- homopolymer (-hp -k) genome bit-identity --------------------------------
+
+
+def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
+                  fastq: bool) -> _Feed:
+    """Feed for simulation_aligned_genome with kmer_bias=k (and fastq).
+
+    Beyond the plain-genome feed: error_list is fed the RAW (pre-suppression)
+    events replayed host-side; mutate_read's qual pools are sized with the
+    reference's suppression adjustments and valued by BACK-MAPPING our final
+    qualities through mutate_homo's index arithmetic (retained positions show
+    their pass-1 pool value in the reference output, so the pass-1 feed value
+    is defined as our final quality at the mapped position); mutate_homo's
+    normal pools / per-base p draws / mis choices / patch pools are fed from
+    our realized run sizes (SITE_HOMOPOLYMER normals), SITE_HP_QUAL uniforms,
+    and final read bytes.
+
+    Each record: slot, head, tail, l_new (final), total, rev, chrom, pos,
+    middle_ref, read (final bytes), quals (final, fastq) and prehp (pass-1
+    mutated middle, pre-reverse).
+    """
+    import re as _re
+
+    import jax
+    import jax.numpy as jnp
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.output import effective_lens_np, event_read_positions
+    from nanosim_tpu.sim.reconstruct import key_root, uniform_at
+
+    feed = _Feed()
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.asarray(np.array([r["slot"] for r in records], np.int64))
+    sk = rng.slot_keys(base, slots)
+    n = len(records)
+    u_strand = np.asarray(rng.uniform_per_slot(sk, rng.SITE_STRAND))
+
+    # walk inputs (m_ref) replayed from the slot stream, same as genome_batch
+    from nanosim_tpu.sim.genome_mode import _kde_draw, draw_ht
+
+    # KDE mode: the aligned-region KDE draws m_ref directly (genome_batch
+    # only subtracts the remainder in median/sd mode)
+    ref_len_f = np.asarray(_kde_draw(sk, rng.SITE_REF_LENGTH, sim.tables.kde_aligned, 1))[:, 0]
+    m_ref_arr = np.clip(ref_len_f.astype(np.int64), 0, sim.l_cap)
+
+    walk_tables = make_walk_tables_np(profile)
+    raw_events = [
+        replay_walk_np(walk_tables, seed, rng.STREAM_ALIGNED, int(r["slot"]),
+                       int(m_ref_arr[i]))[0]
+        for i, r in enumerate(records)
+    ]
+    max_e = max((len(e) for e in raw_events), default=0)
+    wk = rng.site_keys(sk, rng.SITE_WALK)
+    ts = jnp.arange(max_e + 1, dtype=jnp.int32)
+    U = np.asarray(jax.vmap(
+        lambda kk: jax.vmap(lambda t: jax.random.uniform(
+            jax.random.fold_in(kk, t), (3,), dtype=jnp.float32))(ts)
+    )(wk))
+
+    pos_keys = rng.site_keys(sk, rng.SITE_POSITION)
+    upos = np.asarray(jax.vmap(
+        lambda kk: jax.vmap(lambda rr: jax.random.uniform(
+            jax.random.fold_in(kk, rr), dtype=jnp.float64))(jnp.arange(8))
+    )(pos_keys))
+    glen = genome.total_len
+    g_offsets = np.asarray(genome.offsets)
+    g_lengths = np.asarray(genome.lengths)
+
+    # our per-run size normals (device resize_homopolymers stream)
+    r_max = max(128, sim.l_cap // 32)
+    hp_keys = rng.site_keys(sk, rng.SITE_HOMOPOLYMER)
+    Z = np.asarray(jax.vmap(
+        lambda kk: jax.random.normal(kk, (r_max,), dtype=jnp.float32))(hp_keys))
+    t_hp = sim.tables
+    mu_at = np.asarray(t_hp.hp_mu_at); mu_cg = np.asarray(t_hp.hp_mu_cg)
+    sd_at = np.asarray(t_hp.hp_sd_at); sd_cg = np.asarray(t_hp.hp_sd_cg)
+    rate32 = np.float32(t_hp.hp_mis_rate)
+
+    pattern = ("A{" + str(k) + ",}|C{" + str(k) + ",}|G{" + str(k) + ",}|T{"
+               + str(k) + ",}")
+
+    for i, r in enumerate(records):
+        slot = int(r["slot"])
+        feed.push("random", u_strand[i])
+
+        evs = raw_events[i]
+        ne = len(evs)
+        feed.push("random", U[i, 0, 0])
+        for e, (p2x, t, ln) in enumerate(evs):
+            feed.push("random", U[i, e + 1, 0])
+            feed.push("mix", (t, ln))
+            feed.push("random", U[i, e + 1, 2])
+
+        # extraction
+        m_ref_final = int(r["middle_ref"])
+        for rr in range(8):
+            gpos = min(int(upos[i, rr] * (glen + 1)), glen)
+            c = int(np.searchsorted(g_offsets, gpos, side="right")) - 1
+            c = min(max(c, 0), len(g_lengths) - 1)
+            lp = gpos - int(g_offsets[c])
+            fits = lp + m_ref_final <= int(g_lengths[c])
+            feed.push("randint", gpos)
+            if fits:
+                if c != int(r["chrom"]) or lp != int(r["pos"]):
+                    raise Desync(f"slot {slot}: position replay mismatch")
+                break
+        else:
+            raise Desync(f"slot {slot}: no fitting position in 8 draws")
+
+        # suppression (on the extracted reference slice) + effective lengths
+        goff = int(g_offsets[int(r["chrom"])])
+        ref_seg = genome.flat[goff + int(r["pos"]) : goff + int(r["pos"]) + m_ref_final].tobytes()
+        supp = hp_suppressed_np(ref_seg, evs, k)
+        ev_p = np.array([e[0] for e in evs], np.int64)[None, :]
+        ev_t = np.array([e[1] for e in evs], np.int64)[None, :]
+        ev_l = np.array([e[2] for e in evs], np.int64)[None, :]
+        eff_raw = effective_lens_np(ev_p, ev_t, ev_l, np.ones((1, max(ne, 1)), bool))[0, :ne] if ne else np.zeros(0, np.int64)
+        # surviving dict events: effective AND not suppressed
+        surv_len = np.where(np.array(supp, bool), 0, eff_raw) if ne else eff_raw
+        keys_s, rpos_s, _ = event_read_positions(
+            ev_p, ev_t, surv_len[None, :] if ne else ev_l,
+            np.ones((1, max(ne, 1)), bool), dedup_ins=False,
+        ) if ne else (np.zeros((1, 1), np.int64),) * 3
+
+        # pass-1 mid (pre-resize mutated read) and its length
+        del_s = int(surv_len[(ev_t[0, :ne] == 2)].sum()) if ne else 0
+        ins_s = int(surv_len[(ev_t[0, :ne] == 1)].sum()) if ne else 0
+        pass1_lnew = m_ref_final - del_s + ins_s
+        mid1 = bytes(r["prehp"][:pass1_lnew])
+
+        # --- mutate_homo replay: runs, our sizes, final layout -------------
+        runs = [(m.start(), m.end(), m.group()[0]) for m in _re.finditer(pattern, mid1.decode())]
+        if len(runs) > r_max:
+            raise Desync(f"slot {slot}: {len(runs)} runs > r_max")
+        sizes = []
+        for ridx, (s0, e0, letter) in enumerate(runs):
+            m_run = e0 - s0
+            mf = np.float32(m_run)
+            if letter in "AT":
+                mu = np.float32(mu_at[0]) + np.float32(mu_at[1]) * mf + np.float32(mu_at[2]) * max(mf - np.float32(mu_at[3]), np.float32(0.0))
+                sd = np.float32(sd_at[0]) + np.float32(sd_at[1]) * mf
+            else:
+                mu = np.float32(mu_cg[0]) + np.float32(mu_cg[1]) * mf + np.float32(mu_cg[2]) * max(mf - np.float32(mu_cg[3]), np.float32(0.0))
+                sd = np.float32(sd_cg[0]) + np.float32(sd_cg[1]) * mf
+            val = np.float32(mu + sd * np.float32(Z[i, ridx]))
+            nsz = int(np.round(np.maximum(val, np.float32(0.0))))
+            nsz = min(nsz, sim.l_cap // 2)
+            sizes.append(nsz)
+
+        final_lnew = int(r["l_new"])
+        if pass1_lnew + sum(nsz - (e0 - s0) for (s0, e0, _), nsz in zip(runs, sizes)) != final_lnew:
+            raise Desync(f"slot {slot}: resize length replay mismatch")
+
+        pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
+        head, total = int(r["head"]), int(r["total"])
+        mid_final = pre[head : head + final_lnew]
+        if fastq:
+            q = r["quals"]
+            preq = bytes(q[::-1]) if r["rev"] else bytes(q)
+            midq_final = [int(x) - 33 for x in preq[head : head + final_lnew]]
+
+        # final start of each run + back-map pass-1 -> final positions
+        s_fin = []
+        change = 0
+        for (s0, e0, _), nsz in zip(runs, sizes):
+            s_fin.append(s0 + change)
+            change += nsz - (e0 - s0)
+
+        if fastq:
+            pass1q = [1] * pass1_lnew
+            run_ptr = 0
+            change = 0
+            p = 0
+            while p < pass1_lnew:
+                if run_ptr < len(runs) and p == runs[run_ptr][0]:
+                    s0, e0, _ = runs[run_ptr]
+                    nsz = sizes[run_ptr]
+                    m_run = e0 - s0
+                    diff = nsz - m_run
+                    if diff < 0:
+                        # reference pops the FIRST -diff pass-1 entries of the
+                        # run; retained pass-1 p in [s0-diff, e0) -> final
+                        # s_fin + (p - s0 + diff)
+                        for pp in range(s0 - diff, e0):
+                            pass1q[pp] = midq_final[s_fin[run_ptr] + (pp - s0 + diff)]
+                    else:
+                        for pp in range(s0, e0):
+                            pass1q[pp] = midq_final[s_fin[run_ptr] + (pp - s0)]
+                    p = e0
+                    run_ptr += 1
+                else:
+                    # non-run position: shifts by the cumulative change of
+                    # preceding runs
+                    cshift = sum(sizes[j] - (runs[j][1] - runs[j][0])
+                                 for j in range(run_ptr))
+                    pass1q[p] = midq_final[p + cshift]
+                    p += 1
+
+            # mutate_read pools with the reference's suppression adjustments
+            _push_qual_pools_hp(feed, slot, evs, eff_raw, supp, surv_len,
+                                keys_s[0], rpos_s[0], int(m_ref_arr[i]),
+                                m_ref_final, pass1_lnew, pass1q)
+
+        # mutate_read choices: surviving events, reverse order, pass-1 bases
+        if ne:
+            order = np.argsort(-ev_p[0, :ne], kind="stable")
+            for e in order:
+                t = int(ev_t[0, e])
+                ln = int(surv_len[e])
+                if t == 2 or ln == 0:
+                    continue
+                rp = int(rpos_s[0][e])
+                for j in range(ln):
+                    feed.push("choice", chr(mid1[rp + j]))
+
+        # --- mutate_homo feeds ---------------------------------------------
+        # normal pools: lengths in first-appearance order, letters A,T,C,G;
+        # reference pops from the END, so arrays are reverse processing order
+        groups = {}
+        for (s0, e0, letter), nsz in zip(runs, sizes):
+            groups.setdefault(e0 - s0, {}).setdefault(letter, []).append(nsz)
+        for length in groups:
+            for letter in "ATCG":
+                if letter in groups[length]:
+                    feed.push("normal", [float(x) for x in reversed(groups[length][letter])])
+
+        qk = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HP_QUAL)
+        for ridx, ((s0, e0, letter), nsz) in enumerate(zip(runs, sizes)):
+            m_run = e0 - s0
+            sfin = s_fin[ridx]
+            mis_pos = []
+            if nsz:
+                u_p = uniform_at(qk, np.arange(sfin, sfin + nsz))
+            for j in range(nsz):
+                u_j = np.float32(u_p[j])
+                feed.push("random", float(u_j))
+                if 0.0 < u_j <= rate32:
+                    mis_pos.append(j)
+                    feed.push("choice", chr(mid_final[sfin + j]))
+            if fastq:
+                diff = nsz - m_run
+                if diff > 0:
+                    feed.push("quals", [midq_final[sfin + m_run + j] for j in range(diff)])
+                if mis_pos:
+                    feed.push("quals", [midq_final[sfin + mis_pos[0]]])
+
+        if fastq:
+            ht = [int(x) - 33 for x in preq[:head] + preq[head + final_lnew : total]]
+            feed.push("quals", ht)
+        feed.push("npchoice", pre[:head].decode())
+        feed.push("npchoice", pre[head + final_lnew : total].decode())
+    return feed
+
+
+def _push_qual_pools_hp(feed, slot, evs, eff_raw, supp, surv_len, keys_s,
+                        rpos_s, m_ref_init, middle_f, pass1_lnew, pass1q):
+    """mutate_read qual pools under -hp: totals carry the reference's
+    suppression adjustments (simulator.py:1936-1943); pops run over the
+    SURVIVING events with pass-1 values."""
+    ne = len(evs)
+    typ = np.array([e[1] for e in evs], np.int64)
+    raw = np.array([e[2] for e in evs], np.int64)
+    mis_raw = int(raw[typ == 0].sum())
+    ins_raw = int(raw[typ == 1].sum())
+    del_raw = int(raw[typ == 2].sum())
+    if ne:
+        p0, t0, _ = evs[0]
+        first = p0 // 2 if t0 != 1 else (p0 + 1) // 2
+    else:
+        first = middle_f
+    match_total = min(first, m_ref_init) + (middle_f - first - mis_raw - del_raw)
+
+    # suppression adjustments apply to DICT (effective) events only
+    supp_eff = [(bool(supp[e]) and int(eff_raw[e]) > 0) for e in range(ne)]
+    mis_total = mis_raw - sum(int(eff_raw[e]) for e in range(ne) if supp_eff[e] and typ[e] == 0)
+    ins_total = ins_raw - sum(int(eff_raw[e]) for e in range(ne) if supp_eff[e] and typ[e] == 1)
+    match_total += sum(int(eff_raw[e]) for e in range(ne) if supp_eff[e] and typ[e] != 1)
+
+    pops = {"mis": [], "ins": [], "match": []}
+    s = 0
+
+    def pop(pool):
+        nonlocal s
+        pops[pool].append(pass1q[pass1_lnew - 1 - s])
+        s += 1
+
+    prev = middle_f
+    if ne:
+        ev_p = np.array([e[0] for e in evs], np.int64)
+        order = np.argsort(-ev_p, kind="stable")
+        for e in order:
+            t = int(typ[e])
+            ln = int(surv_len[e])
+            key = int(keys_s[e])
+            err_end = key + ln if t != 1 else key
+            err_quals_n = ln if t in (0, 1) else 0
+            for _ in range(max(prev - err_end, 0)):
+                pop("match")
+            for _ in range(err_quals_n):
+                pop("mis" if t == 0 else "ins")
+            prev = key
+    while s < pass1_lnew and len(pops["match"]) < match_total:
+        pop("match")
+    if s != pass1_lnew:
+        raise Desync(f"slot {slot}: hp qual pop simulation used {s} of {pass1_lnew}")
+
+    def pool_list(name, total):
+        vals = pops[name]
+        if len(vals) > total:
+            raise Desync(f"slot {slot}: {name} pool popped {len(vals)} > {total}")
+        return [1] * (total - len(vals)) + vals[::-1]
+
+    feed.push("quals", pool_list("mis", mis_total))
+    feed.push("quals", pool_list("ins", ins_total))
+    feed.push("quals", pool_list("match", match_total))
+
+
+def run_reference_fed_hp(model_prefix: str, ref_fa: str, records, profile,
+                         genome, seed: int, out_dir: str, n_reads: int,
+                         sim, k: int, fastq: bool = True):
+    """Run the reference's genome pipeline with kmer_bias=k fed with our
+    stream; returns (reads_file, error_file)."""
+    ref_sim = import_reference_simulator()
+    feed = build_hp_feed(records, profile, genome, seed, sim, k, fastq)
+
+    import multiprocessing as mp
+
+    saved = {kk: getattr(ref_sim, kk, None) for kk in
+             ("random", "np", "mm", "get_length_kde", "get_lengths_and_ht_ratios",
+              "model_base_quals", "hp_mis_rate")}
+    try:
+        ref_sim.read_profile(ref_fa, [n_reads], model_prefix, False, "genome", None,
+                             fastq=fastq, homopolymer=True)
+        for state, d in ref_sim.trans_error_pr.items():
+            items = sorted(d.items())
+            widths = [float(kk[1]) - float(kk[0]) for kk, _ in items]
+            bounds = np.cumsum(np.asarray(widths, np.float64)).astype(np.float32)
+            newd = {}
+            prev = 0.0
+            for idx, ((kk, v), b) in enumerate(zip(items, bounds)):
+                hi = 2.0 if idx == len(items) - 1 else float(b)
+                newd[(prev, hi)] = v
+                prev = float(b)
+            ref_sim.trans_error_pr[state] = newd
+        ref_sim.strandness_rate = float(np.float32(ref_sim.strandness_rate))
+        # our in-run mismatch compare runs in f32; quantize the reference's
+        # threshold the same way so boundary draws classify identically
+        ref_sim.hp_mis_rate = float(np.float32(ref_sim.hp_mis_rate))
+
+        lengths = np.asarray([float(m) for m in _hp_m_refs(records, profile, sim, seed)])
+        remainders = np.asarray([float(r["head"] + r["tail"]) for r in records])
+        ratios = np.asarray([
+            (r["head"] / (r["head"] + r["tail"])) if (r["head"] + r["tail"]) else 0.5
+            for r in records
+        ])
+
+        class _NpHpProxy(_NpProxy):
+            def __init__(self, feed):
+                super().__init__(feed)
+
+                class _R(_NpRandomProxy):
+                    def normal(self, mu, sigma, size=None):
+                        v = self._feed.pop("normal")
+                        if size is not None and len(v) != size:
+                            raise Desync(f"normal size {size} fed {len(v)}")
+                        return np.asarray(v, np.float64)
+
+                self.random = _R(feed)
+
+        ref_sim.random = _RandomProxy(feed)
+        ref_sim.np = _NpHpProxy(feed)
+        ref_sim.mm = _MixProxy(feed)
+        if fastq:
+            ref_sim.model_base_quals = _QualsProxy(feed)
+        ref_sim.get_length_kde = lambda kde, num, log=False, flatten=True: lengths
+        ref_sim.get_lengths_and_ht_ratios = lambda nn: (list(remainders), list(ratios))
+        ref_sim.total_simulated = mp.Value("i", 0)
+
+        out_reads = os.path.join(
+            out_dir, "ref_hp_aligned_reads." + ("fastq" if fastq else "fasta"))
+        out_error = os.path.join(out_dir, "ref_hp_error_profile")
+        ref_sim.simulation_aligned_genome(
+            "linear", 50, float("inf"), None, None, out_reads, out_error,
+            k, fastq, len(records),
+        )
+        if feed.pos != len(feed.q):
+            raise Desync(f"feed not fully consumed: {feed.pos}/{len(feed.q)}")
+        return out_reads, out_error
+    finally:
+        for kk, v in saved.items():
+            setattr(ref_sim, kk, v)
+
+
+def _hp_m_refs(records, profile, sim, seed):
+    import jax.numpy as jnp
+
+    from nanosim_tpu.ops import rng
+    from nanosim_tpu.sim.genome_mode import _kde_draw, draw_ht
+
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.asarray(np.array([r["slot"] for r in records], np.int64))
+    sk = rng.slot_keys(base, slots)
+    ref_len_f = np.asarray(_kde_draw(sk, rng.SITE_REF_LENGTH, sim.tables.kde_aligned, 1))[:, 0]
+    return np.clip(ref_len_f.astype(np.int64), 0, sim.l_cap)
 
 
 # --- chimeric genome bit-identity ------------------------------------------
