@@ -201,25 +201,19 @@ def ir_walk_and_extract(sk, trx, middle_ref, trx_len, t: IRTables, genome: extra
     # via cummax over (position-tagged) values.
     base_val = g_start - taken_start.astype(jnp.int64)  # gpos = j + base_val
     scatter_pos = jnp.where(has_take, taken_start.astype(jnp.int32), l_cap)
-    # tag: later intervals have larger read starts; build [B, l_cap] of the
-    # base_val active at each j via scatter + segmented forward fill
-    tagged = jnp.full((B, l_cap + 1), jnp.int64(-(2**62)))
-    tagged = tagged.at[b_idx, jnp.clip(scatter_pos, 0, l_cap)].max(
-        jnp.where(has_take, base_val * (2**20) + jnp.minimum(taken_start, 2**19), -(2**62))
-    )
-    # forward fill by cummax is wrong for decreasing base_val; instead use
-    # (taken_start-major) tagging: tag = taken_start * 2^44 + (base_val
-    # offset) so later intervals always win the running max
-    offset_bias = jnp.int64(2**42)  # base_val can be negative (starts - read pos)
-    tag = (taken_start.astype(jnp.int64) << jnp.int64(21)) * (2**21) + (
-        base_val + offset_bias
-    )
+    # Active interval per read position via scatter + running-max forward
+    # fill.  Tag layout: taken_start in the high bits (later intervals always
+    # win the cummax) | base_val + 2^42 in a 43-bit low field — base_val is
+    # bounded by the genome size (|base_val| << 2^41), so the low field stays
+    # inside its 43 bits and cannot bleed into taken_start.
+    offset_bias = jnp.int64(1) << jnp.int64(42)
+    tag = (taken_start.astype(jnp.int64) << jnp.int64(43)) + (base_val + offset_bias)
     tagged = jnp.full((B, l_cap + 1), jnp.int64(-1))
     tagged = tagged.at[b_idx, jnp.clip(scatter_pos, 0, l_cap)].max(
         jnp.where(has_take, tag, -1)
     )
     filled = jax.lax.cummax(tagged[:, :l_cap], axis=1)
-    base_at_j = (filled & jnp.int64((1 << 42) - 1)) - offset_bias
+    base_at_j = (filled & ((jnp.int64(1) << jnp.int64(43)) - 1)) - offset_bias
     gpos = j.astype(jnp.int64) + base_at_j
 
     chrom0 = t.chrom[base_off]  # transcripts live on one chromosome

@@ -1241,15 +1241,18 @@ def run_reference_fed_chimeric(model_prefix: str, ref_fa: str, records, profile,
 # --- transcriptome (non-IR) bit-identity -----------------------------------
 
 
-def build_trx_feed(records, profile, transcriptome, seed: int) -> _Feed:
-    """Feed for simulation_aligned_transcriptome(model_ir=False)
-    (simulator.py:1043-1263): per accepted read — transcript choice, 2D-KDE
-    aligned length (select_nearest_kde2d patched), strand, error walk,
-    extraction randint, polyA length, mutation choices, head/tail strings.
+def build_trx_feed(records, profile, transcriptome, seed: int,
+                   sim=None, model_ir: bool = False) -> _Feed:
+    """Feed for simulation_aligned_transcriptome (simulator.py:1043-1263):
+    per accepted read — transcript choice, 2D-KDE aligned length
+    (select_nearest_kde2d patched), strand, error walk, [model_ir: per-intron
+    retention draws + the IR-aware start randint], extraction randint, polyA
+    length, mutation choices, head/tail strings.
 
     Each record: slot, trx_name, trx_len, m_ref (2D-KDE aligned draw),
     middle_ref, l_new, pos, head, tail, polya_len, total, rev, read (final
-    bytes, uracil already reverted), n_events, ev_pos2x/ev_type/ev_len.
+    bytes, uracil already reverted), n_events, ev_pos2x/ev_type/ev_len
+    (+ has_ir under model_ir).
     """
     import jax
     import jax.numpy as jnp
@@ -1271,6 +1274,27 @@ def build_trx_feed(records, profile, transcriptome, seed: int) -> _Feed:
             jax.random.fold_in(k, t), (3,), dtype=jnp.float32))(ts)
     )(wk))
 
+    if model_ir:
+        # IR walk draws: per-feature f32 uniform at counter f of SITE_IR,
+        # one f64 uniform at counter F+1 for the start position (sim/ir.py)
+        irt = sim.ir_tables
+        F = irt.f_max
+        feat_off = np.asarray(irt.feat_offset)
+        is_int = np.asarray(irt.is_intron)
+        f_len = np.asarray(irt.length)
+        n_feats = np.asarray(irt.n_feats)
+        ir_cum = np.asarray(irt.ir_cum)  # [3] f32, P(no_IR | state)
+        trx_idx = {nm: ti for ti, nm in enumerate(transcriptome.names)}
+        irk = rng.site_keys(sk, rng.SITE_IR)
+        U_ir = np.asarray(jax.vmap(
+            lambda k: jax.vmap(lambda f: jax.random.uniform(
+                jax.random.fold_in(k, f), dtype=jnp.float32))(jnp.arange(F))
+        )(irk))
+        U_irpos = np.asarray(jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, F + 1),
+                                         dtype=jnp.float64)
+        )(irk))
+
     for i, r in enumerate(records):
         feed.push("trxchoice", (r["trx_name"], int(r["trx_len"])))
         feed.push("aligned2d", int(r["m_ref"]))
@@ -1283,7 +1307,39 @@ def build_trx_feed(records, profile, transcriptome, seed: int) -> _Feed:
             feed.push("mix", (int(r["ev_type"][e]), int(r["ev_len"][e])))
             feed.push("random", U[i, e + 1, 2])
 
-        feed.push("randint", int(r["pos"]))
+        if model_ir:
+            # replay the retention chain (update_structure, simulator.py:
+            # 114-145): states 0=start 1=no_IR 2=IR, IR iff u >= cum[state]
+            ti = trx_idx[r["trx_name"]]
+            b0, nf = int(feat_off[ti]), int(n_feats[ti])
+            state = 0
+            retained = []
+            for f in range(nf):
+                if not is_int[b0 + f]:
+                    continue
+                u = np.float32(U_ir[i, f])
+                feed.push("random", float(u))
+                goes = bool(u >= ir_cum[state])
+                retained.append((f, goes))
+                state = 2 if goes else 1
+            ir_flag = any(g for _, g in retained)
+            if bool(r["has_ir"]) != ir_flag:
+                raise Desync(f"slot {r['slot']}: IR flag replay mismatch")
+            if ir_flag:
+                # exonic length before the first retained intron; start
+                # randint bounded by it (extract_read_pos, simulator.py:162)
+                first_ret = next(f for f, g in retained if g)
+                len_before = sum(
+                    int(f_len[b0 + f]) for f in range(first_ret)
+                    if not is_int[b0 + f]
+                )
+                hi = max(min(int(r["trx_len"]) - int(r["middle_ref"]), len_before), 0)
+                start = min(int(U_irpos[i] * (hi + 1)), hi)
+                feed.push("randint", start)
+            else:
+                feed.push("randint", int(r["pos"]))
+        else:
+            feed.push("randint", int(r["pos"]))
 
         if int(r["polya_len"]) > 0 or r.get("retain_polya"):
             feed.push("polya", float(r["polya_len"]))
@@ -1331,11 +1387,15 @@ def run_reference_fed_transcriptome(model_prefix: str, ref_t: str, exp_path: str
                                     polya_path, records, profile, transcriptome,
                                     seed: int, out_dir: str, n_reads: int,
                                     basecaller: str = "guppy",
-                                    uracil: bool = False):
-    """Run the reference's transcriptome pipeline (model_ir=False) fed with
-    our stream; returns (reads_file, error_file)."""
+                                    uracil: bool = False,
+                                    model_ir: bool = False,
+                                    ref_g: str = "", our_sim=None):
+    """Run the reference's transcriptome pipeline fed with our stream;
+    returns (reads_file, error_file).  model_ir=True additionally feeds the
+    intron-retention walk and IR-aware extraction (needs ref_g and our_sim)."""
     sim = import_reference_simulator()
-    feed = build_trx_feed(records, profile, transcriptome, seed)
+    feed = build_trx_feed(records, profile, transcriptome, seed,
+                          sim=our_sim, model_ir=model_ir)
 
     import multiprocessing as mp
 
@@ -1343,9 +1403,17 @@ def run_reference_fed_transcriptome(model_prefix: str, ref_t: str, exp_path: str
              ("random", "np", "mm", "get_length_kde", "select_nearest_kde2d",
               "scipy")}
     try:
-        sim.read_profile("", [n_reads], model_prefix, False, "transcriptome",
+        sim.read_profile(ref_g, [n_reads], model_prefix, False, "transcriptome",
                          None, ref_t=ref_t, polya=polya_path, exp=exp_path,
-                         model_ir=False, fastq=False)
+                         model_ir=model_ir, fastq=False)
+        if model_ir:
+            # quantize the IR transition boundaries to our f32 cumulative
+            # P(no_IR | state) so boundary draws classify identically
+            cum = np.asarray(our_sim.ir_tables.ir_cum)
+            state_idx = {"start": 0, "no_IR": 1, "IR": 2}
+            for st in list(sim.IR_markov_model.keys()):
+                c = float(cum[state_idx[st]])
+                sim.IR_markov_model[st] = {(0.0, c): "no_IR", (c, 2.0): "IR"}
         for state, d in sim.trans_error_pr.items():
             items = sorted(d.items())
             widths = [float(k[1]) - float(k[0]) for k, _ in items]
@@ -1390,7 +1458,7 @@ def run_reference_fed_transcriptome(model_prefix: str, ref_t: str, exp_path: str
         out_reads = os.path.join(out_dir, "ref_trx_aligned_reads.fasta")
         out_error = os.path.join(out_dir, "ref_trx_error_profile")
         sim.simulation_aligned_transcriptome(
-            False, out_reads, out_error, None, basecaller, len(records),
+            model_ir, out_reads, out_error, None, basecaller, len(records),
             True if polya_path else False, False, per=False, uracil=uracil,
         )
         if feed.pos != len(feed.q):

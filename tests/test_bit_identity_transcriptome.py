@@ -1,10 +1,8 @@
-"""Transcriptome bit-identity vs the reference (non-IR family:
-expression-weighted transcript choice, 2D-KDE aligned lengths, polyA tails;
-simulator.py:1043-1263).
-
-The IR path remains distribution-gated (tests/test_vs_reference_configs);
-this proves the cDNA/polyA family byte-for-byte.
-"""
+"""Transcriptome bit-identity vs the reference: the non-IR family
+(expression-weighted transcript choice, 2D-KDE aligned lengths, polyA
+tails; simulator.py:1043-1263) AND the intron-retention path (per-intron
+Markov walk + genome-interval extraction; simulator.py:114-191,
+1156-1181)."""
 
 import os
 import sys
@@ -145,3 +143,80 @@ def test_bit_identity_transcriptome_cdna_polya(setup):
 
 def test_bit_identity_transcriptome_uracil(setup):
     _run(setup, uracil=True, seed=29, n=100, tag="drna")
+
+
+class RecordingIrWriter(RecordingTrxWriter):
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int,
+                    lanes=None, start=None) -> int:
+        first = len(self.records)
+        got = super().write_batch(sim, out, accepted_so_far, quota,
+                                  lanes=lanes, start=start)
+        has_ir = np.asarray(out.has_ir)
+        valid = np.asarray(out.valid)
+        sel = np.nonzero(valid)[0][: quota - accepted_so_far]
+        for rank, b in enumerate(sel):
+            self.records[first + rank]["has_ir"] = bool(has_ir[b])
+        return got
+
+
+def test_bit_identity_transcriptome_cdna_ir(tmp_path_factory):
+    """8th bit-identity config (VERDICT r3 item 4): cDNA with model_ir=True —
+    the per-intron retention walk, the retained-intron-covering start draw,
+    and exon/retained-intron genome-interval extraction, byte-equal."""
+    d = tmp_path_factory.mktemp("bitir")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=150,
+                            transcriptome=True, mean_2d_ref_len=1200)
+    genome_fa, trx_fa, gff, trxs = fixtures.make_ir_fixture(str(d), n_transcripts=14, seed=7)
+    from nanosim_tpu.profiles import error_model
+
+    error_model.write_ir_markov(
+        prefix + "_IR_markov_model", np.array([[0.55, 0.45], [0.5, 0.5], [0.35, 0.65]])
+    )
+    exp = str(d / "exp.tsv")
+    fixtures.make_expression_tsv(exp, trxs, seed=8)
+    polya = str(d / "polya.txt")
+    with open(polya, "w") as f:
+        for name, _ in trxs[:7]:
+            f.write(name + "\n")
+
+    trx = PackedGenome.from_fasta(trx_fa)
+    seq_len = dict(zip(trx.names, (int(x) for x in trx.lengths)))
+    prof = profile.load_profile(prefix, mode="transcriptome", model_ir=True,
+                                polya_path=polya)
+    expression = profile.load_expression(exp, seq_len)
+    sim = TranscriptomeSimulator(
+        trx, prof, expression, model_ir=True,
+        ir_genome=PackedGenome.from_fasta(genome_fa), batch=64,
+        polya_scale=4.168299657168961,
+    )
+    n, seed = 120, 11
+    ours_reads = str(d / "ours_ir.fasta")
+    ours_err = str(d / "ours_ir.err")
+    fw = out_mod.FastxWriter(ours_reads, False)
+    el = out_mod.ErrorLogWriter(ours_err)
+    w = RecordingIrWriter(fw, el, batch=64)
+    got = sim.run(n, w, seed=seed)
+    fw.close()
+    el.close()
+    assert got == n and len(w.records) == n
+    n_ir = sum(1 for r in w.records if r["has_ir"])
+    assert n_ir >= 15, f"only {n_ir} IR reads"
+    assert any(b"RetainedIntron" in open(ours_reads, "rb").read().splitlines()[i]
+               for i in range(0, 2 * n, 2))
+
+    from refshim.bitident import run_reference_fed_transcriptome
+
+    ref_reads, ref_err = run_reference_fed_transcriptome(
+        prefix, trx_fa, exp, polya, w.records, prof, trx, seed, str(d), n,
+        basecaller="guppy", model_ir=True, ref_g=genome_fa, our_sim=sim,
+    )
+    ours_b = open(ours_reads, "rb").read()
+    ref_b = open(ref_reads, "rb").read()
+    if ours_b != ref_b:
+        a = ours_b.split(b">")
+        r = ref_b.split(b">")
+        for i, (x, y) in enumerate(zip(a, r)):
+            assert x == y, f"record {i} differs:\nOURS: {x[:300]}\nREF : {y[:300]}"
+        assert len(a) == len(r)
+    assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
