@@ -49,10 +49,12 @@ def get_lib():
             lib.emit_chimeric_batch.restype = ctypes.c_int64
             lib.emit_batch_flat.restype = ctypes.c_int64
             lib.replay_walk_batch.restype = ctypes.c_int64
-            try:
-                lib.emit_batch_recon.restype = ctypes.c_int64
-            except AttributeError:
-                pass  # stale .so without the reconstruction entry
+            for name in ("emit_batch_recon", "replay_unaligned_walk_batch",
+                         "emit_batch_recon_unaligned"):
+                try:
+                    getattr(lib, name).restype = ctypes.c_int64
+                except AttributeError:
+                    pass  # stale .so without this entry
             _lib = lib
     return _lib
 
@@ -125,6 +127,56 @@ class WalkReplayer:
             ctypes.c_int64(mm[4]), ctypes.c_int64(mm[5]),
             _ptr(self.mix, ctypes.c_float), ctypes.c_int64(self.mix_n),
             _ptr(self.trans, ctypes.c_float),
+            _ptr(ev_out, ctypes.c_uint32),
+            _ptr(np.ascontiguousarray(ev_off, np.int64), ctypes.c_int64),
+            ctypes.c_int64(self.e_guard),
+            _ptr(ok, ctypes.c_uint8),
+            ctypes.c_int32(min(4, os.cpu_count() or 1)),
+        )
+        return ok.astype(bool)
+
+
+class UnalignedWalkReplayer:
+    """Host-side replay of the UNALIGNED error walk (C++): per-step
+    fixed-probability type draws + mixture lengths, verified against the
+    device's per-lane checksum.  Same .replay() interface as WalkReplayer so
+    CompactFetcher can use either."""
+
+    def __init__(self, profile, seed: int, stream: int, site_walk: int, e_guard: int):
+        from ..ops import tables as dev_tables
+
+        self.lib = get_lib()
+        if self.lib is not None and not hasattr(self.lib, "replay_unaligned_walk_batch"):
+            self.lib = None
+        self.seed = seed
+        self.stream = stream
+        self.site_walk = site_walk
+        self.e_guard = e_guard
+        p = profile.mix_params
+        n_max = 1024
+        self.mix = np.ascontiguousarray(np.stack([
+            dev_tables._pois_geom_cdf(p.mis[0], p.mis[2], p.mis[3], n_max),
+            dev_tables._wei_geom_cdf(p.ins[0], p.ins[1], p.ins[2], p.ins[3], n_max),
+            dev_tables._wei_geom_cdf(p.dele[0], p.dele[1], p.dele[2], p.dele[3], n_max),
+        ]), np.float32)
+        self.mix_n = n_max
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def replay(self, slots, lane_do, m_ref, n_steps, checksums, ev_out, ev_off):
+        B = len(slots)
+        ok = np.zeros(B, np.uint8)
+        self.lib.replay_unaligned_walk_batch(
+            ctypes.c_int64(self.seed), ctypes.c_int64(self.stream),
+            ctypes.c_int64(self.site_walk), ctypes.c_int64(B),
+            _ptr(np.ascontiguousarray(slots, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(lane_do, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(m_ref, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(n_steps, np.int64), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(checksums, np.uint32), ctypes.c_uint32),
+            _ptr(self.mix, ctypes.c_float), ctypes.c_int64(self.mix_n),
             _ptr(ev_out, ctypes.c_uint32),
             _ptr(np.ascontiguousarray(ev_off, np.int64), ctypes.c_int64),
             ctypes.c_int64(self.e_guard),
@@ -472,6 +524,82 @@ class NativeEmitter:
             memoryview(self._fastx_buf)[: fw.value],
             memoryview(self._err_buf)[: ew.value],
         )
+
+    def emit_recon_unaligned(
+        self,
+        cb,  # meta-only CompactBatch (reads_flat None; ev_flat replayed)
+        lanes: np.ndarray,
+        names: list,
+        g_off: np.ndarray,  # [k] chromosome byte offsets
+        genome_flat: np.ndarray,
+        fastq: bool,
+        n_threads: int = 0,
+        qual_table=None,
+    ):
+        """Reconstruct + format unaligned reads (presentation-space edit
+        semantics; sim/reconstruct.reconstruct_unaligned_lane is the spec)."""
+        from ..ops import rng as rng_mod
+
+        seed, stream, _ = cb.recon
+        k = len(lanes)
+        names_packed, name_off, _ = self._pack_names(names)
+        lanes = np.ascontiguousarray(lanes, np.int64)
+
+        l_new = np.ascontiguousarray(cb.l_new[lanes], np.int64)
+        middle = np.ascontiguousarray(cb.middle_ref[lanes], np.int64)
+        rev = np.ascontiguousarray(cb.rev[lanes], np.uint8)
+        slots = np.ascontiguousarray(np.asarray(cb.slots)[lanes], np.int64)
+        n_steps = np.ascontiguousarray(cb.n_events[lanes], np.int64)
+        ev_off = np.ascontiguousarray(cb.ev_off[lanes], np.int64)
+        start_pos = np.ascontiguousarray(cb.pos[lanes], np.int64)
+
+        if fastq:
+            assert qual_table is not None
+            q_breaks = np.ascontiguousarray(qual_table[0], np.float32)
+            q_vals = np.ascontiguousarray(qual_table[1], np.int32)
+            qK = q_breaks.shape[1]
+        else:
+            q_breaks = np.zeros((5, 1), np.float32)
+            q_vals = np.zeros((5, 1), np.int32)
+            qK = 1
+
+        name_lens = np.diff(name_off)
+        ubf = np.zeros(k + 1, np.int64)
+        ubf[1:] = np.cumsum(name_lens + l_new * (2 if fastq else 1) + 16)
+        if self._fastx_buf.size < ubf[k]:
+            self._fastx_buf = np.empty(int(ubf[k] * 1.3) + 64, np.uint8)
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+
+        fw = ctypes.c_int64(0)
+        rc = self.lib.emit_batch_recon_unaligned(
+            ctypes.c_int64(seed), ctypes.c_int64(stream),
+            ctypes.c_int64(rng_mod.SITE_IUPAC), ctypes.c_int64(rng_mod.SITE_INS_BASE),
+            ctypes.c_int64(rng_mod.SITE_QUAL), ctypes.c_int64(k),
+            _ptr(slots, ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(name_off, ctypes.c_int64),
+            _ptr(l_new, ctypes.c_int64),
+            _ptr(middle, ctypes.c_int64),
+            _ptr(rev, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(cb.ev_flat), ctypes.c_uint32),
+            _ptr(ev_off, ctypes.c_int64),
+            _ptr(n_steps, ctypes.c_int64),
+            _ptr(genome_flat, ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(g_off, np.int64), ctypes.c_int64),
+            _ptr(start_pos, ctypes.c_int64),
+            _ptr(ubf, ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.byref(fw),
+            ctypes.c_int32(1 if fastq else 0),
+            _ptr(q_breaks, ctypes.c_float),
+            _ptr(q_vals, ctypes.c_int32),
+            ctypes.c_int64(qK),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"emit_batch_recon_unaligned failed rc={rc}")
+        return memoryview(self._fastx_buf)[: fw.value]
 
     def _pack_names(self, names):
         k = len(names)

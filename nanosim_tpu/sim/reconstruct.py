@@ -237,6 +237,113 @@ def reconstruct_lane(
     return read, q + np.uint8(33)
 
 
+def reconstruct_unaligned_lane(
+    genome_flat: np.ndarray,
+    g_off: int,
+    spos: int,
+    steps,  # (pos2x, type, len) per-STEP arrays (matches carry len 0)
+    middle_ref: int,
+    l_new: int,
+    rev: bool,
+    keys,  # dict with 'iupac', 'ins' (+ 'qual' for FASTQ) key_root outputs
+    qual_table=None,
+):
+    """Unaligned-read bytes from the step stream, byte-identical to
+    unaligned_batch's device path (build_unaligned_map + materialize_read).
+
+    The reference keys unaligned insertions at pos + 0.1, so a same-pos
+    mis/del acts on contiguous POST-insertion presentation positions; this
+    builds the presentation flags exactly like build_unaligned_map and
+    compresses deletions out.  With qual_table, returns (read, quals) —
+    every position unmapped-class, NOT strand-flipped (matching the device).
+    """
+    st_pos2x, st_type, st_len = steps
+    ns = len(st_pos2x)
+    tot_ins = int(sum(l for t, l in zip(st_type, st_len) if t == 1 and l))
+    P = middle_ref + tot_ins
+    F_DEAD, F_INS, F_MIS = 1, 2, 4
+    flags = np.zeros(P, np.uint8)
+    prior_ins = k_same = 0
+    for e in range(ns):
+        t, ln = int(st_type[e]), int(st_len[e])
+        pos = int(st_pos2x[e]) >> 1
+        if ln == 0:
+            k_same = 0
+            continue
+        if t == 1:
+            ps = pos + prior_ins + 1
+            flags[ps : min(ps + ln, P)] |= F_INS
+            prior_ins += ln
+            k_same += ln
+        else:
+            ps = pos + (prior_ins - k_same)
+            flags[ps : min(ps + ln, P)] |= F_MIS if t == 0 else F_DEAD
+            k_same = 0
+
+    out = np.zeros(l_new, np.uint8)
+    raw = genome_flat[g_off + spos : g_off + spos + middle_ref]
+    j = ref_idx = 0
+    for p in range(P):
+        if j >= l_new:
+            break
+        f = flags[p]
+        is_ins = bool(f & F_INS)
+        if f & F_DEAD:
+            if not is_ins:
+                ref_idx += 1
+            continue
+        if is_ins:
+            lo, _ = uniform2_at(keys["ins"], np.asarray([j]))
+            code = min(int(np.float32(lo[0]) * np.float32(4.0)), 3)
+        else:
+            code = int(resolve_codes(raw[ref_idx : ref_idx + 1], keys["iupac"],
+                                     np.asarray([ref_idx]))[0])
+            ref_idx += 1
+        if f & F_MIS:
+            _, hi = uniform2_at(keys["iupac"], np.asarray([j]))
+            off = min(1 + int(np.float32(hi[0]) * np.float32(3.0)), 3)
+            code = (code + off) % 4
+        out[j] = code
+        j += 1
+
+    read = _BASES[(3 - out[::-1]) if rev else out]
+    if qual_table is None:
+        return read
+    breaks, vals = qual_table
+    u = uniform_at(keys["qual"], np.arange(l_new, dtype=np.int64))
+    cnt = np.searchsorted(breaks[4], u, side="right")
+    return read, (vals[4, cnt - 1] + 33).astype(np.uint8)
+
+
+def reconstruct_unaligned_batch(cb, lanes, genome, seed: int, stream: int,
+                                qual_table=None):
+    from ..ops import rng
+
+    out = []
+    for b in lanes:
+        slot = int(cb.slots[b])
+        keys = {
+            "iupac": key_root(seed, stream, slot, rng.SITE_IUPAC),
+            "ins": key_root(seed, stream, slot, rng.SITE_INS_BASE),
+            "qual": key_root(seed, stream, slot, rng.SITE_QUAL),
+        }
+        ns = int(cb.n_events[b])
+        o = int(cb.ev_off[b])
+        w = cb.ev_flat[o : o + ns]
+        steps = (
+            (w & np.uint32(0x1FFFF)).astype(np.int64),
+            (w >> np.uint32(30)).astype(np.int64),
+            ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64),
+        )
+        chrom = int(cb.chrom[b])
+        out.append(reconstruct_unaligned_lane(
+            genome.flat, int(genome.offsets[chrom]), int(cb.pos[b]), steps,
+            int(cb.middle_ref[b]), int(cb.l_new[b]), bool(cb.rev[b]), keys,
+            qual_table=qual_table,
+        ))
+    return out
+
+
 def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int,
                       qual_table=None):
     """Reconstruct selected lanes of a meta-only CompactBatch -> ASCII list

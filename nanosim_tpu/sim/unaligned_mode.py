@@ -36,6 +36,7 @@ from .genome_mode import BatchOut, QCLASS_UNMAPPED, _kde_draw
         "sd_len",
         "uracil",
         "transcriptome_mode",
+        "emit_reads",
     ),
 )
 def unaligned_batch(
@@ -54,6 +55,7 @@ def unaligned_batch(
     sd_len: Optional[float],
     uracil: bool = False,
     transcriptome_mode: bool = False,
+    emit_reads: bool = True,
 ) -> BatchOut:
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
@@ -83,6 +85,46 @@ def unaligned_batch(
             sk, middle_ref, genome, circular_dna
         )
     valid &= pos_ok
+
+    if not emit_reads:
+        # Meta-only program (host reconstruction): no gather, no map, no
+        # materialization.  The map-overflow rejection is replicated from its
+        # closed form: the presentation buffer overflows iff
+        # middle_ref + total inserted bases exceeds build_unaligned_map's
+        # default capacity.
+        p_cap = l_cap + (l_cap >> 1) + 256
+        tot_ins = jnp.sum(
+            jnp.where(walk.events_valid & (walk.events_type == 1), walk.events_len, 0),
+            axis=1,
+        )
+        valid &= (middle_ref + tot_ins) <= p_cap
+        valid &= (l_new >= min_len) & (l_new <= max_len)
+        u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+        is_rev = u_strand > tables.strandness_rate
+        zero = jnp.zeros(B, jnp.int32)
+        dummy = jnp.zeros((B, 4), jnp.uint8)
+        return BatchOut(
+            read=dummy,
+            quals=dummy,
+            valid=valid,
+            total_len=l_new,
+            head=zero,
+            tail=zero,
+            middle_ref=middle_ref,
+            l_new=l_new,
+            chrom=chrom,
+            local_pos=local_pos,
+            is_reversed=is_rev,
+            ev_pos2x=walk.events_pos2x,
+            ev_type=walk.events_type,
+            ev_len=walk.events_len,
+            ev_valid=walk.events_valid,
+            n_events=walk.n_events,
+            read_prehp=dummy,
+            capacity_overflow=cap_over,
+            m_ref_init=jnp.minimum(m_ref, l_cap),
+        )
+
     ref_seg = extract.gather_segments(genome, chrom, local_pos, middle_ref, l_cap)
     u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
@@ -159,6 +201,8 @@ class UnalignedBatchWriter:
         numbered from accepted_so_far."""
         from .output import fetch_batch
 
+        if hasattr(out, "fetch"):  # meta-only compact handle (reconstruction)
+            return self._write_recon(sim, out.fetch(), accepted_so_far, quota)
         # Multi-host runners call write_batch once per device on the SAME
         # BatchOut; fetch (device->host transfer + unpack) only once per batch.
         if out is not self._last_out:
@@ -190,6 +234,56 @@ class UnalignedBatchWriter:
             )
         return len(lanes)
 
+    def _write_recon(self, sim, cb, accepted_so_far: int, quota: int) -> int:
+        """Host-reconstruct + emit a meta-only compact batch."""
+        import numpy as _np
+
+        if getattr(cb, "finish", None) is not None:
+            cb.finish()  # lazy walk replay
+        lanes = _np.nonzero(cb.valid & ~cb.cap_over)[0][: quota - accepted_so_far]
+        if len(lanes) == 0:
+            return 0
+        g = sim.genome_host
+        gnames = g.names
+        names = []
+        for rank, b in enumerate(lanes):
+            idx = accepted_so_far + rank
+            strand = "R" if cb.rev[b] else "F"
+            names.append(
+                f"{gnames[cb.chrom[b]]}_{cb.pos[b]}_unaligned_{idx}_{strand}"
+                f"_0_{cb.middle_ref[b]}_0"
+            )
+        qt = None
+        if sim.fastq:
+            qd = sim.tables.qual
+            qt = (_np.asarray(qd.breaks), _np.asarray(qd.vals))
+        from ..io.native import NativeEmitter
+
+        em = getattr(self, "_emitter", None)
+        if em is None:
+            em = self._emitter = NativeEmitter()
+        if em.available and hasattr(em.lib, "emit_batch_recon_unaligned"):
+            mv = em.emit_recon_unaligned(
+                cb, _np.asarray(lanes, _np.int64), names,
+                g_off=g.offsets[cb.chrom[lanes]], genome_flat=g.flat,
+                fastq=sim.fastq, qual_table=qt,
+            )
+            self.fastx.flush()
+            self.fastx.f.write(mv)
+            return len(lanes)
+
+        from .reconstruct import reconstruct_unaligned_batch
+
+        seed, stream, _ = cb.recon
+        out = reconstruct_unaligned_batch(cb, lanes, g, seed, stream, qual_table=qt)
+        for rank, b in enumerate(lanes):
+            if sim.fastq:
+                read, q = out[rank]
+            else:
+                read, q = out[rank], None
+            self.fastx.write(names[rank], read, q)
+        return len(lanes)
+
 
 class UnalignedSimulator:
     def __init__(
@@ -211,6 +305,7 @@ class UnalignedSimulator:
         from .bundles import build_tables
 
         self.genome_host = genome
+        self.profile = profile
         self.fastq = fastq
         max_len = min(max_len, genome.max_chrom)
         kde = profile.kde_unaligned
@@ -247,14 +342,61 @@ class UnalignedSimulator:
         )
 
     def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
+        import os
+
         from .genome_mode import ResumeState, run_prefetched
 
-        fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_UNALIGNED)
 
+        # host reconstruction: the device runs meta-only (no gather /
+        # presentation map / materialization) and the C++ emitter replays the
+        # step stream and regenerates the bytes (reconstruct_unaligned_lane
+        # is the spec; byte-equality CI-enforced in tests/test_reconstruct.py)
+        recon_mode = False
+        fetcher = None
+        p = self.profile
+        want_recon = (
+            not self.kw["uracil"] and not self.kw["circular_dna"]
+            and p.mix_params is not None
+            and (not self.fastq or p.base_quals is not None)
+            and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
+        )
+        if want_recon:
+            from ..io.native import UnalignedWalkReplayer
+
+            replayer = UnalignedWalkReplayer(
+                p, seed, rng.STREAM_UNALIGNED, rng.SITE_UNALIGNED_WALK,
+                e_guard=self.e_max,
+            )
+            if replayer.available:
+                from .output import CompactFetcher
+
+                kde = p.kde_unaligned
+                est_bases = (
+                    float(np.mean(kde.data)) * 1.2 + 64 if kde is not None
+                    else self.l_cap / 3
+                )
+                fetcher = CompactFetcher(
+                    self.fastq, with_events=False, batch=self.batch,
+                    est_bases=est_bases, est_events=est_bases / 1.2,
+                    replayer=replayer, with_reads=False,
+                    recon_info=(seed, rng.STREAM_UNALIGNED, 0),
+                    lazy_replay=True,
+                )
+                recon_mode = True
+
+        fn = functools.partial(
+            unaligned_batch, genome=self.genome_dev, tables=self.tables,
+            emit_reads=not recon_mode, **self.kw
+        )
+
         def make_batch(slot_start):
-            slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            return fn(base, slots)
+            slots = np.arange(slot_start, slot_start + self.batch, dtype=np.int64)
+            if recon_mode:
+                h = fetcher.dispatch(fn(base, jnp.asarray(slots)))
+                h.slots = slots
+                return h
+            return fn(base, jnp.asarray(slots))
 
         state = ResumeState(resume_state) if resume_state else None
         return run_prefetched(make_batch, self.batch, n_reads, writer, self,

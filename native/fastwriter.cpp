@@ -1201,4 +1201,282 @@ int64_t emit_chimeric_batch(
   return 0;
 }
 
+// --- unaligned pass: walk replay + host reconstruction ----------------------
+//
+// The unaligned walk (ops/error_walk.unaligned_walk) draws per STEP: a type
+// uniform (match/mis/ins/del at 0.4/0.3/0.15/0.15 cutoffs) and a length
+// uniform (mixture inverse-CDF for error steps).  Step words store matches
+// as length-0 events.  Reconstruction applies the reference's
+// presentation-space semantics (apply_errors.build_unaligned_map): insertion
+// keys pos + 0.1 mean a same-pos mis/del swallows just-inserted bases.
+
+int64_t replay_unaligned_walk_batch(
+    int64_t seed, int64_t stream, int64_t site_walk,
+    int64_t B, const int64_t* slots, const uint8_t* lane_do,
+    const int64_t* m_ref, const int64_t* n_steps_meta,
+    const uint32_t* checksums,
+    const float* mix_cdf, int64_t mix_n,
+    uint32_t* ev_out, const int64_t* ev_off, int64_t e_guard,
+    uint8_t* ok_out, int32_t n_threads) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(stream));
+
+  auto run_range = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+      if (!lane_do[b]) {
+        ok_out[b] = 0;
+        continue;
+      }
+      const int64_t n_exp = n_steps_meta[b];
+      uint32_t* ev = ev_out + ev_off[b];
+      Key wk = walkreplay::fold_in(
+          walkreplay::fold_in(base, static_cast<uint32_t>(slots[b])),
+          static_cast<uint32_t>(site_walk));
+      int64_t pos = 0, mid = m_ref[b];
+      uint32_t sum = 0;
+      int64_t e = 0;
+      bool fail = false;
+      uint32_t t = 0;
+      while (pos < mid) {
+        if (e >= n_exp || e >= e_guard) {
+          fail = true;
+          break;
+        }
+        Key kt = walkreplay::fold_in(wk, t);
+        float u_type = walkreplay::uniform_at(kt, 0u);
+        float u_len = walkreplay::uniform_at(kt, 1u);
+        int kind = (u_type >= 0.4f) + (u_type >= 0.7f) + (u_type >= 0.85f);
+        int etype = kind - 1;
+        if (etype < 0) etype = 0;
+        if (etype > 2) etype = 2;
+        const bool is_err = kind > 0;
+        int64_t elen = 1;
+        if (is_err) {
+          const float* cdf = mix_cdf + etype * mix_n;
+          int64_t lo = 0, hi = mix_n;
+          while (lo < hi) {
+            int64_t m = (lo + hi) / 2;
+            if (cdf[m] < u_len) lo = m + 1; else hi = m;
+          }
+          elen = lo + 1;
+        }
+        const bool is_ins = kind == 2;
+        const int64_t e_pos2x = is_ins ? 2 * pos + 1 : 2 * pos;
+        const int64_t store_len = is_err ? elen : 0;
+        const int64_t pos_after = pos + (is_ins ? 0 : elen);
+        if (!is_ins && pos_after > mid) mid = pos_after;
+        const uint32_t word = static_cast<uint32_t>(e_pos2x)
+            | (static_cast<uint32_t>(store_len) << 17)
+            | (static_cast<uint32_t>(etype) << 30);
+        ev[e] = word;
+        sum += (word + 1u) * (2u * static_cast<uint32_t>(e) + 1u);
+        pos = pos_after;
+        ++t;
+        ++e;
+      }
+      ok_out[b] = (!fail && e == n_exp && sum == checksums[b]) ? 1 : 0;
+    }
+  };
+
+  int T = n_threads < 1 ? 1 : n_threads;
+  if (T <= 1 || B < 64) {
+    run_range(0, B);
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < T; ++i)
+      threads.emplace_back(run_range, B * i / T, B * (i + 1) / T);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+struct UnalReconArgs {
+  int64_t seed, stream, site_iupac, site_ins, site_qual;
+  const int64_t* slots;
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* l_new;      // final mutated length (= record total)
+  const int64_t* middle_ref;
+  const uint8_t* rev;
+  const uint32_t* ev_flat;   // per-STEP words
+  const int64_t* ev_off;
+  const int64_t* n_steps;
+  const uint8_t* genome_flat;
+  const int64_t* g_off;
+  const int64_t* start_pos;
+  const int64_t* ubf;
+  char* fastx_out;
+  int fastq;
+  const float* q_breaks;  // [>=5, qK] (row 4 = unmapped)
+  const int32_t* q_vals;
+  int64_t qK;
+};
+
+void recon_unaligned_range(const UnalReconArgs& a, int64_t r0, int64_t r1,
+                           int64_t* fw) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(a.seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(a.seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
+
+  std::vector<uint8_t> flags_buf;  // per presentation position: 1 dead, 2 ins, 4 mis
+  std::vector<char> out_buf;
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* const fp0 = fp;
+  constexpr uint8_t F_DEAD = 1, F_INS = 2, F_MIS = 4;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t lnew = a.l_new[r];
+    const int64_t mid = a.middle_ref[r];
+    const bool rev = a.rev[r] != 0;
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+    const int64_t ns = a.n_steps[r];
+    const uint32_t* ev = a.ev_flat + a.ev_off[r];
+    const uint8_t* gseq = a.genome_flat + a.g_off[r] + a.start_pos[r];
+
+    Key ks = walkreplay::fold_in(base, static_cast<uint32_t>(a.slots[r]));
+    Key k_iupac = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_iupac));
+    Key k_ins = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ins));
+    Key k_qual = a.fastq
+        ? walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_qual))
+        : ks;
+
+    // presentation spans (apply_errors.build_unaligned_map semantics)
+    int64_t tot_ins = 0;
+    for (int64_t e = 0; e < ns; ++e) {
+      const uint32_t w = ev[e];
+      if ((w >> 30) == 1 && ((w >> 17) & 0x1FFF)) tot_ins += (w >> 17) & 0x1FFF;
+    }
+    const int64_t P = mid + tot_ins;
+    if ((int64_t)flags_buf.size() < P + 1) flags_buf.resize(P + 1);
+    uint8_t* flags = flags_buf.data();
+    std::memset(flags, 0, P);
+
+    int64_t prior_ins = 0, k_same = 0;
+    for (int64_t e = 0; e < ns; ++e) {
+      const uint32_t w = ev[e];
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t len = (w >> 17) & 0x1FFF;
+      const int64_t pos = px >> 1;  // ins px = 2p+1, others 2p
+      if (len == 0) {  // match step resets the consecutive-ins run
+        k_same = 0;
+        continue;
+      }
+      if (t == 1) {
+        const int64_t ps = pos + prior_ins + 1;
+        for (int64_t x = 0; x < len && ps + x < P; ++x) flags[ps + x] |= F_INS;
+        prior_ins += len;
+        k_same += len;
+      } else {
+        const int64_t ps = pos + (prior_ins - k_same);
+        const uint8_t f = (t == 0) ? F_MIS : F_DEAD;
+        for (int64_t x = 0; x < len && ps + x < P; ++x) flags[ps + x] |= f;
+        k_same = 0;
+      }
+    }
+
+    if ((int64_t)out_buf.size() < lnew + 4) out_buf.resize(lnew + 4);
+    char* out = out_buf.data();
+    int64_t j = 0, ref_idx = 0;
+    for (int64_t p = 0; p < P && j < lnew; ++p) {
+      const uint8_t f = flags[p];
+      const bool is_ins = f & F_INS;
+      if (f & F_DEAD) {
+        if (!is_ins) ++ref_idx;
+        continue;
+      }
+      int code;
+      if (is_ins) {
+        const uint32_t b = bits_at(k_ins, static_cast<uint32_t>(j));
+        code = static_cast<int>(u2_lo(b) * 4.0f);
+        if (code > 3) code = 3;
+      } else {
+        code = resolve_code(gseq[ref_idx], k_iupac, ref_idx);
+        ++ref_idx;
+      }
+      if (f & F_MIS) {
+        const uint32_t b = bits_at(k_iupac, static_cast<uint32_t>(j));
+        int off = 1 + static_cast<int>(u2_hi(b) * 3.0f);
+        if (off > 3) off = 3;
+        code = (code + off) & 3;
+      }
+      out[j++] = kCode2Base[code];
+    }
+
+    *fp++ = a.fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    if (rev) {
+      for (int64_t x = 0; x < lnew; ++x)
+        *fp++ = g_comp[(uint8_t)out[lnew - 1 - x]];
+    } else {
+      fp = put_bytes(fp, out, lnew);
+    }
+    *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      // all-unmapped class (row 4); qual index j is NOT strand-flipped
+      // (unaligned_batch computes quals after the read flip)
+      const float* br = a.q_breaks + 4 * a.qK;
+      const int32_t* vl = a.q_vals + 4 * a.qK;
+      for (int64_t x = 0; x < lnew; ++x) {
+        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(x));
+        int64_t lo = 0, hi = a.qK;
+        while (lo < hi) {
+          const int64_t m = (lo + hi) >> 1;
+          if (br[m] <= u) lo = m + 1; else hi = m;
+        }
+        *fp++ = static_cast<char>(vl[lo - 1] + 33);
+      }
+      *fp++ = '\n';
+    }
+  }
+  *fw = fp - fp0;
+}
+
+int64_t emit_batch_recon_unaligned(
+    int64_t seed, int64_t stream, int64_t site_iupac, int64_t site_ins,
+    int64_t site_qual, int64_t k,
+    const int64_t* slots, const char* names_buf, const int64_t* name_off,
+    const int64_t* l_new, const int64_t* middle_ref, const uint8_t* rev,
+    const uint32_t* ev_flat, const int64_t* ev_off, const int64_t* n_steps,
+    const uint8_t* genome_flat, const int64_t* g_off, const int64_t* start_pos,
+    const int64_t* ubf,
+    char* fastx_out, int64_t* fastx_written,
+    int32_t fastq, const float* q_breaks, const int32_t* q_vals, int64_t qK,
+    int32_t n_threads) {
+  init_comp();
+  UnalReconArgs a{seed, stream, site_iupac, site_ins, site_qual,
+                  slots, names_buf, name_off, l_new, middle_ref, rev,
+                  ev_flat, ev_off, n_steps, genome_flat, g_off, start_pos,
+                  ubf, fastx_out, static_cast<int>(fastq),
+                  q_breaks, q_vals, qK};
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0);
+  if (T == 1) {
+    recon_unaligned_range(a, 0, k, &fws[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t]() { recon_unaligned_range(a, r0s[t], r0s[t + 1], &fws[t]); });
+    for (auto& th : threads) th.join();
+  }
+  int64_t fpos = fws[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+  }
+  *fastx_written = fpos;
+  return 0;
+}
+
 }  // extern "C"

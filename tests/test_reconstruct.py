@@ -126,3 +126,52 @@ def test_recon_python_equals_native(setup, monkeypatch):
     fa1, er1 = _run(d, "pyrec", ref_fa, prefix, 100, 17, True, monkeypatch)
     assert open(fa0, "rb").read() == open(fa1, "rb").read()
     assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+# --- unaligned pass reconstruction ------------------------------------------
+
+
+def _run_unaligned(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, fastq=False):
+    from nanosim_tpu.sim.unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
+
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq)
+    sim = UnalignedSimulator(genome, prof, batch=64, fastq=fastq)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
+    fw = out_mod.FastxWriter(fa, fastq)
+    got = sim.run(n, UnalignedBatchWriter(fw), seed=seed)
+    fw.close()
+    assert got == n
+    return fa
+
+
+def test_unaligned_recon_matches_device(setup, monkeypatch):
+    d, prefix, ref_fa, _ = setup
+    fa0 = _run_unaligned(d, "udev", ref_fa, prefix, 120, 31, False, monkeypatch)
+    fa1 = _run_unaligned(d, "urec", ref_fa, prefix, 120, 31, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+
+
+def test_unaligned_recon_matches_device_iupac_fastq(setup, monkeypatch):
+    d, prefix, _, iupac_fa = setup
+    fa0 = _run_unaligned(d, "udevq", iupac_fa, prefix, 100, 7, False, monkeypatch, fastq=True)
+    fa1 = _run_unaligned(d, "urecq", iupac_fa, prefix, 100, 7, True, monkeypatch, fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+
+
+def test_unaligned_recon_python_equals_native(setup, monkeypatch):
+    from nanosim_tpu.io import native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(), "emit_batch_recon_unaligned"):
+        pytest.skip("native unaligned reconstruction not built")
+    d, prefix, ref_fa, _ = setup
+    fa0 = _run_unaligned(d, "unat", ref_fa, prefix, 80, 13, True, monkeypatch, fastq=True)
+    import nanosim_tpu.sim.unaligned_mode as um
+
+    class _NoLib:
+        available = False
+
+    monkeypatch.setattr(native.NativeEmitter, "available", property(lambda self: False))
+    fa1 = _run_unaligned(d, "upy", ref_fa, prefix, 80, 13, True, monkeypatch, fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
