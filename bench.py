@@ -122,6 +122,55 @@ def run_ours(prefix, ref_fa, d):
     return best
 
 
+def run_ours_chimeric(prefix, ref_fa, d):
+    """Chimeric-genome throughput (BENCH_MODE=chimeric): same fixture +
+    chimeric info, through the host-reconstruction path."""
+    import jax
+
+    from nanosim_tpu.io import PackedGenome
+    from nanosim_tpu.profiles import error_model, profile
+    from nanosim_tpu.sim import output as out_mod
+    from nanosim_tpu.sim.chimeric_mode import ChimericGenomeSimulator
+
+    log("devices:", jax.devices())
+    error_model.write_chimeric_info(prefix + "_chimeric_info", 1.3, 0.2)
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", chimeric=True)
+    sim = ChimericGenomeSimulator(genome, prof, batch=max(BATCH // 4, 128))
+    log(f"l_cap={sim.l_cap} e_max={sim.e_max} gap_cap={sim.gap_cap} batch={sim.batch}")
+
+    fw = out_mod.FastxWriter(os.path.join(d, "warm.fasta"), False)
+    el = out_mod.ErrorLogWriter(os.path.join(d, "warm_err"))
+    t0 = time.time()
+    sim.run(sim.batch, out_mod.ChimericBatchWriter(fw, el), seed=1, max_batches=1)
+    fw.close()
+    el.close()
+    log(f"warmup (compile) {time.time() - t0:.1f}s")
+
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    quiesce = float(os.environ.get("BENCH_QUIESCE_S", "45"))
+    best = 0.0
+    for p in range(passes):
+        if p:
+            log(f"quiesce {quiesce:.0f}s (memory-throttle credit refill)")
+            time.sleep(quiesce)
+        fw = out_mod.FastxWriter(os.path.join(d, f"chi_reads_{p}.fasta"), False)
+        el = out_mod.ErrorLogWriter(os.path.join(d, f"chi_err_{p}"))
+        w = out_mod.ChimericBatchWriter(fw, el)
+        t0 = time.time()
+        got = sim.run(N_READS, w, seed=0)
+        fw.close()
+        el.close()
+        dt = time.time() - t0
+        bases = os.path.getsize(os.path.join(d, f"chi_reads_{p}.fasta"))
+        log(f"chimeric pass {p}: {got} reads in {dt:.2f}s -> {got / dt:.1f} reads/s, "
+            f"~{bases / dt / 1e6:.1f} MB/s output")
+        os.unlink(os.path.join(d, f"chi_reads_{p}.fasta"))
+        os.unlink(os.path.join(d, f"chi_err_{p}"))
+        best = max(best, got / dt)
+    return best
+
+
 def measure_baseline(prefix, ref_fa, d):
     """Marginal per-read cost of the reference on this CPU (two runs)."""
     sys.path.insert(0, os.path.join(REPO, "refshim"))
@@ -185,17 +234,22 @@ def main():
 
     base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = tempfile.mkdtemp(prefix="nanosim_bench_", dir=base_dir)
+    mode = os.environ.get("BENCH_MODE", "genome")
     try:
         prefix, ref_fa = build_fixture(d)
-        ours = run_ours(prefix, ref_fa, d)
-        base = get_baseline(prefix, ref_fa, d)
+        if mode == "chimeric":
+            ours = run_ours_chimeric(prefix, ref_fa, d)
+            base = None
+        else:
+            ours = run_ours(prefix, ref_fa, d)
+            base = get_baseline(prefix, ref_fa, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     vs = (ours / base) if base else None
     print(
         json.dumps(
             {
-                "metric": "genome_sim_reads_per_sec_per_chip",
+                "metric": f"{mode}_sim_reads_per_sec_per_chip",
                 "value": round(ours, 2),
                 "unit": "reads/s",
                 "vs_baseline": round(vs, 2) if vs else None,

@@ -50,7 +50,7 @@ def get_lib():
             lib.emit_batch_flat.restype = ctypes.c_int64
             lib.replay_walk_batch.restype = ctypes.c_int64
             for name in ("emit_batch_recon", "replay_unaligned_walk_batch",
-                         "emit_batch_recon_unaligned"):
+                         "emit_batch_recon_unaligned", "emit_chimeric_recon"):
                 try:
                     getattr(lib, name).restype = ctypes.c_int64
                 except AttributeError:
@@ -104,17 +104,25 @@ class WalkReplayer:
     def available(self) -> bool:
         return self.lib is not None
 
-    def replay(self, slots, lane_do, m_ref, n_events, checksums, ev_out, ev_off):
+    def replay(self, slots, lane_do, m_ref, n_events, checksums, ev_out, ev_off,
+               part_ids=None):
         """Fill ev_out (uint32 flat buffer) at ev_off word offsets for lanes
-        with lane_do set; returns ok[B] bool (verified lanes)."""
+        with lane_do set; returns ok[B] bool (verified lanes).  part_ids
+        (optional [B]) selects per-(slot, part) streams (chimeric
+        segments)."""
         B = len(slots)
         ok = np.zeros(B, np.uint8)
         fm = self.fm
         mm = self.mm
+        parts_ptr = (
+            _ptr(np.ascontiguousarray(part_ids, np.int64), ctypes.c_int64)
+            if part_ids is not None else None
+        )
         self.lib.replay_walk_batch(
             ctypes.c_int64(self.seed), ctypes.c_int64(self.stream),
             ctypes.c_int64(self.site_walk), ctypes.c_int64(B),
             _ptr(np.ascontiguousarray(slots, np.int64), ctypes.c_int64),
+            parts_ptr,
             _ptr(np.ascontiguousarray(lane_do, np.uint8), ctypes.c_uint8),
             _ptr(np.ascontiguousarray(m_ref, np.int64), ctypes.c_int64),
             _ptr(np.ascontiguousarray(n_events, np.int64), ctypes.c_int64),
@@ -165,13 +173,19 @@ class UnalignedWalkReplayer:
     def available(self) -> bool:
         return self.lib is not None
 
-    def replay(self, slots, lane_do, m_ref, n_steps, checksums, ev_out, ev_off):
+    def replay(self, slots, lane_do, m_ref, n_steps, checksums, ev_out, ev_off,
+               part_ids=None):
         B = len(slots)
         ok = np.zeros(B, np.uint8)
+        parts_ptr = (
+            _ptr(np.ascontiguousarray(part_ids, np.int64), ctypes.c_int64)
+            if part_ids is not None else None
+        )
         self.lib.replay_unaligned_walk_batch(
             ctypes.c_int64(self.seed), ctypes.c_int64(self.stream),
             ctypes.c_int64(self.site_walk), ctypes.c_int64(B),
             _ptr(np.ascontiguousarray(slots, np.int64), ctypes.c_int64),
+            parts_ptr,
             _ptr(np.ascontiguousarray(lane_do, np.uint8), ctypes.c_uint8),
             _ptr(np.ascontiguousarray(m_ref, np.int64), ctypes.c_int64),
             _ptr(np.ascontiguousarray(n_steps, np.int64), ctypes.c_int64),
@@ -520,6 +534,139 @@ class NativeEmitter:
         )
         if rc != 0:
             raise RuntimeError(f"emit_batch_recon failed rc={rc}")
+        return (
+            memoryview(self._fastx_buf)[: fw.value],
+            memoryview(self._err_buf)[: ew.value],
+        )
+
+    def emit_chimeric_recon(
+        self,
+        *,
+        seed: int,
+        stream: int,
+        ht_cap: int,
+        S: int,
+        slots: np.ndarray,  # [k]
+        names: list,
+        total: np.ndarray,
+        head: np.ndarray,
+        tail: np.ndarray,
+        n_seg: np.ndarray,
+        rev: np.ndarray,  # [k] uint8
+        seg_part_off: np.ndarray,  # [k*S] flattened read-coord starts
+        seg_lnew: np.ndarray,
+        seg_mid: np.ndarray,
+        seg_goff: np.ndarray,
+        seg_spos: np.ndarray,
+        seg_ev_flat: np.ndarray,  # u32
+        seg_ev_off: np.ndarray,
+        seg_n_ev: np.ndarray,
+        gap_part_off: np.ndarray,  # [k*(S-1)]
+        gap_lnew: np.ndarray,
+        gap_mid: np.ndarray,
+        gap_goff: np.ndarray,
+        gap_spos: np.ndarray,
+        gap_ev_flat: np.ndarray,
+        gap_ev_off: np.ndarray,
+        gap_n_steps: np.ndarray,
+        genome_flat: np.ndarray,
+        fastq: bool,
+        write_errors: bool,
+        qual_table=None,
+        n_threads: int = 0,
+    ):
+        """Reconstruct + format chimeric reads (head|seg|gap|...|tail) from
+        replayed part-keyed event streams."""
+        from ..ops import rng as rng_mod
+
+        k = len(slots)
+        names_packed, name_off, _ = self._pack_names(names)
+        i64 = lambda a: np.ascontiguousarray(a, np.int64)
+
+        if fastq:
+            assert qual_table is not None
+            q_breaks = np.ascontiguousarray(qual_table[0], np.float32)
+            q_vals = np.ascontiguousarray(qual_table[1], np.int32)
+            qK = q_breaks.shape[1]
+        else:
+            q_breaks = np.zeros((5, 1), np.float32)
+            q_vals = np.zeros((5, 1), np.int32)
+            qK = 1
+
+        name_lens = np.diff(name_off)
+        ubf = np.zeros(k + 1, np.int64)
+        ubf[1:] = np.cumsum(name_lens + total * (2 if fastq else 1) + 16)
+        ube = np.zeros(k + 1, np.int64)
+        if write_errors:
+            # per-read upper bound: events' (name + 52 + 2*len)
+            ev_len_sum = np.zeros(k, np.int64)
+            n_ev_sum = np.zeros(k, np.int64)
+            lens_all = ((seg_ev_flat >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)
+            csum = np.zeros(len(lens_all) + 1, np.int64)
+            np.cumsum(lens_all, out=csum[1:])
+            for r in range(k):
+                for s in range(S):
+                    rs = r * S + s
+                    o, ne = int(seg_ev_off[rs]), int(seg_n_ev[rs])
+                    ev_len_sum[r] += csum[o + ne] - csum[o]
+                    n_ev_sum[r] += ne
+            ube[1:] = np.cumsum(n_ev_sum * (name_lens + 52) + 2 * ev_len_sum)
+        if self._fastx_buf.size < ubf[k]:
+            self._fastx_buf = np.empty(int(ubf[k] * 1.3) + 64, np.uint8)
+        if self._err_buf.size < ube[k] + 64:
+            self._err_buf = np.empty(int(ube[k] * 1.3) + 64, np.uint8)
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+
+        fw = ctypes.c_int64(0)
+        ew = ctypes.c_int64(0)
+        rc = self.lib.emit_chimeric_recon(
+            ctypes.c_int64(seed), ctypes.c_int64(stream),
+            ctypes.c_int64(rng_mod.SITE_IUPAC), ctypes.c_int64(rng_mod.SITE_INS_BASE),
+            ctypes.c_int64(rng_mod.SITE_HEAD_TAIL), ctypes.c_int64(rng_mod.SITE_QUAL),
+            ctypes.c_int64(rng_mod.PART_SEGMENT_BASE), ctypes.c_int64(rng_mod.PART_GAP_BASE),
+            ctypes.c_int64(ht_cap),
+            ctypes.c_int64(k), ctypes.c_int64(S),
+            _ptr(i64(slots), ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(name_off, ctypes.c_int64),
+            _ptr(i64(total), ctypes.c_int64),
+            _ptr(i64(head), ctypes.c_int64),
+            _ptr(i64(tail), ctypes.c_int64),
+            _ptr(i64(n_seg), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(rev, np.uint8), ctypes.c_uint8),
+            _ptr(i64(seg_part_off), ctypes.c_int64),
+            _ptr(i64(seg_lnew), ctypes.c_int64),
+            _ptr(i64(seg_mid), ctypes.c_int64),
+            _ptr(i64(seg_goff), ctypes.c_int64),
+            _ptr(i64(seg_spos), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(seg_ev_flat, np.uint32), ctypes.c_uint32),
+            _ptr(i64(seg_ev_off), ctypes.c_int64),
+            _ptr(i64(seg_n_ev), ctypes.c_int64),
+            _ptr(i64(gap_part_off), ctypes.c_int64),
+            _ptr(i64(gap_lnew), ctypes.c_int64),
+            _ptr(i64(gap_mid), ctypes.c_int64),
+            _ptr(i64(gap_goff), ctypes.c_int64),
+            _ptr(i64(gap_spos), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(gap_ev_flat, np.uint32), ctypes.c_uint32),
+            _ptr(i64(gap_ev_off), ctypes.c_int64),
+            _ptr(i64(gap_n_steps), ctypes.c_int64),
+            _ptr(genome_flat, ctypes.c_uint8),
+            _ptr(ubf, ctypes.c_int64),
+            _ptr(ube, ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.byref(fw),
+            _ptr(self._err_buf, ctypes.c_char),
+            ctypes.byref(ew),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int32(1 if write_errors else 0),
+            _ptr(q_breaks, ctypes.c_float),
+            _ptr(q_vals, ctypes.c_int32),
+            ctypes.c_int64(qK),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"emit_chimeric_recon failed rc={rc}")
         return (
             memoryview(self._fastx_buf)[: fw.value],
             memoryview(self._err_buf)[: ew.value],

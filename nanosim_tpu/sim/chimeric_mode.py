@@ -61,11 +61,29 @@ class ChimericBatchOut(NamedTuple):
     gap_ev_type: jax.Array = None
     gap_ev_len: jax.Array = None
     gap_n_steps: jax.Array = None  # [B, S-1]
+    # host-reconstruction extras (meta-only program)
+    gap_middle: jax.Array = None  # [B, S-1] int32 gap walk ref spans
+    seg_cksum: jax.Array = None  # [B, S] uint32 event-word checksums
+    gap_cksum: jax.Array = None  # [B, S-1] uint32 step-word checksums
 
 
 def _geometric(u, p):
     """np.random.geometric semantics: support 1.., P(k) = p (1-p)^(k-1)."""
     return jnp.ceil(jnp.log1p(-u) / jnp.log1p(-p)).astype(jnp.int32)
+
+
+def _ev_checksum(px, ty, ln, n_ev):
+    """Order-sensitive u32 checksum over packed event words (same formula as
+    sim/compact.compact_pack; the host replay recomputes it per lane)."""
+    w = (
+        px.astype(jnp.uint32)
+        | (ln.astype(jnp.uint32) << jnp.uint32(17))
+        | (ty.astype(jnp.uint32) << jnp.uint32(30))
+    )
+    e_i = jnp.arange(w.shape[1], dtype=jnp.uint32)[None, :]
+    terms = (w + jnp.uint32(1)) * (jnp.uint32(2) * e_i + jnp.uint32(1))
+    mask = e_i.astype(jnp.int32) < n_ev[:, None]
+    return jnp.sum(jnp.where(mask, terms, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
 
 
 @functools.partial(
@@ -74,7 +92,7 @@ def _geometric(u, p):
         "l_cap", "l_out", "ht_cap", "e_max", "gap_cap", "gap_steps", "s_max",
         "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
         "metagenome", "n_chrom", "count_gap_in_total", "perfect",
-        "kmer_bias", "hp_r_max", "median_len", "sd_len",
+        "kmer_bias", "hp_r_max", "median_len", "sd_len", "emit_reads",
     ),
 )
 def chimeric_batch(
@@ -104,7 +122,11 @@ def chimeric_batch(
     hp_r_max: int = 256,
     median_len: Optional[float] = None,
     sd_len: Optional[float] = None,
+    emit_reads: bool = True,
 ) -> ChimericBatchOut:
+    assert emit_reads or (kmer_bias is None and not perfect), (
+        "meta-only chimeric program supports the plain aligned path"
+    )
     B = slots.shape[0]
     S = s_max
     sk = rng.slot_keys(base_key, slots)
@@ -218,28 +240,42 @@ def chimeric_batch(
                 sk_gap, gwalk.middle_ref, genome, circular_dna
             )
         gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
-        gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
-        gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
-        gap_seg = seqops.resolve_iupac(gap_seg, gu_iupac)
-        # gap (unaligned) walk: mutate_read's reverse splicing of the
-        # pos + 0.1 insertion keys makes same-pos mis/del act on contiguous
-        # POST-insertion positions (build_unaligned_map)
-        ggm, g_under_ins, g_map_ov = apply_errors.build_unaligned_map(
-            gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
-            gwalk.middle_ref, gap_cap,
-        )
+        if emit_reads:
+            gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
+            gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
+            gap_seg = seqops.resolve_iupac(gap_seg, gu_iupac)
+            # gap (unaligned) walk: mutate_read's reverse splicing of the
+            # pos + 0.1 insertion keys makes same-pos mis/del act on contiguous
+            # POST-insertion positions (build_unaligned_map)
+            ggm, g_under_ins, g_map_ov = apply_errors.build_unaligned_map(
+                gwalk.events_pos2x, gwalk.events_type, gwalk.events_len, gwalk.events_valid,
+                gwalk.middle_ref, gap_cap,
+            )
+            gu_ins, _ = rng.uniform2_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,))
+            gap_read = apply_errors.materialize_read(
+                ggm.src, ggm.qclass, ggm.valid, gap_seg, gu_mis, gu_ins,
+                under_ins=g_under_ins,
+            )  # [(S-1)*B, gap_cap]
+        else:
+            # closed form of build_unaligned_map's presentation overflow
+            g_p_cap = gap_cap + (gap_cap >> 1) + 256
+            g_tot_ins = jnp.sum(
+                jnp.where(gwalk.events_valid & (gwalk.events_type == 1),
+                          gwalk.events_len, 0), axis=1)
+            g_map_ov = (gwalk.middle_ref + g_tot_ins) > g_p_cap
+            gap_read = jnp.zeros((1, 1), jnp.uint8)
         gap_ok &= jnp.where(gap_active, ~g_map_ov, True).reshape(S - 1, B).T.all(axis=1)
-        gu_ins, _ = rng.uniform2_per_slot(sk_gap, rng.SITE_INS_BASE, (gap_cap,))
-        gap_read = apply_errors.materialize_read(
-            ggm.src, ggm.qclass, ggm.valid, gap_seg, gu_mis, gu_ins,
-            under_ins=g_under_ins,
-        )  # [(S-1)*B, gap_cap]
         gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
         gap_mref_init = jnp.where(gap_active, gap_ref, 0).reshape(S - 1, B).T
         gap_chrom = g_chrom.reshape(S - 1, B).T
         gap_pos = g_pos.reshape(S - 1, B).T
         gap_ev = (gwalk.events_pos2x, gwalk.events_type, gwalk.events_len)
         gap_n_steps = jnp.where(gap_active, gwalk.n_events, 0).reshape(S - 1, B).T
+        gap_middle = jnp.where(gap_active, gwalk.middle_ref, 0).reshape(S - 1, B).T
+        gap_cksum = _ev_checksum(
+            gwalk.events_pos2x, gwalk.events_type, gwalk.events_len,
+            jnp.where(gap_active, gwalk.n_events, 0),
+        ).reshape(S - 1, B).T
     else:
         gap_ok = jnp.ones(B, bool)
         gap_read = jnp.zeros((max(S - 1, 1) * B, gap_cap), jnp.uint8)
@@ -249,6 +285,8 @@ def chimeric_batch(
         gap_pos = jnp.zeros((B, max(S - 1, 1)), jnp.int64)
         gap_ev = tuple(jnp.zeros((max(S - 1, 1) * B, 8), jnp.int32) for _ in range(3))
         gap_n_steps = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
+        gap_middle = jnp.zeros((B, max(S - 1, 1)), jnp.int32)
+        gap_cksum = jnp.zeros((B, max(S - 1, 1)), jnp.uint32)
 
     # --- total-length filter (simulator.py:1354-1368; metagenome includes
     # gaps at :935-946, genome does not) ---
@@ -275,6 +313,73 @@ def chimeric_batch(
             sk_seg, walk.middle_ref, genome, circular_dna
         )
     valid &= jnp.where(seg_active, pos_ok, True).reshape(S, B).T.all(axis=1)
+
+    if not emit_reads:
+        # Meta-only program (host reconstruction): no gathers, no gather map,
+        # no materialization, no [B, l_out] assembly.  seg_l_new is the
+        # dict-overwrite-aware read length (gm.read_len's closed form).
+        eff = apply_errors.effective_lens(
+            walk.events_pos2x, walk.events_type, walk.events_len, walk.events_valid
+        )
+        d_sum = jnp.sum(jnp.where(walk.events_valid & (walk.events_type == 2), eff, 0), axis=1)
+        i_sum = jnp.sum(jnp.where(walk.events_valid & (walk.events_type == 1), eff, 0), axis=1)
+        lnew_flat = (walk.middle_ref - d_sum + i_sum).astype(jnp.int32)
+        seg_lnew = jnp.where(seg_active, lnew_flat, 0).reshape(S, B).T
+        seg_cksum = _ev_checksum(
+            walk.events_pos2x, walk.events_type, walk.events_len,
+            jnp.where(seg_active, walk.n_events, 0),
+        ).reshape(S, B).T
+
+        n_parts = 2 * S + 1
+        part_len = jnp.zeros((B, n_parts), jnp.int32)
+        part_len = part_len.at[:, 0].set(head)
+        for s in range(S):
+            part_len = part_len.at[:, 1 + 2 * s].set(seg_lnew[:, s])
+            if s < S - 1:
+                part_len = part_len.at[:, 2 + 2 * s].set(gap_lens[:, s])
+        part_len = part_len.at[:, n_parts - 1].set(tail)
+        part_off = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(part_len, axis=1)], axis=1
+        )
+        total = part_off[:, -1]
+        valid &= (total >= min_len) & (total <= max_len) & (total <= l_out)
+        seg_offset = part_off[:, 1 : 1 + 2 * S : 2]
+        u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+        is_rev = u_strand > tables.strandness_rate
+        dummy = jnp.zeros((B, 4), jnp.uint8)
+        return ChimericBatchOut(
+            read=dummy,
+            quals=dummy,
+            valid=valid,
+            total_len=total,
+            head=head,
+            tail=tail,
+            n_seg=n_seg,
+            seg_middle_ref=seg_mref,
+            seg_l_new=seg_lnew,
+            seg_offset=seg_offset,
+            gap_len=gap_lens,
+            chrom=chrom_f.reshape(S, B).T,
+            local_pos=pos_f.reshape(S, B).T,
+            is_reversed=is_rev,
+            ev_pos2x=walk.events_pos2x,
+            ev_type=walk.events_type,
+            ev_len=walk.events_len,
+            n_events=jnp.where(seg_active, walk.n_events, 0).reshape(S, B).T,
+            seg_read_prehp=dummy,
+            seg_mref_init=seg_mref_init.reshape(S, B).T,
+            gap_mref_init=gap_mref_init,
+            gap_chrom=gap_chrom,
+            gap_pos=gap_pos,
+            gap_ev_pos2x=gap_ev[0],
+            gap_ev_type=gap_ev[1],
+            gap_ev_len=gap_ev[2],
+            gap_n_steps=gap_n_steps,
+            gap_middle=gap_middle,
+            seg_cksum=seg_cksum,
+            gap_cksum=gap_cksum,
+        )
+
     ref_seg = extract.gather_segments(genome, chrom_f, pos_f, walk.middle_ref, l_cap)
     su_iupac, su_mis = rng.uniform2_per_slot(sk_seg, rng.SITE_IUPAC, (l_cap,))
     ref_seg = seqops.resolve_iupac(ref_seg, su_iupac)
@@ -402,7 +507,58 @@ def chimeric_batch(
         gap_ev_type=gap_ev[1],
         gap_ev_len=gap_ev[2],
         gap_n_steps=gap_n_steps,
+        gap_middle=gap_middle,
     )
+
+
+CHI_META_SCALARS = 6  # valid, total, head, tail, n_seg, rev
+CHI_META_SEG = 8  # mref, lnew, off, chrom, pos, mref_init, n_ev, cksum
+CHI_META_GAP = 7  # len, mref_init, chrom, pos, n_steps, middle, cksum
+
+
+@jax.jit
+def pack_chimeric_meta(out: ChimericBatchOut) -> jax.Array:
+    """ONE [B, K] int64 transfer with every per-lane scalar the recon writer
+    needs (events stay on device; the host replays them)."""
+    scal = [out.valid, out.total_len, out.head, out.tail, out.n_seg, out.is_reversed]
+    segs = [out.seg_middle_ref, out.seg_l_new, out.seg_offset, out.chrom,
+            out.local_pos, out.seg_mref_init, out.n_events, out.seg_cksum]
+    gaps = [out.gap_len, out.gap_mref_init, out.gap_chrom, out.gap_pos,
+            out.gap_n_steps, out.gap_middle, out.gap_cksum]
+    parts = [jnp.stack([c.astype(jnp.int64) for c in scal], axis=1)]
+    parts += [x.astype(jnp.int64) for x in segs]
+    parts += [x.astype(jnp.int64) for x in gaps]
+    return jnp.concatenate(parts, axis=1)
+
+
+def decode_chimeric_meta(meta: np.ndarray, S: int) -> dict:
+    d = {}
+    names = ["valid", "total", "head", "tail", "n_seg", "rev"]
+    for i, nm in enumerate(names):
+        d[nm] = meta[:, i]
+    d["valid"] = d["valid"].astype(bool)
+    d["rev"] = d["rev"].astype(bool)
+    off = CHI_META_SCALARS
+    for nm in ("seg_mref", "seg_lnew", "seg_off", "chrom", "pos",
+               "seg_mref_init", "n_events", "seg_cksum"):
+        d[nm] = meta[:, off : off + S]
+        off += S
+    G = max(S - 1, 1)
+    for nm in ("gap_len", "gap_mref_init", "gap_chrom", "gap_pos",
+               "gap_n_steps", "gap_middle", "gap_cksum"):
+        d[nm] = meta[:, off : off + G]
+        off += G
+    return d
+
+
+class ChimericReconHandle:
+    """A dispatched meta-only chimeric batch."""
+
+    def __init__(self, meta_dev, slots, sim, seed):
+        self.meta_dev = meta_dev
+        self.slots = slots
+        self.sim = sim
+        self.seed = seed
 
 
 class ChimericGenomeSimulator:
@@ -471,10 +627,53 @@ class ChimericGenomeSimulator:
         )
 
     def run(self, n_reads, writer, seed=0, max_batches=None):
+        import os
+
         from .genome_mode import run_prefetched
 
-        fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
+
+        # host reconstruction: meta-only device program + part-keyed C++
+        # walk replays + C++ splice/emit; ~100 B/lane crosses the link
+        recon = (
+            self.kmer_bias is None and not self.kw["circular_dna"]
+            and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
+        )
+        if recon:
+            from ..io.native import UnalignedWalkReplayer, WalkReplayer, get_lib
+
+            lib = get_lib()
+            recon = lib is not None and hasattr(lib, "emit_chimeric_recon")
+        if recon:
+            self._seg_replayer = WalkReplayer(
+                self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                e_guard=self.e_max,
+            )
+            self._gap_replayer = UnalignedWalkReplayer(
+                self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_UNALIGNED_WALK,
+                e_guard=self.gap_steps,
+            )
+            recon = self._seg_replayer.available and self._gap_replayer.available
+        if recon:
+            B, S = self.batch, self.s_max
+            fn = functools.partial(
+                chimeric_batch,
+                species=jnp.zeros((B, S), jnp.int32),
+                genome=self.genome_dev,
+                tables=self.tables,
+                emit_reads=False,
+                **self.kw,
+            )
+
+            def make_batch(slot_start):
+                slots = np.arange(slot_start, slot_start + self.batch, dtype=np.int64)
+                out = fn(base, jnp.asarray(slots))
+                return ChimericReconHandle(pack_chimeric_meta(out), slots, self, seed)
+
+            return run_prefetched(make_batch, self.batch, n_reads, writer, self,
+                                  max_batches)
+
+        fn = self.batch_fn()
 
         def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)

@@ -1290,8 +1290,198 @@ class ChimericBatchWriter:
 
         self._emitter = NativeEmitter()
 
+    def _write_recon_chimeric(self, sim, h, accepted_so_far: int, quota: int,
+                              lanes=None, start=None) -> int:
+        """Host-reconstruct + emit a meta-only chimeric batch (genome mode):
+        part-keyed C++ walk replays (checksum-verified) + C++ splicing of
+        head | segments | gaps | tail."""
+        from ..ops import rng as rng_mod
+        from .chimeric_mode import decode_chimeric_meta
+
+        S = sim.s_max
+        G = max(S - 1, 1)
+        meta = np.asarray(h.meta_dev)
+        d = decode_chimeric_meta(meta, S)
+        if lanes is None:
+            lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+            start = accepted_so_far
+        if len(lanes) == 0:
+            return 0
+        k = len(lanes)
+        slots = np.asarray(h.slots)
+        g = sim.genome_host
+        names_g = g.names
+
+        names = []
+        for rank, b in enumerate(lanes):
+            idx = start + rank
+            ns = int(d["n_seg"][b])
+            comps = [f"{names_g[d['chrom'][b, s]]}_{d['pos'][b, s]}" for s in range(ns)]
+            name = ";".join(comps) + f"_aligned_{idx}"
+            if ns > 1:
+                name += "_chimeric"
+            name += "_R" if d["rev"][b] else "_F"
+            mids = ";".join(str(d["seg_mref"][b, s]) for s in range(ns))
+            name += f"_{d['head'][b]}_{mids}_{d['tail'][b]}"
+            names.append(name)
+
+        n_seg_l = d["n_seg"][lanes]
+        seg_do = np.arange(S)[None, :] < n_seg_l[:, None]
+        nev_flat = np.where(seg_do, d["n_events"][lanes], 0).reshape(-1)
+        off_flat = np.concatenate([[0], np.cumsum(nev_flat)])[:-1]
+        ev_out = np.zeros(max(int(nev_flat.sum()), 1), np.uint32)
+        ok = sim._seg_replayer.replay(
+            np.repeat(slots[lanes], S), seg_do.reshape(-1).astype(np.uint8),
+            d["seg_mref_init"][lanes].reshape(-1), nev_flat,
+            d["seg_cksum"][lanes].reshape(-1).astype(np.uint32),
+            ev_out, off_flat,
+            part_ids=np.tile(np.arange(S, dtype=np.int64) + rng_mod.PART_SEGMENT_BASE, k),
+        )
+        if not bool((ok | ~seg_do.reshape(-1)).all()):
+            raise RuntimeError(
+                "chimeric segment walk replay failed checksum verification; "
+                "set NANOSIM_TPU_RECON=0 to fall back to device materialization"
+            )
+
+        gap_do = np.arange(G)[None, :] < (n_seg_l - 1)[:, None]
+        gsteps = np.where(gap_do, d["gap_n_steps"][lanes], 0).reshape(-1)
+        goff_flat = np.concatenate([[0], np.cumsum(gsteps)])[:-1]
+        gev_out = np.zeros(max(int(gsteps.sum()), 1), np.uint32)
+        gok = sim._gap_replayer.replay(
+            np.repeat(slots[lanes], G), gap_do.reshape(-1).astype(np.uint8),
+            d["gap_mref_init"][lanes].reshape(-1), gsteps,
+            d["gap_cksum"][lanes].reshape(-1).astype(np.uint32),
+            gev_out, goff_flat,
+            part_ids=np.tile(np.arange(G, dtype=np.int64) + rng_mod.PART_GAP_BASE, k),
+        )
+        if not bool((gok | ~gap_do.reshape(-1)).all()):
+            raise RuntimeError(
+                "chimeric gap walk replay failed checksum verification; "
+                "set NANOSIM_TPU_RECON=0 to fall back to device materialization"
+            )
+
+        with_events = self.error_log is not None and not self.perfect
+        qt = None
+        if sim.fastq:
+            qd = sim.tables.qual
+            qt = (np.asarray(qd.breaks), np.asarray(qd.vals))
+
+        lib = getattr(self._emitter, "lib", None)
+        if lib is None or not hasattr(lib, "emit_chimeric_recon"):
+            # pure-python fallback (numpy spec, sim/reconstruct.py)
+            from .reconstruct import reconstruct_chimeric_lane
+
+            for rank, b in enumerate(lanes):
+                ns = int(d["n_seg"][b])
+                fr = rank  # flat row base
+                segs, gaps = [], []
+                for s in range(ns):
+                    rs = rank * S + s
+                    o, ne = int(off_flat[rs]), int(nev_flat[rs])
+                    w = ev_out[o : o + ne]
+                    events = (
+                        (w & np.uint32(0x1FFFF)).astype(np.int64),
+                        (w >> np.uint32(30)).astype(np.int64),
+                        ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64),
+                    )
+                    segs.append((int(d["seg_off"][b, s]), int(d["seg_lnew"][b, s]),
+                                 int(d["seg_mref"][b, s]),
+                                 int(g.offsets[d["chrom"][b, s]]),
+                                 int(d["pos"][b, s]), events))
+                for gi in range(ns - 1):
+                    rg = rank * G + gi
+                    o, nst = int(goff_flat[rg]), int(gsteps[rg])
+                    w = gev_out[o : o + nst]
+                    steps = (
+                        (w & np.uint32(0x1FFFF)).astype(np.int64),
+                        (w >> np.uint32(30)).astype(np.int64),
+                        ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64),
+                    )
+                    gaps.append((int(d["seg_off"][b, gi] + d["seg_lnew"][b, gi]),
+                                 int(d["gap_len"][b, gi]),
+                                 int(d["gap_middle"][b, gi]),
+                                 int(g.offsets[np.clip(d["gap_chrom"][b, gi], 0, len(g.offsets) - 1)]),
+                                 int(d["gap_pos"][b, gi]), steps))
+                rec = dict(head=int(d["head"][b]), tail=int(d["tail"][b]),
+                           total=int(d["total"][b]), rev=bool(d["rev"][b]),
+                           n_seg=ns, segs=segs, gaps=gaps)
+                read, quals, seg_mids = reconstruct_chimeric_lane(
+                    g, h.seed, rng_mod.STREAM_ALIGNED, int(slots[lanes][rank]),
+                    rec, sim.ht_cap, qual_table=qt,
+                )
+                self.fastx.write(names[rank], read, quals)
+                if not with_events:
+                    continue
+                for s in range(ns):
+                    rs = rank * S + s
+                    ne = int(nev_flat[rs])
+                    if ne == 0:
+                        continue
+                    o = int(off_flat[rs])
+                    w = ev_out[o : o + ne]
+                    px = (w & np.uint32(0x1FFFF)).astype(np.int64)[None, :]
+                    ty = (w >> np.uint32(30)).astype(np.int64)[None, :]
+                    ln = ((w >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)[None, :]
+                    keys, rpos, eff = event_read_positions(
+                        px, ty, ln, np.ones((1, ne), bool))
+                    goff = int(g.offsets[d["chrom"][b, s]])
+                    spos = int(d["pos"][b, s])
+                    mid = seg_mids[s]
+                    ks, tn, lv, rf, sq = [], [], [], [], []
+                    for e in range(ne - 1, -1, -1):
+                        t = int(ty[0, e])
+                        l_ = int(eff[0, e])
+                        if l_ == 0:
+                            continue
+                        kk = int(keys[0, e])
+                        rp = int(rpos[0, e])
+                        ks.append(kk)
+                        tn.append(_ETYPE_NAMES[t])
+                        lv.append(l_)
+                        rf.append("-" * l_ if t == 1 else
+                                  g.flat[goff + spos + kk : goff + spos + kk + l_].tobytes().decode())
+                        sq.append("-" * l_ if t == 2 else
+                                  mid[rp : rp + l_].tobytes().decode())
+                    # write_read_events reverses; feed in ascending order
+                    self.error_log.write_read_events(
+                        names[rank], ks[::-1], tn[::-1], lv[::-1], rf[::-1], sq[::-1])
+            return k
+
+        fastx_mv, err_mv = self._emitter.emit_chimeric_recon(
+            seed=h.seed, stream=rng_mod.STREAM_ALIGNED, ht_cap=sim.ht_cap, S=S,
+            slots=slots[lanes], names=names,
+            total=d["total"][lanes], head=d["head"][lanes], tail=d["tail"][lanes],
+            n_seg=n_seg_l, rev=d["rev"][lanes].astype(np.uint8),
+            seg_part_off=d["seg_off"][lanes].reshape(-1),
+            seg_lnew=d["seg_lnew"][lanes].reshape(-1),
+            seg_mid=d["seg_mref"][lanes].reshape(-1),
+            seg_goff=g.offsets[d["chrom"][lanes].reshape(-1)],
+            seg_spos=d["pos"][lanes].reshape(-1),
+            seg_ev_flat=ev_out, seg_ev_off=off_flat, seg_n_ev=nev_flat,
+            gap_part_off=(d["seg_off"][lanes][:, :G]
+                          + d["seg_lnew"][lanes][:, :G]).reshape(-1),
+            gap_lnew=d["gap_len"][lanes].reshape(-1),
+            gap_mid=d["gap_middle"][lanes].reshape(-1),
+            gap_goff=g.offsets[np.clip(d["gap_chrom"][lanes].reshape(-1), 0,
+                                       len(g.offsets) - 1)],
+            gap_spos=d["gap_pos"][lanes].reshape(-1),
+            gap_ev_flat=gev_out, gap_ev_off=goff_flat, gap_n_steps=gsteps,
+            genome_flat=g.flat, fastq=sim.fastq, write_errors=with_events,
+            qual_table=qt,
+        )
+        self.fastx.flush()
+        self.fastx.f.write(fastx_mv)
+        if with_events and self.error_log is not None:
+            self.error_log.write_bytes(err_mv)
+        return k
+
     def write_batch(self, sim, out, accepted_so_far: int, quota: int,
                     lanes=None, start=None) -> int:
+        from .chimeric_mode import ChimericReconHandle
+
+        if isinstance(out, ChimericReconHandle):
+            return self._write_recon_chimeric(sim, out, accepted_so_far, quota,
+                                              lanes, start)
         if lanes is None:
             valid = np.asarray(out.valid)
             lanes = np.nonzero(valid)[0][: quota - accepted_so_far]

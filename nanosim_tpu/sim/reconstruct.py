@@ -344,6 +344,137 @@ def reconstruct_unaligned_batch(cb, lanes, genome, seed: int, stream: int,
     return out
 
 
+def reconstruct_segment(genome_flat, g_off, spos, events, l_new, keys):
+    """Chimeric SEGMENT bytes (pre-reverse middle) + classes: aligned-event
+    semantics with MIDDLE-indexed mutation draws (chimeric_mode materializes
+    via build_gather_map + materialize_read: iupac = SITE_IUPAC lo @ ref
+    index, mis = SITE_IUPAC hi @ middle index, ins = SITE_INS_BASE lo @
+    middle index).  Returns (ascii bytes, classes)."""
+    ev_pos2x, ev_type, ev_len = events
+    ne = len(ev_pos2x)
+    eff = np.asarray(ev_len, np.int64).copy()
+    for e in range(ne - 1):
+        if (ev_type[e] == 1 and ev_type[e + 1] == 1
+                and ev_pos2x[e + 1] == ev_pos2x[e]):
+            eff[e] = 0
+    out = np.zeros(l_new, np.uint8)
+    cls = np.zeros(l_new, np.uint8)
+    raw = genome_flat[g_off + spos:]
+    i = m = 0
+
+    def matches(i0, i1, m0):
+        n = i1 - i0
+        if n <= 0:
+            return
+        codes = resolve_codes(raw[i0:i1], keys["iupac"], np.arange(i0, i1))
+        out[m0 : m0 + n] = codes
+
+    for e in range(ne):
+        t = int(ev_type[e])
+        ln = int(eff[e])
+        key = (int(ev_pos2x[e]) + 1) // 2
+        ref_start = key if t == 1 else int(ev_pos2x[e]) // 2
+        matches(i, ref_start, m)
+        m += max(ref_start - i, 0)
+        i = max(i, ref_start)
+        if ln == 0:
+            continue
+        if t == 0:  # mis
+            for x in range(ln):
+                _, hi = uniform2_at(keys["iupac"], np.asarray([m]))
+                off = min(1 + int(np.float32(hi[0]) * np.float32(3.0)), 3)
+                code = int(resolve_codes(raw[i : i + 1], keys["iupac"], np.asarray([i]))[0])
+                out[m] = (code + off) % 4
+                cls[m] = 1
+                i += 1
+                m += 1
+        elif t == 1:  # ins
+            for x in range(ln):
+                lo, _ = uniform2_at(keys["ins"], np.asarray([m]))
+                out[m] = min(int(np.float32(lo[0]) * np.float32(4.0)), 3)
+                cls[m] = 2
+                m += 1
+        else:
+            i += ln
+    matches(i, i + (l_new - m), m)
+    return _BASES[out], cls
+
+
+def reconstruct_chimeric_lane(genome, seed, stream, slot, rec, ht_cap,
+                              qual_table=None):
+    """Full chimeric read (head | seg | gap | ... | tail) from replayed part
+    event streams; numpy spec of native emit_chimeric_recon.
+
+    rec: dict with head, tail, total, rev, n_seg and per-part lists:
+    segs = [(part_off, l_new, mid, g_off, spos, events)], gaps likewise
+    (events per-STEP).  Returns (read, quals_or_None, seg_mids list)."""
+    from ..ops import rng
+
+    total = rec["total"]
+    head, tail = rec["head"], rec["tail"]
+    pre = np.zeros(total, np.uint8)
+    cls = np.full(total, 3, np.uint8)  # head/tail default
+    ks_ht = key_root(seed, stream, slot, rng.SITE_HEAD_TAIL)
+
+    for jj in range(head):
+        u = uniform_at(ks_ht, np.asarray([min(jj, ht_cap - 1)]))[0]
+        pre[jj] = _BASES[_CHOICE_CODE[min(int(np.float32(u) * np.float32(4.0)), 3)]]
+    for x in range(tail):
+        u = uniform_at(ks_ht, np.asarray([min(head + x, ht_cap - 1)]))[0]
+        pre[total - tail + x] = _BASES[_CHOICE_CODE[min(int(np.float32(u) * np.float32(4.0)), 3)]]
+
+    seg_mids = []
+    for s, (poff, lnew, mid, goff, spos, events) in enumerate(rec["segs"]):
+        # per-(slot, part) keys: the part id folds in between slot and site
+        base_k = _part_key(seed, stream, slot, rng.PART_SEGMENT_BASE + s)
+        keys = {
+            "iupac": fold_in(base_k, rng.SITE_IUPAC),
+            "ins": fold_in(base_k, rng.SITE_INS_BASE),
+        }
+        bytes_s, cls_s = reconstruct_segment(genome.flat, goff, spos, events, lnew, keys)
+        pre[poff : poff + lnew] = np.frombuffer(bytes_s.tobytes(), np.uint8)
+        cls[poff : poff + lnew] = cls_s
+        seg_mids.append(bytes_s)
+    for gi, (poff, lnew, mid, goff, spos, steps) in enumerate(rec["gaps"]):
+        base_k = _part_key(seed, stream, slot, rng.PART_GAP_BASE + gi)
+        keys = {
+            "iupac": fold_in(base_k, rng.SITE_IUPAC),
+            "ins": fold_in(base_k, rng.SITE_INS_BASE),
+        }
+        gr = reconstruct_unaligned_lane(genome.flat, goff, spos, steps, mid,
+                                        lnew, False, keys)
+        pre[poff : poff + lnew] = np.frombuffer(gr.tobytes(), np.uint8)
+        cls[poff : poff + lnew] = 4  # gaps: unmapped qual class, never logged
+
+    if rec["rev"]:
+        comp = np.arange(256, dtype=np.uint8)
+        for a, b in ((65, 84), (67, 71)):
+            comp[a], comp[b] = b, a
+        read = comp[pre[::-1]]
+    else:
+        read = pre
+    quals = None
+    if qual_table is not None:
+        breaks, vals = qual_table
+        kq = key_root(seed, stream, slot, rng.SITE_QUAL)
+        quals = np.empty(total, np.uint8)
+        for j in range(total):
+            jj = total - 1 - j if rec["rev"] else j
+            u = uniform_at(kq, np.asarray([jj]))[0]
+            c = int(cls[jj])
+            cnt = int(np.searchsorted(breaks[c], np.float32(u), side="right"))
+            quals[j] = vals[c, cnt - 1] + 33
+    return read, quals, seg_mids
+
+
+def _part_key(seed, stream, slot, part):
+    k = (np.uint32(np.uint64(seed) >> np.uint64(32)),
+         np.uint32(np.uint64(seed) & np.uint64(0xFFFFFFFF)))
+    k = fold_in(k, stream)
+    k = fold_in(k, slot)
+    return fold_in(k, part)
+
+
 def reconstruct_batch(cb, lanes, genome, seed: int, stream: int, ht_cap: int,
                       qual_table=None):
     """Reconstruct selected lanes of a meta-only CompactBatch -> ASCII list

@@ -687,7 +687,8 @@ extern "C" {
 // flat emitter consumes the result unchanged.
 int64_t replay_walk_batch(
     int64_t seed, int64_t stream, int64_t site_walk,
-    int64_t B, const int64_t* slots, const uint8_t* lane_do,
+    int64_t B, const int64_t* slots, const int64_t* part_ids,
+    const uint8_t* lane_do,
     const int64_t* m_ref, const int64_t* n_events_meta,
     const uint32_t* checksums,
     // first_match ECDF (exact breakpoints; single bin)
@@ -717,9 +718,9 @@ int64_t replay_walk_batch(
       }
       const int64_t n_exp = n_events_meta[b];
       uint32_t* ev = ev_out + ev_off[b];
-      Key wk = walkreplay::fold_in(
-          walkreplay::fold_in(base, static_cast<uint32_t>(slots[b])),
-          static_cast<uint32_t>(site_walk));
+      Key sk = walkreplay::fold_in(base, static_cast<uint32_t>(slots[b]));
+      if (part_ids) sk = walkreplay::fold_in(sk, static_cast<uint32_t>(part_ids[b]));
+      Key wk = walkreplay::fold_in(sk, static_cast<uint32_t>(site_walk));
       Key k0 = walkreplay::fold_in(wk, 0u);
       float u0 = walkreplay::uniform_at(k0, 0u);
       int64_t fmatch = fm.invert(0, u0);
@@ -1212,7 +1213,8 @@ int64_t emit_chimeric_batch(
 
 int64_t replay_unaligned_walk_batch(
     int64_t seed, int64_t stream, int64_t site_walk,
-    int64_t B, const int64_t* slots, const uint8_t* lane_do,
+    int64_t B, const int64_t* slots, const int64_t* part_ids,
+    const uint8_t* lane_do,
     const int64_t* m_ref, const int64_t* n_steps_meta,
     const uint32_t* checksums,
     const float* mix_cdf, int64_t mix_n,
@@ -1231,9 +1233,9 @@ int64_t replay_unaligned_walk_batch(
       }
       const int64_t n_exp = n_steps_meta[b];
       uint32_t* ev = ev_out + ev_off[b];
-      Key wk = walkreplay::fold_in(
-          walkreplay::fold_in(base, static_cast<uint32_t>(slots[b])),
-          static_cast<uint32_t>(site_walk));
+      Key sk = walkreplay::fold_in(base, static_cast<uint32_t>(slots[b]));
+      if (part_ids) sk = walkreplay::fold_in(sk, static_cast<uint32_t>(part_ids[b]));
+      Key wk = walkreplay::fold_in(sk, static_cast<uint32_t>(site_walk));
       int64_t pos = 0, mid = m_ref[b];
       uint32_t sum = 0;
       int64_t e = 0;
@@ -1476,6 +1478,412 @@ int64_t emit_batch_recon_unaligned(
     fpos += fws[t];
   }
   *fastx_written = fpos;
+  return 0;
+}
+
+// --- chimeric host reconstruction -------------------------------------------
+//
+// A chimeric read is head | seg0 | gap0 | seg1 | ... | tail (pre-reverse).
+// Segments reconstruct with per-(slot, segment) part keys and MIDDLE-indexed
+// mutation draws (chimeric_mode materializes via build_gather_map +
+// materialize_read: iupac = SITE_IUPAC lo @ ref index, mis = SITE_IUPAC hi @
+// middle index, ins = SITE_INS_BASE lo @ middle index); gaps reconstruct
+// with the unaligned presentation semantics under per-(slot, gap) keys.
+// FASTQ: per-position class (head/tail 3, gap 4, segment 0/1/2) + SITE_QUAL
+// draws at PRE-REVERSE indices (the device reverses the qual string).
+
+struct ChiReconArgs {
+  int64_t seed, stream, site_iupac, site_ins, site_ht, site_qual;
+  int64_t part_seg_base, part_gap_base, ht_cap;
+  int64_t S;
+  const int64_t* slots;
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* total_len;
+  const int64_t* head;
+  const int64_t* tail;
+  const int64_t* n_seg;
+  const uint8_t* rev;
+  const int64_t* seg_part_off;  // [k*S]
+  const int64_t* seg_lnew;
+  const int64_t* seg_mid;
+  const int64_t* seg_goff;
+  const int64_t* seg_spos;
+  const uint32_t* seg_ev_flat;
+  const int64_t* seg_ev_off;
+  const int64_t* seg_n_ev;
+  const int64_t* gap_part_off;  // [k*(S-1)]
+  const int64_t* gap_lnew;
+  const int64_t* gap_mid;
+  const int64_t* gap_goff;
+  const int64_t* gap_spos;
+  const uint32_t* gap_ev_flat;
+  const int64_t* gap_ev_off;
+  const int64_t* gap_n_steps;
+  const uint8_t* genome_flat;
+  const int64_t* ubf;
+  const int64_t* ube;
+  char* fastx_out;
+  char* err_out;
+  int fastq;
+  int write_errors;
+  const float* q_breaks;
+  const int32_t* q_vals;
+  int64_t qK;
+};
+
+// Gap bytes via the presentation-space semantics (same algorithm as
+// recon_unaligned_range; sim/reconstruct.reconstruct_unaligned_lane is the
+// numpy spec).
+static void recon_gap_part(const uint32_t* ev, int64_t ns, int64_t mid,
+                           int64_t lnew, const uint8_t* gseq,
+                           walkreplay::Key k_iu, walkreplay::Key k_in,
+                           char* out, std::vector<uint8_t>& flags_buf) {
+  constexpr uint8_t F_DEAD = 1, F_INS = 2, F_MIS = 4;
+  int64_t tot_ins = 0;
+  for (int64_t e = 0; e < ns; ++e) {
+    const uint32_t w = ev[e];
+    if ((w >> 30) == 1 && ((w >> 17) & 0x1FFF)) tot_ins += (w >> 17) & 0x1FFF;
+  }
+  const int64_t P = mid + tot_ins;
+  if ((int64_t)flags_buf.size() < P + 1) flags_buf.resize(P + 1);
+  uint8_t* flags = flags_buf.data();
+  std::memset(flags, 0, P);
+  int64_t prior_ins = 0, k_same = 0;
+  for (int64_t e = 0; e < ns; ++e) {
+    const uint32_t w = ev[e];
+    const int64_t px = w & 0x1FFFF;
+    const int32_t t = w >> 30;
+    const int64_t len = (w >> 17) & 0x1FFF;
+    const int64_t pos = px >> 1;
+    if (len == 0) { k_same = 0; continue; }
+    if (t == 1) {
+      const int64_t ps = pos + prior_ins + 1;
+      for (int64_t x = 0; x < len && ps + x < P; ++x) flags[ps + x] |= F_INS;
+      prior_ins += len;
+      k_same += len;
+    } else {
+      const int64_t ps = pos + (prior_ins - k_same);
+      const uint8_t f = (t == 0) ? F_MIS : F_DEAD;
+      for (int64_t x = 0; x < len && ps + x < P; ++x) flags[ps + x] |= f;
+      k_same = 0;
+    }
+  }
+  int64_t j = 0, ref_idx = 0;
+  for (int64_t p = 0; p < P && j < lnew; ++p) {
+    const uint8_t f = flags[p];
+    const bool is_ins = f & F_INS;
+    if (f & F_DEAD) {
+      if (!is_ins) ++ref_idx;
+      continue;
+    }
+    int code;
+    if (is_ins) {
+      code = static_cast<int>(u2_lo(bits_at(k_in, static_cast<uint32_t>(j))) * 4.0f);
+      if (code > 3) code = 3;
+    } else {
+      code = resolve_code(gseq[ref_idx], k_iu, ref_idx);
+      ++ref_idx;
+    }
+    if (f & F_MIS) {
+      int off = 1 + static_cast<int>(u2_hi(bits_at(k_iu, static_cast<uint32_t>(j))) * 3.0f);
+      if (off > 3) off = 3;
+      code = (code + off) & 3;
+    }
+    out[j++] = kCode2Base[code];
+  }
+}
+
+void recon_chimeric_range(const ChiReconArgs& a, int64_t r0, int64_t r1,
+                          int64_t* fw, int64_t* ew) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(a.seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(a.seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
+
+  std::vector<char> pre_buf;
+  std::vector<uint8_t> cls_buf, gap_flags;
+  std::vector<int64_t> rpos_buf;
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* ep = a.err_out + a.ube[r0];
+  char* const fp0 = fp;
+  char* const ep0 = ep;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t total = a.total_len[r];
+    const int64_t head = a.head[r];
+    const int64_t tail = a.tail[r];
+    const int64_t ns = a.n_seg[r];
+    const bool rev = a.rev[r] != 0;
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+
+    Key ks = walkreplay::fold_in(base, static_cast<uint32_t>(a.slots[r]));
+    Key k_ht = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ht));
+    Key k_qual = a.fastq
+        ? walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_qual))
+        : ks;
+
+    if ((int64_t)pre_buf.size() < total + 4) pre_buf.resize(total + 4);
+    char* pre = pre_buf.data();
+    uint8_t* cls = nullptr;
+    if (a.fastq) {
+      if ((int64_t)cls_buf.size() < total + 4) cls_buf.resize(total + 4);
+      cls = cls_buf.data();
+    }
+
+    // head / tail random bases (pool index clipped to ht_cap - 1)
+    for (int64_t jj = 0; jj < head; ++jj) {
+      int64_t idx = jj < a.ht_cap - 1 ? jj : a.ht_cap - 1;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[jj] = kCode2Base[kChoiceCode[c]];
+      if (cls) cls[jj] = 3;
+    }
+    for (int64_t x = 0; x < tail; ++x) {
+      const int64_t jj = total - tail + x;
+      int64_t idx = head + x;
+      if (idx > a.ht_cap - 1) idx = a.ht_cap - 1;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[jj] = kCode2Base[kChoiceCode[c]];
+      if (cls) cls[jj] = 3;
+    }
+
+    // segments
+    for (int64_t s = 0; s < ns; ++s) {
+      const int64_t rs = r * a.S + s;
+      const int64_t ne = a.seg_n_ev[rs];
+      const int64_t lnew = a.seg_lnew[rs];
+      const uint32_t* ev = a.seg_ev_flat + a.seg_ev_off[rs];
+      const uint8_t* gseq = a.genome_flat + a.seg_goff[rs] + a.seg_spos[rs];
+      char* out = pre + a.seg_part_off[rs];
+      Key pk = walkreplay::fold_in(ks, static_cast<uint32_t>(a.part_seg_base + s));
+      Key k_iu = walkreplay::fold_in(pk, static_cast<uint32_t>(a.site_iupac));
+      Key k_in = walkreplay::fold_in(pk, static_cast<uint32_t>(a.site_ins));
+      if (cls) std::memset(cls + a.seg_part_off[rs], 0, lnew > 0 ? lnew : 0);
+
+      auto eff_len = [&](int64_t e) -> int64_t {
+        const uint32_t w = ev[e];
+        const int64_t len = (w >> 17) & 0x1FFF;
+        if ((w >> 30) == 1 && e + 1 < ne) {
+          const uint32_t w2 = ev[e + 1];
+          if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+        }
+        return len;
+      };
+      auto copy_match = [&](int64_t i0, int64_t i1, int64_t m0) {
+        const int64_t n = i1 - i0;
+        if (n <= 0) return;
+        std::memcpy(out + m0, gseq + i0, static_cast<size_t>(n));
+        for (int64_t x = 0; x < n; ++x) {
+          const uint8_t c = gseq[i0 + x];
+          if (c != 'A' && c != 'C' && c != 'G' && c != 'T')
+            out[m0 + x] = kCode2Base[resolve_code(c, k_iu, i0 + x)];
+        }
+      };
+      int64_t i = 0, m = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const uint32_t w = ev[e];
+        const int64_t px = w & 0x1FFFF;
+        const int32_t t = w >> 30;
+        const int64_t len = eff_len(e);
+        const int64_t key = (px + 1) / 2;
+        const int64_t ref_start = (t == 1) ? key : px / 2;
+        copy_match(i, ref_start, m);
+        m += ref_start > i ? ref_start - i : 0;
+        i = ref_start > i ? ref_start : i;
+        if (len == 0) continue;
+        if (t == 0) {  // mis: MIDDLE-indexed hi half of SITE_IUPAC
+          if (cls) std::memset(cls + a.seg_part_off[rs] + m, 1, len);
+          for (int64_t x = 0; x < len; ++x, ++i, ++m) {
+            int off = 1 + static_cast<int>(
+                u2_hi(bits_at(k_iu, static_cast<uint32_t>(m))) * 3.0f);
+            if (off > 3) off = 3;
+            out[m] = kCode2Base[(resolve_code(gseq[i], k_iu, i) + off) & 3];
+          }
+        } else if (t == 1) {  // ins: MIDDLE-indexed lo half of SITE_INS_BASE
+          if (cls) std::memset(cls + a.seg_part_off[rs] + m, 2, len);
+          for (int64_t x = 0; x < len; ++x, ++m) {
+            int code = static_cast<int>(
+                u2_lo(bits_at(k_in, static_cast<uint32_t>(m))) * 4.0f);
+            if (code > 3) code = 3;
+            out[m] = kCode2Base[code];
+          }
+        } else {
+          i += len;
+        }
+      }
+      copy_match(i, i + (lnew - m), m);
+    }
+
+    // gaps
+    for (int64_t g = 0; g < ns - 1; ++g) {
+      const int64_t rg = r * (a.S - 1) + g;
+      const int64_t glnew = a.gap_lnew[rg];
+      Key pk = walkreplay::fold_in(ks, static_cast<uint32_t>(a.part_gap_base + g));
+      Key k_iu = walkreplay::fold_in(pk, static_cast<uint32_t>(a.site_iupac));
+      Key k_in = walkreplay::fold_in(pk, static_cast<uint32_t>(a.site_ins));
+      recon_gap_part(a.gap_ev_flat + a.gap_ev_off[rg], a.gap_n_steps[rg],
+                     a.gap_mid[rg], glnew,
+                     a.genome_flat + a.gap_goff[rg] + a.gap_spos[rg],
+                     k_iu, k_in, pre + a.gap_part_off[rg], gap_flags);
+      if (cls) std::memset(cls + a.gap_part_off[rg], 4, glnew > 0 ? glnew : 0);
+    }
+
+    // record
+    *fp++ = a.fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    if (rev) {
+      for (int64_t j = 0; j < total; ++j)
+        *fp++ = g_comp[(uint8_t)pre[total - 1 - j]];
+    } else {
+      fp = put_bytes(fp, pre, total);
+    }
+    *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      for (int64_t j = 0; j < total; ++j) {
+        const int64_t jj = rev ? total - 1 - j : j;
+        const int c = cls[jj];
+        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(jj));
+        const float* br = a.q_breaks + c * a.qK;
+        int64_t lo = 0, hi = a.qK;
+        while (lo < hi) {
+          const int64_t m = (lo + hi) >> 1;
+          if (br[m] <= u) lo = m + 1; else hi = m;
+        }
+        *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
+      }
+      *fp++ = '\n';
+    }
+
+    // per-segment error log (reverse event order; gaps are never logged)
+    if (!a.write_errors) continue;
+    for (int64_t s = 0; s < ns; ++s) {
+      const int64_t rs = r * a.S + s;
+      const int64_t ne = a.seg_n_ev[rs];
+      if (ne == 0) continue;
+      const char* mid = pre + a.seg_part_off[rs];
+      const uint32_t* ev = a.seg_ev_flat + a.seg_ev_off[rs];
+      const uint8_t* gseq = a.genome_flat + a.seg_goff[rs] + a.seg_spos[rs];
+      if ((int64_t)rpos_buf.size() < ne) rpos_buf.resize(ne);
+      int64_t* rpos = rpos_buf.data();
+      auto eff_len = [&](int64_t e) -> int64_t {
+        const uint32_t w = ev[e];
+        const int64_t len = (w >> 17) & 0x1FFF;
+        if ((w >> 30) == 1 && e + 1 < ne) {
+          const uint32_t w2 = ev[e + 1];
+          if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+        }
+        return len;
+      };
+      {
+        int64_t cum_del = 0, cum_ins = 0;
+        for (int64_t e = 0; e < ne; ++e) {
+          const uint32_t w = ev[e];
+          const int32_t t = w >> 30;
+          const int64_t key = ((w & 0x1FFFF) + 1) / 2;
+          const int64_t ref_start = (t == 1) ? key : (w & 0x1FFFF) / 2;
+          rpos[e] = ref_start - cum_del + cum_ins;
+          if (t == 1) cum_ins += eff_len(e);
+          if (t == 2) cum_del += (w >> 17) & 0x1FFF;
+        }
+      }
+      for (int64_t e = ne - 1; e >= 0; --e) {
+        const uint32_t w = ev[e];
+        const int32_t t = w >> 30;
+        const int64_t len = eff_len(e);
+        if (len == 0) continue;
+        const int64_t key = ((w & 0x1FFFF) + 1) / 2;
+        ep = put_bytes(ep, name, name_len);
+        *ep++ = '\t';
+        ep = put_i64(ep, key);
+        *ep++ = '\t';
+        ep = put_bytes(ep, kTypeNames[t], 3);
+        *ep++ = '\t';
+        ep = put_i64(ep, len);
+        *ep++ = '\t';
+        if (t == 1) {
+          std::memset(ep, '-', len);
+          ep += len;
+        } else {
+          ep = put_bytes(ep, gseq + key, len);
+        }
+        *ep++ = '\t';
+        if (t == 2) {
+          std::memset(ep, '-', len);
+          ep += len;
+        } else {
+          ep = put_bytes(ep, mid + rpos[e], len);
+        }
+        *ep++ = '\n';
+      }
+    }
+  }
+  *fw = fp - fp0;
+  *ew = ep - ep0;
+}
+
+int64_t emit_chimeric_recon(
+    int64_t seed, int64_t stream,
+    int64_t site_iupac, int64_t site_ins, int64_t site_ht, int64_t site_qual,
+    int64_t part_seg_base, int64_t part_gap_base, int64_t ht_cap,
+    int64_t k, int64_t S,
+    const int64_t* slots, const char* names_buf, const int64_t* name_off,
+    const int64_t* total_len, const int64_t* head, const int64_t* tail,
+    const int64_t* n_seg, const uint8_t* rev,
+    const int64_t* seg_part_off, const int64_t* seg_lnew, const int64_t* seg_mid,
+    const int64_t* seg_goff, const int64_t* seg_spos,
+    const uint32_t* seg_ev_flat, const int64_t* seg_ev_off, const int64_t* seg_n_ev,
+    const int64_t* gap_part_off, const int64_t* gap_lnew, const int64_t* gap_mid,
+    const int64_t* gap_goff, const int64_t* gap_spos,
+    const uint32_t* gap_ev_flat, const int64_t* gap_ev_off, const int64_t* gap_n_steps,
+    const uint8_t* genome_flat,
+    const int64_t* ubf, const int64_t* ube,
+    char* fastx_out, int64_t* fastx_written,
+    char* err_out, int64_t* err_written,
+    int32_t fastq, int32_t write_errors,
+    const float* q_breaks, const int32_t* q_vals, int64_t qK,
+    int32_t n_threads) {
+  init_comp();
+  ChiReconArgs a{seed, stream, site_iupac, site_ins, site_ht, site_qual,
+                 part_seg_base, part_gap_base, ht_cap, S,
+                 slots, names_buf, name_off, total_len, head, tail, n_seg, rev,
+                 seg_part_off, seg_lnew, seg_mid, seg_goff, seg_spos,
+                 seg_ev_flat, seg_ev_off, seg_n_ev,
+                 gap_part_off, gap_lnew, gap_mid, gap_goff, gap_spos,
+                 gap_ev_flat, gap_ev_off, gap_n_steps,
+                 genome_flat, ubf, ube, fastx_out, err_out,
+                 static_cast<int>(fastq), static_cast<int>(write_errors),
+                 q_breaks, q_vals, qK};
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0), ews(T, 0);
+  if (T == 1) {
+    recon_chimeric_range(a, 0, k, &fws[0], &ews[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t]() { recon_chimeric_range(a, r0s[t], r0s[t + 1], &fws[t], &ews[t]); });
+    for (auto& th : threads) th.join();
+  }
+  int64_t fpos = fws[0], epos = ews[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+    std::memmove(err_out + epos, err_out + a.ube[r0s[t]], ews[t]);
+    epos += ews[t];
+  }
+  *fastx_written = fpos;
+  *err_written = epos;
   return 0;
 }
 

@@ -175,3 +175,64 @@ def test_unaligned_recon_python_equals_native(setup, monkeypatch):
     monkeypatch.setattr(native.NativeEmitter, "available", property(lambda self: False))
     fa1 = _run_unaligned(d, "upy", ref_fa, prefix, 80, 13, True, monkeypatch, fastq=True)
     assert open(fa0, "rb").read() == open(fa1, "rb").read()
+
+
+# --- chimeric reconstruction -------------------------------------------------
+
+
+def _run_chimeric(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, fastq=False):
+    from nanosim_tpu.sim.chimeric_mode import ChimericGenomeSimulator
+
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", chimeric=True, fastq=fastq)
+    sim = ChimericGenomeSimulator(genome, prof, batch=64, fastq=fastq)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
+    er = str(d / f"{tag}.err")
+    fw = out_mod.FastxWriter(fa, fastq)
+    el = out_mod.ErrorLogWriter(er)
+    w = out_mod.ChimericBatchWriter(fw, el)
+    got = sim.run(n, w, seed=seed)
+    fw.close()
+    el.close()
+    assert got == n
+    return fa, er
+
+
+@pytest.fixture(scope="module")
+def chi_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chirec")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=500, sd_read_len=180)
+    from nanosim_tpu.profiles import error_model
+
+    error_model.write_chimeric_info(prefix + "_chimeric_info", 1.8, 0.2)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [40000, 15000], seed=9)
+    return d, prefix, ref_fa
+
+
+def test_chimeric_recon_matches_device(chi_setup, monkeypatch):
+    d, prefix, ref_fa = chi_setup
+    fa0, er0 = _run_chimeric(d, "cdev", ref_fa, prefix, 150, 7, False, monkeypatch)
+    fa1, er1 = _run_chimeric(d, "crec", ref_fa, prefix, 150, 7, True, monkeypatch)
+    a, b = open(fa0, "rb").read(), open(fa1, "rb").read()
+    if a != b:
+        ar, br = a.split(b">"), b.split(b">")
+        for i, (x, y) in enumerate(zip(ar, br)):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_chimeric_recon_matches_device_fastq(chi_setup, monkeypatch):
+    d, prefix, ref_fa = chi_setup
+    fa0, er0 = _run_chimeric(d, "cdevq", ref_fa, prefix, 120, 3, False, monkeypatch, fastq=True)
+    fa1, er1 = _run_chimeric(d, "crecq", ref_fa, prefix, 120, 3, True, monkeypatch, fastq=True)
+    a, b = open(fa0, "rb").read(), open(fa1, "rb").read()
+    if a != b:
+        ar, br = a.split(b"@"), b.split(b"@")
+        for i, (x, y) in enumerate(zip(ar, br)):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert open(er0, "rb").read() == open(er1, "rb").read()
