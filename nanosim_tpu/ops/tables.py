@@ -301,6 +301,35 @@ _register(KdeDevice, ("data", "bandwidth"), ("log_transform",))
 
 
 def build_qual_breakpoints(params: dict, classes) -> tuple:
+    """Disk-cached wrapper around :func:`_build_qual_breakpoints_compute`
+    (the f32 boundary searches cost ~0.4 s per process start)."""
+    import hashlib
+    import os
+
+    from ..profiles.ecdf import _breakpoint_cache_dir
+
+    h = hashlib.sha256(b"qbp-v1")
+    for c in classes:
+        h.update(f"{c}:{params[c]['sd']!r}:{params[c]['mu']!r};".encode())
+    d = _breakpoint_cache_dir()
+    path = os.path.join(d, "q" + h.hexdigest()[:24] + ".npz")
+    try:
+        z = np.load(path)
+        return z["breaks"], z["vals"]
+    except Exception:
+        pass
+    br, vl = _build_qual_breakpoints_compute(params, classes)
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, breaks=br, vals=vl)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return br, vl
+
+
+def _build_qual_breakpoints_compute(params: dict, classes) -> tuple:
     """Exact f32 inverse-CDF breakpoints for the truncated log-normal base
     qualities (model_base_qualities.py:9-20, truncation to [1, 93]).
 

@@ -153,7 +153,55 @@ def parse_ecdf_lines(lines) -> EcdfTable:
     )
 
 
+def _breakpoint_cache_dir():
+    import os
+
+    d = os.environ.get("NANOSIM_TPU_TABLE_CACHE")
+    if d:
+        return d
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(repo, ".xla_cache", "tables")
+    if os.path.isdir(os.path.join(repo, ".xla_cache")):
+        return cand
+    return os.path.expanduser("~/.cache/nanosim_tpu_tables")
+
+
 def exact_breakpoints(t: EcdfTable, max_p: float = 1.0):
+    """Cached wrapper around :func:`_exact_breakpoints_compute`.
+
+    The per-entry f32 boundary search is pure Python (seconds for a real
+    match-markov table) and is rerun at every process start; the result is a
+    pure function of the table arrays, so it caches to disk keyed by their
+    digest."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256(b"bp-v1")
+    for a in (t.bin_lo, t.bin_hi, t.p_lo, t.p_hi, t.v_lo, t.v_hi, t.n_entries):
+        arr = np.ascontiguousarray(a)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    h.update(repr(max_p).encode())
+    d = _breakpoint_cache_dir()
+    path = os.path.join(d, h.hexdigest()[:24] + ".npz")
+    try:
+        z = np.load(path)
+        return z["breaks"], z["vals"], z["n_bk"]
+    except Exception:
+        pass
+    breaks, vals, n_bk = _exact_breakpoints_compute(t, max_p)
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, breaks=breaks, vals=vals, n_bk=n_bk)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return breaks, vals, n_bk
+
+
+def _exact_breakpoints_compute(t: EcdfTable, max_p: float = 1.0):
     """Compile an EcdfTable to EXACT float32 inverse-CDF breakpoints.
 
     The reference inverts its ECDFs with float64 arithmetic
