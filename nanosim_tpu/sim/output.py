@@ -1316,7 +1316,15 @@ class ChimericBatchWriter:
         for rank, b in enumerate(lanes):
             idx = start + rank
             ns = int(d["n_seg"][b])
-            comps = [f"{names_g[d['chrom'][b, s]]}_{d['pos'][b, s]}" for s in range(ns)]
+            comps = []
+            for s in range(ns):
+                comp = f"{names_g[d['chrom'][b, s]]}_{d['pos'][b, s]}"
+                if self.metagenome and self.species_names is not None:
+                    sp = self.species_names[self.species_of_chrom[d["chrom"][b, s]]]
+                    comp = f"{sp}-{comp}"
+                comps.append(comp)
+                if self.metagenome and s < ns - 1:
+                    comps.append(f"gap_{d['gap_len'][b, s]}")
             name = ";".join(comps) + f"_aligned_{idx}"
             if ns > 1:
                 name += "_chimeric"
@@ -1445,6 +1453,12 @@ class ChimericBatchWriter:
                     # write_read_events reverses; feed in ascending order
                     self.error_log.write_read_events(
                         names[rank], ks[::-1], tn[::-1], lv[::-1], rf[::-1], sq[::-1])
+            if self.species_bases is not None:
+                chrom_l = d["chrom"][lanes]
+                sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
+                seg_mask = np.arange(S)[None, :] < n_seg_l[:, None]
+                np.add.at(self.species_bases, sp_rs[seg_mask],
+                          d["seg_mref"][lanes][seg_mask])
             return k
 
         fastx_mv, err_mv = self._emitter.emit_chimeric_recon(
@@ -1473,6 +1487,13 @@ class ChimericBatchWriter:
         self.fastx.f.write(fastx_mv)
         if with_events and self.error_log is not None:
             self.error_log.write_bytes(err_mv)
+        if self.species_bases is not None:
+            # metagenome quota feedback (same accounting as the padded path)
+            chrom_l = d["chrom"][lanes]
+            sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
+            seg_mask = np.arange(S)[None, :] < n_seg_l[:, None]
+            np.add.at(self.species_bases, sp_rs[seg_mask],
+                      d["seg_mref"][lanes][seg_mask])
         return k
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int,

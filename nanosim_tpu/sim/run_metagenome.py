@@ -292,8 +292,50 @@ class MetagenomeSimulator:
         )
 
     def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
-        fn = self.batch_fn()
+        import os
+
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
+
+        # host reconstruction (same machinery as the chimeric genome mode):
+        # meta-only device program + part-keyed C++ walk replays + C++
+        # splice/emit — nothing wide crosses the link
+        recon = (
+            self.kw["kmer_bias"] is None and not self.perfect
+            and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
+        )
+        if recon:
+            from ..io.native import UnalignedWalkReplayer, WalkReplayer, get_lib
+
+            lib = get_lib()
+            recon = lib is not None and hasattr(lib, "emit_chimeric_recon")
+            if recon:
+                self._seg_replayer = WalkReplayer(
+                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                    e_guard=self.kw["e_max"],
+                )
+                self._gap_replayer = UnalignedWalkReplayer(
+                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_UNALIGNED_WALK,
+                    e_guard=self.kw["gap_steps"],
+                )
+                recon = (self._seg_replayer.available
+                         and self._gap_replayer.available)
+        if recon:
+            from .chimeric_mode import ChimericReconHandle, pack_chimeric_meta
+
+            fn_meta = functools.partial(
+                chimeric_batch, genome=self.genome_dev, tables=self.tables,
+                emit_reads=False, **self.kw
+            )
+
+            def dispatch(slots, species):
+                out = fn_meta(base, slots, jnp.asarray(species))
+                return ChimericReconHandle(
+                    pack_chimeric_meta(out), np.asarray(slots), self, seed)
+        else:
+            fn = self.batch_fn()
+
+            def dispatch(slots, species):
+                return fn(base, slots, jnp.asarray(species))
         rng_py = np.random.default_rng(np.random.SeedSequence([seed, 0xA55]))
         accepted = 0
         slot_start = 0
@@ -314,7 +356,7 @@ class MetagenomeSimulator:
             species = assign_species_batch(
                 m_ref, n_seg, self.current_bases, self.abun, self.abun_inflated, rng_py
             )
-            out = fn(base, slots, jnp.asarray(species))
+            out = dispatch(slots, species)
             prev = accepted
             accepted += writer.write_batch(self, out, accepted, n_reads)
             output.report_progress(prev, accepted)

@@ -236,3 +236,46 @@ def test_chimeric_recon_matches_device_fastq(chi_setup, monkeypatch):
             assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
     assert a == b
     assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_metagenome_recon_matches_device(tmp_path, monkeypatch):
+    """Metagenome (chimeric, multi-species, quota feedback) through host
+    reconstruction must byte-equal the padded device path."""
+    from nanosim_tpu.profiles import error_model
+    from nanosim_tpu.sim.run_metagenome import simulate_metagenome
+
+    d = str(tmp_path)
+    prefix = os.path.join(d, "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=130)
+    error_model.write_chimeric_info(prefix + "_chimeric_info", 1.5, 0.2)
+    species = ["Escherichia_coli", "Bacillus_subtilis"]
+    gl = os.path.join(d, "genome_list.tsv")
+    with open(gl, "w") as f:
+        for i, sp in enumerate(species):
+            p = os.path.join(d, f"{sp}.fa")
+            fixtures.make_reference_fasta(p, [30000], seed=40 + i, name_prefix=f"{sp[:3]}chr")
+            f.write(f"{sp}\t{p}\n")
+    dl = os.path.join(d, "dna_types.tsv")
+    with open(dl, "w") as f:
+        for sp in species:
+            f.write(f"{sp}\t{sp[:3]}chr1\tlinear\n")
+    abun = os.path.join(d, "abun.tsv")
+    with open(abun, "w") as f:
+        f.write("Species\t100\nEscherichia coli\t65\nBacillus subtilis\t35\n")
+
+    outs = {}
+    for tag, recon in (("dev", "0"), ("rec", "1")):
+        monkeypatch.setenv("NANOSIM_TPU_RECON", recon)
+        out = os.path.join(d, tag)
+        simulate_metagenome(gl, abun, dl, prefix, out, chimeric=True,
+                            seed=5, batch=64)
+        outs[tag] = out
+    a = open(outs["dev"] + "_sample0_aligned_reads.fasta", "rb").read()
+    b = open(outs["rec"] + "_sample0_aligned_reads.fasta", "rb").read()
+    if a != b:
+        ar, br = a.split(b">"), b.split(b">")
+        for i, (x, y) in enumerate(zip(ar, br)):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert (open(outs["dev"] + "_sample0_aligned_error_profile", "rb").read()
+            == open(outs["rec"] + "_sample0_aligned_error_profile", "rb").read())
