@@ -50,7 +50,8 @@ def get_lib():
             lib.emit_batch_flat.restype = ctypes.c_int64
             lib.replay_walk_batch.restype = ctypes.c_int64
             for name in ("emit_batch_recon", "replay_unaligned_walk_batch",
-                         "emit_batch_recon_unaligned", "emit_chimeric_recon"):
+                         "emit_batch_recon_unaligned", "emit_chimeric_recon",
+                         "emit_trx_recon"):
                 try:
                     getattr(lib, name).restype = ctypes.c_int64
                 except AttributeError:
@@ -667,6 +668,114 @@ class NativeEmitter:
         )
         if rc != 0:
             raise RuntimeError(f"emit_chimeric_recon failed rc={rc}")
+        return (
+            memoryview(self._fastx_buf)[: fw.value],
+            memoryview(self._err_buf)[: ew.value],
+        )
+
+    def emit_trx_recon(
+        self,
+        *,
+        seed: int,
+        stream: int,
+        ht_cap: int,
+        slots: np.ndarray,  # [k]
+        names: list,
+        total: np.ndarray,
+        head: np.ndarray,
+        tail: np.ndarray,
+        pa_len: np.ndarray,
+        l_new: np.ndarray,
+        middle_ref: np.ndarray,
+        rev: np.ndarray,
+        ev_flat: np.ndarray,  # u32 replayed walk events
+        ev_off: np.ndarray,
+        n_events: np.ndarray,
+        src_a: np.ndarray,  # transcriptome flat bytes
+        src_b: np.ndarray,  # IR interval-concat aux
+        use_b: np.ndarray,  # [k] uint8
+        src_off: np.ndarray,  # [k]
+        fastq: bool,
+        uracil: bool,
+        write_errors: bool,
+        qual_table=None,
+        n_threads: int = 0,
+    ):
+        """Reconstruct + format transcriptome reads (head | middle | polyA |
+        tail) from replayed event streams."""
+        from ..ops import rng as rng_mod
+
+        k = len(slots)
+        names_packed, name_off, _ = self._pack_names(names)
+        i64 = lambda a: np.ascontiguousarray(a, np.int64)
+
+        if fastq:
+            assert qual_table is not None
+            q_breaks = np.ascontiguousarray(qual_table[0], np.float32)
+            q_vals = np.ascontiguousarray(qual_table[1], np.int32)
+            qK = q_breaks.shape[1]
+        else:
+            q_breaks = np.zeros((5, 1), np.float32)
+            q_vals = np.zeros((5, 1), np.int32)
+            qK = 1
+
+        name_lens = np.diff(name_off)
+        ubf = np.zeros(k + 1, np.int64)
+        ubf[1:] = np.cumsum(name_lens + total * (2 if fastq else 1) + 16)
+        ube = np.zeros(k + 1, np.int64)
+        if write_errors:
+            lens_all = ((np.asarray(ev_flat) >> np.uint32(17)) & np.uint32(0x1FFF)).astype(np.int64)
+            csum = np.zeros(len(lens_all) + 1, np.int64)
+            np.cumsum(lens_all, out=csum[1:])
+            ev_len_sum = csum[np.asarray(ev_off) + np.asarray(n_events)] - csum[np.asarray(ev_off)]
+            ube[1:] = np.cumsum(np.asarray(n_events) * (name_lens + 52) + 2 * ev_len_sum)
+        if self._fastx_buf.size < ubf[k]:
+            self._fastx_buf = np.empty(int(ubf[k] * 1.3) + 64, np.uint8)
+        if self._err_buf.size < ube[k] + 64:
+            self._err_buf = np.empty(int(ube[k] * 1.3) + 64, np.uint8)
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+
+        fw = ctypes.c_int64(0)
+        ew = ctypes.c_int64(0)
+        rc = self.lib.emit_trx_recon(
+            ctypes.c_int64(seed), ctypes.c_int64(stream),
+            ctypes.c_int64(rng_mod.SITE_IUPAC), ctypes.c_int64(rng_mod.SITE_INS_BASE),
+            ctypes.c_int64(rng_mod.SITE_HEAD_TAIL), ctypes.c_int64(rng_mod.SITE_QUAL),
+            ctypes.c_int64(ht_cap), ctypes.c_int64(k),
+            _ptr(i64(slots), ctypes.c_int64),
+            names_packed.ctypes.data_as(ctypes.c_char_p),
+            _ptr(name_off, ctypes.c_int64),
+            _ptr(i64(total), ctypes.c_int64),
+            _ptr(i64(head), ctypes.c_int64),
+            _ptr(i64(tail), ctypes.c_int64),
+            _ptr(i64(pa_len), ctypes.c_int64),
+            _ptr(i64(l_new), ctypes.c_int64),
+            _ptr(i64(middle_ref), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(rev, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(ev_flat, np.uint32), ctypes.c_uint32),
+            _ptr(i64(ev_off), ctypes.c_int64),
+            _ptr(i64(n_events), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(src_a, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(src_b, np.uint8), ctypes.c_uint8),
+            _ptr(np.ascontiguousarray(use_b, np.uint8), ctypes.c_uint8),
+            _ptr(i64(src_off), ctypes.c_int64),
+            _ptr(ubf, ctypes.c_int64),
+            _ptr(ube, ctypes.c_int64),
+            _ptr(self._fastx_buf, ctypes.c_char),
+            ctypes.byref(fw),
+            _ptr(self._err_buf, ctypes.c_char),
+            ctypes.byref(ew),
+            ctypes.c_int32(1 if fastq else 0),
+            ctypes.c_int32(1 if uracil else 0),
+            ctypes.c_int32(1 if write_errors else 0),
+            _ptr(q_breaks, ctypes.c_float),
+            _ptr(q_vals, ctypes.c_int32),
+            ctypes.c_int64(qK),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError(f"emit_trx_recon failed rc={rc}")
         return (
             memoryview(self._fastx_buf)[: fw.value],
             memoryview(self._err_buf)[: ew.value],

@@ -248,4 +248,9 @@ def ir_walk_and_extract(sk, trx, middle_ref, trx_len, t: IRTables, genome: extra
     n_ir = jnp.sum(ret_used, axis=1).astype(jnp.int32)
 
     rep_pos = jnp.where(has_ir, jnp.min(jnp.where(has_take, g_start, 2**62), axis=1), 0)
-    return seg, rep_pos, extracted_len, has_ir, ir_intervals, n_ir, reach_end
+    # per-feature (genomic start, taken length) — the host-reconstruction
+    # path rebuilds the source bytes from these instead of re-walking
+    feat_start = jnp.where(has_take, g_start, 0)
+    feat_take = jnp.where(has_take, take, 0).astype(jnp.int32)
+    return (seg, rep_pos, extracted_len, has_ir, ir_intervals, n_ir, reach_end,
+            feat_start, feat_take)

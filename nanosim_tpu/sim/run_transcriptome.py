@@ -47,8 +47,13 @@ class TrxBatchWriter:
 
         self._emitter = NativeEmitter()
 
-    def write_batch(self, sim, out: TrxBatchOut, accepted_so_far: int, quota: int,
+    def write_batch(self, sim, out, accepted_so_far: int, quota: int,
                     lanes=None, start=None) -> int:
+        from .transcriptome_mode import TrxReconHandle
+
+        if isinstance(out, TrxReconHandle):
+            return _trx_recon_write(self, sim, out, accepted_so_far, quota,
+                                    lanes, start)
         if lanes is None:
             valid = np.asarray(out.valid)
             lanes = np.nonzero(valid)[0][: quota - accepted_so_far]
@@ -179,6 +184,101 @@ class TrxBatchWriter:
         self.error_log.write_read_events(name, keys[kr], tnames, eff[kr], refs, seqs)
 
 
+def _trx_recon_write(writer, sim, h, accepted_so_far: int, quota: int,
+                     lanes=None, start=None) -> int:
+    """Host-reconstruct + emit a meta-only transcriptome batch."""
+    from .transcriptome_mode import decode_trx_meta
+
+    meta = np.asarray(h.meta_dev)
+    d = decode_trx_meta(meta, h.n_iv, h.F)
+    if lanes is None:
+        lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+        start = accepted_so_far
+    if start is None:
+        start = accepted_so_far
+    if len(lanes) == 0:
+        return 0
+    k = len(lanes)
+    slots = np.asarray(h.slots)
+    trx_host = sim.genome_host
+    names_t = trx_host.names
+
+    names = []
+    for rank, b in enumerate(lanes):
+        idx = start + rank
+        kind = "aligned"
+        name = f"{names_t[d['trx'][b]]}_{d['pos'][b]}_{kind}_{idx}"
+        if d["n_ir"][b] > 0:
+            name += "_RetainedIntron_"
+            for kk in range(d["n_ir"][b]):
+                name += f"{d['ir_iv'][b, kk, 0]}-{d['ir_iv'][b, kk, 1]};"
+        name += "_R" if d["rev"][b] else "_F"
+        name += f"_{d['head'][b]}_{d['mref'][b]}_{d['tail'][b] + d['pa'][b]}"
+        names.append(name)
+
+    # replay the aligned walk for the selected lanes (checksum-verified)
+    nev = d["n_events"][lanes]
+    off = np.concatenate([[0], np.cumsum(nev)])[:-1]
+    ev_out = np.zeros(max(int(nev.sum()), 1), np.uint32)
+    ok = sim._replayer.replay(
+        slots[lanes], np.ones(k, np.uint8), d["mref0"][lanes], nev,
+        d["cksum"][lanes].astype(np.uint32), ev_out, off,
+    )
+    if not bool(ok.all()):
+        raise RuntimeError(
+            "transcriptome walk replay failed checksum verification; "
+            "set NANOSIM_TPU_RECON=0 to fall back to device materialization"
+        )
+
+    # sources: transcript slices, or host-assembled IR interval concats
+    use_b = np.zeros(k, np.uint8)
+    src_off = np.zeros(k, np.int64)
+    aux_parts = []
+    aux_pos = 0
+    t_off = np.asarray(trx_host.offsets)
+    for rank, b in enumerate(lanes):
+        if d["has_ir"][b]:
+            g = sim.ir_genome_host
+            goff = int(np.asarray(g.offsets)[d["ir_chrom"][b]])
+            chunks = []
+            for f in range(h.F):
+                take = int(d["feat_take"][b, f])
+                if take <= 0:
+                    continue
+                s0 = goff + int(d["feat_start"][b, f])
+                chunks.append(g.flat[s0 : s0 + take])
+            buf = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+            use_b[rank] = 1
+            src_off[rank] = aux_pos
+            aux_parts.append(buf)
+            aux_pos += len(buf)
+        else:
+            src_off[rank] = int(t_off[d["trx"][b]]) + int(d["pos"][b])
+    src_b = (np.concatenate(aux_parts) if aux_parts else np.zeros(1, np.uint8))
+
+    with_events = writer.error_log is not None and not writer.perfect
+    qt = None
+    if sim.fastq:
+        qd = sim.tables.qual
+        qt = (np.asarray(qd.breaks), np.asarray(qd.vals))
+    fastx_mv, err_mv = writer._emitter.emit_trx_recon(
+        seed=h.seed, stream=rng.STREAM_ALIGNED, ht_cap=sim.ht_cap,
+        slots=slots[lanes], names=names,
+        total=d["total"][lanes], head=d["head"][lanes], tail=d["tail"][lanes],
+        pa_len=d["pa"][lanes], l_new=d["lnew"][lanes],
+        middle_ref=d["mref"][lanes], rev=d["rev"][lanes].astype(np.uint8),
+        ev_flat=ev_out, ev_off=off, n_events=nev,
+        src_a=trx_host.flat, src_b=src_b, use_b=use_b, src_off=src_off,
+        fastq=sim.fastq, uracil=getattr(sim, "uracil", False),
+        write_errors=with_events, qual_table=qt,
+    )
+    writer.fastx.flush()
+    writer.fastx.f.write(fastx_mv)
+    if with_events and writer.error_log is not None:
+        writer.error_log.write_bytes(err_mv)
+    return k
+
+
 class TranscriptomeSimulator:
     def __init__(
         self,
@@ -239,6 +339,7 @@ class TranscriptomeSimulator:
                 weights = [w for _, w in keep]
                 self.ir_tables = tables_ir
                 self.ir_genome_dev = extract.GenomeDevice.from_packed(ir_genome)
+                self.ir_genome_host = ir_genome
                 with_ir = True
             else:
                 _log("WARNING: no expressed transcripts match the GFF structures; IR disabled")
@@ -291,10 +392,67 @@ class TranscriptomeSimulator:
         )
 
     def run(self, n_reads, writer, seed=0, max_batches=None, resume_state=None):
+        import os
+
         from .genome_mode import ResumeState, run_prefetched
 
-        fn = self.batch_fn()
         base = rng.base_key(seed, rng.STREAM_ALIGNED)
+
+        # host reconstruction: meta-only device program + C++ walk replay +
+        # C++ emit (head | middle | polyA | tail, IR interval sources
+        # host-assembled).  ~130 B/lane crosses the link.
+        recon = (
+            self.kmer_bias is None and not self.perfect
+            and self.profile.mix_params is not None
+            and (not self.fastq or self.profile.base_quals is not None)
+            and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
+        )
+        if recon:
+            from ..io.native import WalkReplayer, get_lib
+
+            lib = get_lib()
+            recon = lib is not None and hasattr(lib, "emit_trx_recon")
+            if recon:
+                self._replayer = WalkReplayer(
+                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                    e_guard=self.e_max,
+                )
+                recon = self._replayer.available
+        if recon:
+            from .transcriptome_mode import TrxReconHandle, pack_trx_meta
+            from .ir import MAX_IR_OUT
+
+            fn_meta = functools.partial(
+                transcriptome_batch,
+                genome=self.genome_dev,
+                tables=self.tables,
+                cum_weights=self.cum_weights,
+                trx_of_eligible=self.trx_of_eligible,
+                polya_mask=self.polya_mask,
+                ir_tables=self.ir_tables,
+                ir_genome=self.ir_genome_dev,
+                emit_reads=False,
+                **self.kw,
+            )
+            # ir_intervals width is min(f_max, MAX_IR_OUT) (sim/ir.py argsort slice)
+            n_iv = min(MAX_IR_OUT, self.ir_tables.f_max) if self.with_ir else 1
+            F = self.ir_tables.f_max if self.with_ir else 1
+
+            def make_batch(slot_start):
+                slots = np.arange(slot_start, slot_start + self.batch, dtype=np.int64)
+                out = fn_meta(base, jnp.asarray(slots))
+                if self.with_ir:
+                    irc = self.ir_tables.chrom[self.ir_tables.feat_offset[out.trx]]
+                else:
+                    irc = jnp.zeros(self.batch, jnp.int32)
+                return TrxReconHandle(pack_trx_meta(out, irc), slots, self, seed,
+                                      n_iv, F)
+
+            state = ResumeState(resume_state) if resume_state else None
+            return run_prefetched(make_batch, self.batch, n_reads, writer, self,
+                                  max_batches, state=state)
+
+        fn = self.batch_fn()
 
         def make_batch(slot_start):
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)

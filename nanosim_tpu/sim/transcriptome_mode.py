@@ -57,6 +57,10 @@ class TrxBatchOut(NamedTuple):
     ref_seg: jax.Array  # [B, l_cap] IUPAC-resolved extracted reference
     read_prehp: jax.Array  # [B, l_cap] pass-1 mutated middle (log source)
     m_ref_init: jax.Array = None  # [B] walk INPUT length (2D-KDE aligned draw)
+    # host-reconstruction extras (meta-only program)
+    ev_cksum: jax.Array = None  # [B] uint32 walk event checksum
+    ir_feat_start: jax.Array = None  # [B, F] i64 per-feature genomic starts
+    ir_feat_take: jax.Array = None  # [B, F] i32 per-feature taken lengths
 
 
 def pick_transcripts(sk, cum_weights: jax.Array, site=rng.SITE_TRANSCRIPT):
@@ -91,7 +95,7 @@ def polya_length(sk, retain: jax.Array, scale: float):
     static_argnames=(
         "l_cap", "l_out", "ht_cap", "e_max", "fastq", "perfect", "uracil",
         "polya_scale", "max_len", "with_ir", "kmer_bias", "hp_r_max",
-        "exact_conditional",
+        "exact_conditional", "emit_reads",
     ),
 )
 def transcriptome_batch(
@@ -118,7 +122,11 @@ def transcriptome_batch(
     ir_tables=None,  # IRTables pytree (dummy allowed when with_ir=False)
     ir_genome: Optional[extract.GenomeDevice] = None,
     exact_conditional: bool = False,
+    emit_reads: bool = True,
 ) -> TrxBatchOut:
+    assert emit_reads or (kmer_bias is None and not perfect), (
+        "meta-only transcriptome program supports the plain aligned path"
+    )
     B = slots.shape[0]
     sk = rng.slot_keys(base_key, slots)
 
@@ -195,22 +203,24 @@ def transcriptome_batch(
     if with_ir and not perfect:
         from .ir import ir_walk_and_extract
 
-        (ir_seg, ir_pos, ir_extract_len, has_ir, ir_intervals, n_ir, ir_retain_end) = (
-            ir_walk_and_extract(
-                sk, trx, middle_ref, trx_len, ir_tables, ir_genome, l_cap
-            )
+        (ir_seg, ir_pos, ir_extract_len, has_ir, ir_intervals, n_ir, ir_retain_end,
+         ir_feat_start, ir_feat_take) = ir_walk_and_extract(
+            sk, trx, middle_ref, trx_len, ir_tables, ir_genome, l_cap
         )
 
     # --- extraction --------------------------------------------------------
     local_pos, pos_ok = extract.sample_transcript_positions(sk, trx, middle_ref, genome)
     valid &= pos_ok
-    ref_seg = extract.gather_segments(genome, trx, local_pos, middle_ref, l_cap)
+    if emit_reads:
+        ref_seg = extract.gather_segments(genome, trx, local_pos, middle_ref, l_cap)
+        if with_ir and not perfect:
+            ref_seg = jnp.where(has_ir[:, None], ir_seg, ref_seg)
     if with_ir and not perfect:
-        ref_seg = jnp.where(has_ir[:, None], ir_seg, ref_seg)
         local_pos = jnp.where(has_ir, ir_pos, local_pos)
         valid &= jnp.where(has_ir, ir_extract_len == middle_ref, True)
-    u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
-    ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
+    if emit_reads:
+        u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap,))
+        ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     # polyA retention: non-IR reads reach the 3' end within 10 bp
     # (extract_read_trx, simulator.py:1683-1691); IR reads use the genomic
@@ -221,6 +231,64 @@ def transcriptome_batch(
     if with_ir and not perfect:
         retain_polya = jnp.where(has_ir, trx_has_polya & ir_retain_end, retain_polya)
     pa_len = polya_length(sk, retain_polya, polya_scale) if polya_scale > 0 else jnp.zeros(B, jnp.int32)
+
+    if not emit_reads:
+        # Meta-only program (host reconstruction): no ref gather map /
+        # materialization / [B, l_out] assembly.  l_new is the
+        # dict-overwrite-aware read length; acceptance matches the full
+        # program's exactly.
+        eff = apply_errors.effective_lens(ev_pos2x, ev_type, ev_len, ev_valid)
+        dsum = jnp.sum(jnp.where(ev_valid & (ev_type == 2), eff, 0), axis=1)
+        isum = jnp.sum(jnp.where(ev_valid & (ev_type == 1), eff, 0), axis=1)
+        l_new2 = (middle_ref - dsum + isum).astype(jnp.int32)
+        total = head + l_new2 + pa_len + tail
+        valid &= total <= l_out
+        u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
+        is_rev = u_strand > tables.strandness_rate
+        w = (
+            ev_pos2x.astype(jnp.uint32)
+            | (ev_len.astype(jnp.uint32) << jnp.uint32(17))
+            | (ev_type.astype(jnp.uint32) << jnp.uint32(30))
+        )
+        e_i = jnp.arange(w.shape[1], dtype=jnp.uint32)[None, :]
+        terms = (w + jnp.uint32(1)) * (jnp.uint32(2) * e_i + jnp.uint32(1))
+        cksum = jnp.sum(
+            jnp.where(e_i.astype(jnp.int32) < n_events[:, None], terms, jnp.uint32(0)),
+            axis=1, dtype=jnp.uint32,
+        )
+        if with_ir and not perfect:
+            feat_start, feat_take = ir_feat_start, ir_feat_take
+        else:
+            feat_start = jnp.zeros((B, 1), jnp.int64)
+            feat_take = jnp.zeros((B, 1), jnp.int32)
+        dummy = jnp.zeros((B, 4), jnp.uint8)
+        return TrxBatchOut(
+            read=dummy,
+            quals=dummy,
+            valid=valid,
+            total_len=total,
+            head=head,
+            tail=tail,
+            polya_len=pa_len,
+            middle_ref=middle_ref,
+            l_new=l_new2,
+            trx=trx,
+            local_pos=local_pos,
+            is_reversed=is_rev,
+            ev_pos2x=ev_pos2x,
+            ev_type=ev_type,
+            ev_len=ev_len,
+            n_events=n_events,
+            has_ir=has_ir,
+            ir_intervals=ir_intervals,
+            n_ir=n_ir,
+            ref_seg=dummy,
+            read_prehp=dummy,
+            m_ref_init=aligned,
+            ev_cksum=cksum,
+            ir_feat_start=feat_start,
+            ir_feat_take=feat_take,
+        )
 
     read_prehp = ref_seg
     if perfect:
@@ -322,3 +390,51 @@ def transcriptome_batch(
         read_prehp=read_prehp,
         m_ref_init=aligned,
     )
+
+
+TRX_META_SCALARS = 16  # valid,total,head,tail,pa,mref,lnew,trx,pos,rev,nev,cksum,mref0,has_ir,n_ir,ir_chrom
+
+
+@jax.jit
+def pack_trx_meta(out: TrxBatchOut, ir_chrom: jax.Array) -> jax.Array:
+    """ONE [B, K] int64 transfer for the recon writer (events stay on
+    device; the host replays them against the checksum)."""
+    scal = [out.valid, out.total_len, out.head, out.tail, out.polya_len,
+            out.middle_ref, out.l_new, out.trx, out.local_pos,
+            out.is_reversed, out.n_events, out.ev_cksum, out.m_ref_init,
+            out.has_ir, out.n_ir, ir_chrom]
+    parts = [jnp.stack([c.astype(jnp.int64) for c in scal], axis=1)]
+    B = out.ir_intervals.shape[0]
+    parts.append(out.ir_intervals.reshape(B, -1).astype(jnp.int64))
+    parts.append(out.ir_feat_start.astype(jnp.int64))
+    parts.append(out.ir_feat_take.astype(jnp.int64))
+    return jnp.concatenate(parts, axis=1)
+
+
+def decode_trx_meta(meta, n_iv: int, F: int) -> dict:
+    names = ["valid", "total", "head", "tail", "pa", "mref", "lnew", "trx",
+             "pos", "rev", "n_events", "cksum", "mref0", "has_ir", "n_ir",
+             "ir_chrom"]
+    d = {nm: meta[:, i] for i, nm in enumerate(names)}
+    d["valid"] = d["valid"].astype(bool)
+    d["rev"] = d["rev"].astype(bool)
+    d["has_ir"] = d["has_ir"].astype(bool)
+    off = TRX_META_SCALARS
+    d["ir_iv"] = meta[:, off : off + 2 * n_iv].reshape(len(meta), n_iv, 2)
+    off += 2 * n_iv
+    d["feat_start"] = meta[:, off : off + F]
+    off += F
+    d["feat_take"] = meta[:, off : off + F]
+    return d
+
+
+class TrxReconHandle:
+    """A dispatched meta-only transcriptome batch."""
+
+    def __init__(self, meta_dev, slots, sim, seed, n_iv, F):
+        self.meta_dev = meta_dev
+        self.slots = slots
+        self.sim = sim
+        self.seed = seed
+        self.n_iv = n_iv
+        self.F = F

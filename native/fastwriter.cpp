@@ -1481,6 +1481,319 @@ int64_t emit_batch_recon_unaligned(
   return 0;
 }
 
+// --- transcriptome host reconstruction --------------------------------------
+//
+// Layout: head | mutated middle | polyA 'A's | tail (pre-reverse), then the
+// strand flip and (dRNA) T->U translation.  Middle mutation draws are
+// MIDDLE-indexed (iupac = SITE_IUPAC lo @ source index, mis = SITE_IUPAC hi
+// @ middle index, ins = SITE_INS_BASE lo @ middle index) on per-SLOT keys;
+// the source bytes are the transcript slice, or the exon/retained-intron
+// interval concatenation for IR reads (host-assembled from the device's
+// per-feature intervals).  Error-log ref bases are the IUPAC-RESOLVED
+// source (matching TrxBatchWriter, which logs from the resolved ref rows).
+
+struct TrxReconArgs {
+  int64_t seed, stream, site_iupac, site_ins, site_ht, site_qual, ht_cap;
+  const int64_t* slots;
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* total_len;
+  const int64_t* head;
+  const int64_t* tail;
+  const int64_t* pa_len;
+  const int64_t* l_new;
+  const int64_t* middle_ref;
+  const uint8_t* rev;
+  const uint32_t* ev_flat;
+  const int64_t* ev_off;
+  const int64_t* n_events;
+  const uint8_t* src_a;      // packed transcriptome flat
+  const uint8_t* src_b;      // IR interval-concat aux buffer
+  const uint8_t* use_b;      // [k]
+  const int64_t* src_off;    // [k] offset into src_a or src_b
+  const int64_t* ubf;
+  const int64_t* ube;
+  char* fastx_out;
+  char* err_out;
+  int fastq;
+  int uracil;
+  int write_errors;
+  const float* q_breaks;
+  const int32_t* q_vals;
+  int64_t qK;
+};
+
+void recon_trx_range(const TrxReconArgs& a, int64_t r0, int64_t r1,
+                     int64_t* fw, int64_t* ew) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(a.seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(a.seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
+
+  std::vector<char> pre_buf;
+  std::vector<uint8_t> cls_buf;
+  std::vector<int64_t> rpos_buf;
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* ep = a.err_out + a.ube[r0];
+  char* const fp0 = fp;
+  char* const ep0 = ep;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t total = a.total_len[r];
+    const int64_t head = a.head[r];
+    const int64_t tail = a.tail[r];
+    const int64_t pa = a.pa_len[r];
+    const int64_t lnew = a.l_new[r];
+    const bool rev = a.rev[r] != 0;
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+    const int64_t ne = a.n_events[r];
+    const uint32_t* ev = a.ev_flat + a.ev_off[r];
+    const uint8_t* gseq = (a.use_b[r] ? a.src_b : a.src_a) + a.src_off[r];
+
+    Key ks = walkreplay::fold_in(base, static_cast<uint32_t>(a.slots[r]));
+    Key k_iu = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_iupac));
+    Key k_in = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ins));
+    Key k_ht = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ht));
+    Key k_qual = a.fastq
+        ? walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_qual))
+        : ks;
+
+    if ((int64_t)pre_buf.size() < total + 4) pre_buf.resize(total + 4);
+    char* pre = pre_buf.data();
+    uint8_t* cls = nullptr;
+    if (a.fastq) {
+      if ((int64_t)cls_buf.size() < total + 4) cls_buf.resize(total + 4);
+      cls = cls_buf.data();
+      std::memset(cls, 3, total);  // head/tail/polyA default ht-class
+      std::memset(cls + head, 0, lnew > 0 ? lnew : 0);
+    }
+
+    // head / tail random bases (pool index clipped)
+    for (int64_t jj = 0; jj < head; ++jj) {
+      int64_t idx = jj < a.ht_cap - 1 ? jj : a.ht_cap - 1;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[jj] = kCode2Base[kChoiceCode[c]];
+    }
+    for (int64_t x = 0; x < tail; ++x) {
+      int64_t idx = head + x;
+      if (idx > a.ht_cap - 1) idx = a.ht_cap - 1;
+      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
+      int c = static_cast<int>(u * 4.0f);
+      if (c > 3) c = 3;
+      pre[head + lnew + pa + x] = kCode2Base[kChoiceCode[c]];
+    }
+    std::memset(pre + head + lnew, 'A', pa > 0 ? pa : 0);
+
+    // mutated middle (middle-indexed draws, like the chimeric segments)
+    {
+      char* out = pre + head;
+      auto eff_len = [&](int64_t e) -> int64_t {
+        const uint32_t w = ev[e];
+        const int64_t len = (w >> 17) & 0x1FFF;
+        if ((w >> 30) == 1 && e + 1 < ne) {
+          const uint32_t w2 = ev[e + 1];
+          if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+        }
+        return len;
+      };
+      auto copy_match = [&](int64_t i0, int64_t i1, int64_t m0) {
+        const int64_t n = i1 - i0;
+        if (n <= 0) return;
+        std::memcpy(out + m0, gseq + i0, static_cast<size_t>(n));
+        for (int64_t x = 0; x < n; ++x) {
+          const uint8_t c = gseq[i0 + x];
+          if (c != 'A' && c != 'C' && c != 'G' && c != 'T')
+            out[m0 + x] = kCode2Base[resolve_code(c, k_iu, i0 + x)];
+        }
+      };
+      int64_t i = 0, m = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const uint32_t w = ev[e];
+        const int64_t px = w & 0x1FFFF;
+        const int32_t t = w >> 30;
+        const int64_t len = eff_len(e);
+        const int64_t key = (px + 1) / 2;
+        const int64_t ref_start = (t == 1) ? key : px / 2;
+        copy_match(i, ref_start, m);
+        m += ref_start > i ? ref_start - i : 0;
+        i = ref_start > i ? ref_start : i;
+        if (len == 0) continue;
+        if (t == 0) {
+          if (cls) std::memset(cls + head + m, 1, len);
+          for (int64_t x = 0; x < len; ++x, ++i, ++m) {
+            int off = 1 + static_cast<int>(
+                u2_hi(bits_at(k_iu, static_cast<uint32_t>(m))) * 3.0f);
+            if (off > 3) off = 3;
+            out[m] = kCode2Base[(resolve_code(gseq[i], k_iu, i) + off) & 3];
+          }
+        } else if (t == 1) {
+          if (cls) std::memset(cls + head + m, 2, len);
+          for (int64_t x = 0; x < len; ++x, ++m) {
+            int code = static_cast<int>(
+                u2_lo(bits_at(k_in, static_cast<uint32_t>(m))) * 4.0f);
+            if (code > 3) code = 3;
+            out[m] = kCode2Base[code];
+          }
+        } else {
+          i += len;
+        }
+      }
+      copy_match(i, i + (lnew - m), m);
+    }
+
+    // record (strand flip, then the dRNA T->U translation)
+    *fp++ = a.fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    if (rev) {
+      for (int64_t j = 0; j < total; ++j) {
+        char c = g_comp[(uint8_t)pre[total - 1 - j]];
+        *fp++ = (a.uracil && c == 'T') ? 'U' : c;
+      }
+    } else if (a.uracil) {
+      for (int64_t j = 0; j < total; ++j) {
+        char c = pre[j];
+        *fp++ = c == 'T' ? 'U' : c;
+      }
+    } else {
+      fp = put_bytes(fp, pre, total);
+    }
+    *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      for (int64_t j = 0; j < total; ++j) {
+        const int64_t jj = rev ? total - 1 - j : j;
+        const int c = cls[jj];
+        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(jj));
+        const float* br = a.q_breaks + c * a.qK;
+        int64_t lo = 0, hi = a.qK;
+        while (lo < hi) {
+          const int64_t m = (lo + hi) >> 1;
+          if (br[m] <= u) lo = m + 1; else hi = m;
+        }
+        *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
+      }
+      *fp++ = '\n';
+    }
+
+    // error log (reverse event order; ref bases IUPAC-RESOLVED, pre-uracil)
+    if (!a.write_errors || ne == 0) continue;
+    const char* mid = pre + head;
+    if ((int64_t)rpos_buf.size() < ne) rpos_buf.resize(ne);
+    int64_t* rpos = rpos_buf.data();
+    auto eff_len = [&](int64_t e) -> int64_t {
+      const uint32_t w = ev[e];
+      const int64_t len = (w >> 17) & 0x1FFF;
+      if ((w >> 30) == 1 && e + 1 < ne) {
+        const uint32_t w2 = ev[e + 1];
+        if ((w2 >> 30) == 1 && (w2 & 0x1FFFF) == (w & 0x1FFFF)) return 0;
+      }
+      return len;
+    };
+    {
+      int64_t cum_del = 0, cum_ins = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const uint32_t w = ev[e];
+        const int32_t t = w >> 30;
+        const int64_t key = ((w & 0x1FFFF) + 1) / 2;
+        const int64_t ref_start = (t == 1) ? key : (w & 0x1FFFF) / 2;
+        rpos[e] = ref_start - cum_del + cum_ins;
+        if (t == 1) cum_ins += eff_len(e);
+        if (t == 2) cum_del += (w >> 17) & 0x1FFF;
+      }
+    }
+    for (int64_t e = ne - 1; e >= 0; --e) {
+      const uint32_t w = ev[e];
+      const int32_t t = w >> 30;
+      const int64_t len = eff_len(e);
+      if (len == 0) continue;
+      const int64_t key = ((w & 0x1FFFF) + 1) / 2;
+      ep = put_bytes(ep, name, name_len);
+      *ep++ = '\t';
+      ep = put_i64(ep, key);
+      *ep++ = '\t';
+      ep = put_bytes(ep, kTypeNames[t], 3);
+      *ep++ = '\t';
+      ep = put_i64(ep, len);
+      *ep++ = '\t';
+      if (t == 1) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        for (int64_t j = 0; j < len; ++j) {
+          const uint8_t c = gseq[key + j];
+          *ep++ = (c == 'A' || c == 'C' || c == 'G' || c == 'T')
+              ? static_cast<char>(c)
+              : kCode2Base[resolve_code(c, k_iu, key + j)];
+        }
+      }
+      *ep++ = '\t';
+      if (t == 2) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, mid + rpos[e], len);
+      }
+      *ep++ = '\n';
+    }
+  }
+  *fw = fp - fp0;
+  *ew = ep - ep0;
+}
+
+int64_t emit_trx_recon(
+    int64_t seed, int64_t stream, int64_t site_iupac, int64_t site_ins,
+    int64_t site_ht, int64_t site_qual, int64_t ht_cap, int64_t k,
+    const int64_t* slots, const char* names_buf, const int64_t* name_off,
+    const int64_t* total_len, const int64_t* head, const int64_t* tail,
+    const int64_t* pa_len, const int64_t* l_new, const int64_t* middle_ref,
+    const uint8_t* rev,
+    const uint32_t* ev_flat, const int64_t* ev_off, const int64_t* n_events,
+    const uint8_t* src_a, const uint8_t* src_b,
+    const uint8_t* use_b, const int64_t* src_off,
+    const int64_t* ubf, const int64_t* ube,
+    char* fastx_out, int64_t* fastx_written,
+    char* err_out, int64_t* err_written,
+    int32_t fastq, int32_t uracil, int32_t write_errors,
+    const float* q_breaks, const int32_t* q_vals, int64_t qK,
+    int32_t n_threads) {
+  init_comp();
+  TrxReconArgs a{seed, stream, site_iupac, site_ins, site_ht, site_qual,
+                 ht_cap, slots, names_buf, name_off, total_len, head, tail,
+                 pa_len, l_new, middle_ref, rev, ev_flat, ev_off, n_events,
+                 src_a, src_b, use_b, src_off, ubf, ube, fastx_out, err_out,
+                 static_cast<int>(fastq), static_cast<int>(uracil),
+                 static_cast<int>(write_errors), q_breaks, q_vals, qK};
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0), ews(T, 0);
+  if (T == 1) {
+    recon_trx_range(a, 0, k, &fws[0], &ews[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t]() { recon_trx_range(a, r0s[t], r0s[t + 1], &fws[t], &ews[t]); });
+    for (auto& th : threads) th.join();
+  }
+  int64_t fpos = fws[0], epos = ews[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+    std::memmove(err_out + epos, err_out + a.ube[r0s[t]], ews[t]);
+    epos += ews[t];
+  }
+  *fastx_written = fpos;
+  *err_written = epos;
+  return 0;
+}
+
 // --- chimeric host reconstruction -------------------------------------------
 //
 // A chimeric read is head | seg0 | gap0 | seg1 | ... | tail (pre-reverse).

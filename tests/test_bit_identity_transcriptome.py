@@ -100,7 +100,10 @@ def setup(tmp_path_factory):
     return d, prefix, trx_fa, exp, polya, trx, seq_len
 
 
-def _run(setup, uracil: bool, seed: int, n: int, tag: str):
+def _run(setup, uracil: bool, seed: int, n: int, tag: str, monkeypatch):
+    # the capture writer needs the device-materialized path; the recon path
+    # is separately byte-proven equal in tests/test_reconstruct.py
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "0")
     d, prefix, trx_fa, exp, polya, trx, seq_len = setup
     prof = profile.load_profile(prefix, mode="transcriptome", model_ir=False,
                                 polya_path=polya)
@@ -137,12 +140,12 @@ def _run(setup, uracil: bool, seed: int, n: int, tag: str):
     assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
 
 
-def test_bit_identity_transcriptome_cdna_polya(setup):
-    _run(setup, uracil=False, seed=19, n=120, tag="cdna")
+def test_bit_identity_transcriptome_cdna_polya(setup, monkeypatch):
+    _run(setup, uracil=False, seed=19, n=120, tag="cdna", monkeypatch=monkeypatch)
 
 
-def test_bit_identity_transcriptome_uracil(setup):
-    _run(setup, uracil=True, seed=29, n=100, tag="drna")
+def test_bit_identity_transcriptome_uracil(setup, monkeypatch):
+    _run(setup, uracil=True, seed=29, n=100, tag="drna", monkeypatch=monkeypatch)
 
 
 class RecordingIrWriter(RecordingTrxWriter):
@@ -159,7 +162,7 @@ class RecordingIrWriter(RecordingTrxWriter):
         return got
 
 
-def test_bit_identity_transcriptome_cdna_ir(tmp_path_factory):
+def test_bit_identity_transcriptome_cdna_ir(tmp_path_factory, monkeypatch):
     """8th bit-identity config (VERDICT r3 item 4): cDNA with model_ir=True —
     the per-intron retention walk, the retained-intron-covering start draw,
     and exon/retained-intron genome-interval extraction, byte-equal."""
@@ -190,6 +193,7 @@ def test_bit_identity_transcriptome_cdna_ir(tmp_path_factory):
         ir_genome=PackedGenome.from_fasta(genome_fa), batch=64,
         polya_scale=4.168299657168961,
     )
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "0")
     n, seed = 120, 11
     ours_reads = str(d / "ours_ir.fasta")
     ours_err = str(d / "ours_ir.err")

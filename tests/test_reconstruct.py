@@ -279,3 +279,95 @@ def test_metagenome_recon_matches_device(tmp_path, monkeypatch):
     assert a == b
     assert (open(outs["dev"] + "_sample0_aligned_error_profile", "rb").read()
             == open(outs["rec"] + "_sample0_aligned_error_profile", "rb").read())
+
+
+# --- transcriptome reconstruction --------------------------------------------
+
+
+def _run_trx(d, tag, recon, monkeypatch, model_ir=False, uracil=False,
+             fastq=False, n=100, seed=9):
+    from nanosim_tpu.profiles import error_model
+    from nanosim_tpu.sim.run_transcriptome import TranscriptomeSimulator, TrxBatchWriter
+
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    prefix = str(d / "training")
+    trx = PackedGenome.from_fasta(str(d / ("transcripts.fa" if model_ir else "trx.fa")))
+    seq_len = dict(zip(trx.names, (int(x) for x in trx.lengths)))
+    prof = profile.load_profile(prefix, mode="transcriptome", model_ir=model_ir,
+                                polya_path=str(d / "polya.txt"), fastq=fastq)
+    expression = profile.load_expression(str(d / "exp.tsv"), seq_len)
+    kw = dict(model_ir=model_ir, batch=64, polya_scale=4.168299657168961,
+              uracil=uracil, fastq=fastq)
+    if model_ir:
+        kw["ir_genome"] = PackedGenome.from_fasta(str(d / "genome.fa"))
+    sim = TranscriptomeSimulator(trx, prof, expression, **kw)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
+    er = str(d / f"{tag}.err")
+    fw = out_mod.FastxWriter(fa, fastq)
+    el = out_mod.ErrorLogWriter(er)
+    got = sim.run(n, TrxBatchWriter(fw, el), seed=seed)
+    fw.close()
+    el.close()
+    assert got == n
+    return fa, er
+
+
+@pytest.fixture(scope="module")
+def trx_setup(tmp_path_factory):
+    from nanosim_tpu.profiles import error_model
+
+    d = tmp_path_factory.mktemp("trxrec")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=150,
+                            transcriptome=True, mean_2d_ref_len=1200)
+    fixtures.make_reference_fasta(str(d / "trx.fa"), [2500] * 8 + [1200] * 5,
+                                  seed=21, name_prefix="ENST")
+    genome_fa, trx_fa, gff, trxs = fixtures.make_ir_fixture(str(d), n_transcripts=10, seed=7)
+    error_model.write_ir_markov(
+        prefix + "_IR_markov_model", np.array([[0.5, 0.5], [0.5, 0.5], [0.3, 0.7]])
+    )
+    trx = PackedGenome.from_fasta(str(d / "trx.fa"))
+    all_names = list(trx.names) + [n for n, _ in trxs]
+    all_lens = list(map(int, trx.lengths)) + [l for _, l in trxs]
+    fixtures.make_expression_tsv(str(d / "exp.tsv"), list(zip(all_names, all_lens)), seed=8)
+    with open(d / "polya.txt", "w") as f:
+        for nm in all_names[:8]:
+            f.write(nm + "\n")
+    return d
+
+
+def test_trx_recon_matches_device(trx_setup, monkeypatch):
+    d = trx_setup
+    fa0, er0 = _run_trx(d, "tdev", False, monkeypatch)
+    fa1, er1 = _run_trx(d, "trec", True, monkeypatch)
+    a, b = open(fa0, "rb").read(), open(fa1, "rb").read()
+    if a != b:
+        for i, (x, y) in enumerate(zip(a.split(b">"), b.split(b">"))):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_trx_recon_matches_device_uracil_fastq(trx_setup, monkeypatch):
+    d = trx_setup
+    fa0, er0 = _run_trx(d, "tdevu", False, monkeypatch, uracil=True, fastq=True, seed=3)
+    fa1, er1 = _run_trx(d, "trecu", True, monkeypatch, uracil=True, fastq=True, seed=3)
+    a, b = open(fa0, "rb").read(), open(fa1, "rb").read()
+    if a != b:
+        for i, (x, y) in enumerate(zip(a.split(b"@"), b.split(b"@"))):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def test_trx_recon_matches_device_ir(trx_setup, monkeypatch):
+    d = trx_setup
+    fa0, er0 = _run_trx(d, "tdevi", False, monkeypatch, model_ir=True, seed=11)
+    fa1, er1 = _run_trx(d, "treci", True, monkeypatch, model_ir=True, seed=11)
+    a, b = open(fa0, "rb").read(), open(fa1, "rb").read()
+    if a != b:
+        for i, (x, y) in enumerate(zip(a.split(b">"), b.split(b">"))):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert b"RetainedIntron" in a
+    assert open(er0, "rb").read() == open(er1, "rb").read()
