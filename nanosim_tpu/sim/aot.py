@@ -62,9 +62,14 @@ def _hash_pytree(h, tree):
         h.update(a.tobytes())
 
 
-def aot_key(fn_partial) -> str:
+def aot_key(fn_partial, host_material=None) -> str:
     """Digest for a functools.partial(genome_batch, genome=..., tables=...,
-    **static_kwargs)."""
+    **static_kwargs).
+
+    host_material, when provided, replaces hashing the genome/tables device
+    pytrees: per-leaf np.asarray on a remote backend costs one tunnel round
+    trip EACH (~25 s total measured), so callers pass host-side numpy
+    arrays/bytes covering the same state instead."""
     import jax
 
     h = hashlib.sha256()
@@ -75,10 +80,13 @@ def aot_key(fn_partial) -> str:
     tables = kw.pop("tables")
     for k in sorted(kw):
         h.update(f"{k}={kw[k]!r};".encode())
-    _hash_pytree(h, (genome.offsets, genome.lengths, genome.circular,
-                     genome.species_of_chrom, genome.chrom_start_of_species))
-    h.update(str(genome.genome_len).encode())
-    _hash_pytree(h, tables)
+    if host_material is not None:
+        _hash_pytree(h, host_material)
+    else:
+        _hash_pytree(h, (genome.offsets, genome.lengths, genome.circular,
+                         genome.species_of_chrom, genome.chrom_start_of_species))
+        h.update(str(genome.genome_len).encode())
+        _hash_pytree(h, tables)
     return h.hexdigest()[:24]
 
 
@@ -91,7 +99,7 @@ def _store_dir():
     return cand if os.path.isdir(cand) else None
 
 
-def maybe_aot(fn_partial, out_cls, example_args):
+def maybe_aot(fn_partial, out_cls, example_args, host_material=None):
     """Return a drop-in replacement for fn_partial(base, slots) backed by a
     deserialized export when available (or freshly exported when
     NANOSIM_TPU_AOT_SAVE=1); None when no artifact applies."""
@@ -104,7 +112,7 @@ def maybe_aot(fn_partial, out_cls, example_args):
         from jax import export as jexport
     except ImportError:
         return None
-    key = aot_key(fn_partial)
+    key = aot_key(fn_partial, host_material)
     path = os.path.join(d, key + ".jaxexp")
     exp = None
     if os.path.exists(path):

@@ -447,6 +447,34 @@ def genome_batch(
     )
 
 
+def _profile_host_arrays(p):
+    """Host-side numpy material covering everything build_tables bakes into
+    the traced program (aot key input; avoids hashing device arrays)."""
+    import numpy as _np
+
+    out = []
+    for t in (p.first_match, p.match_markov):
+        if t is not None:
+            out += [t.p_lo, t.p_hi, t.v_lo, t.v_hi, _np.asarray(t.bin_lo)]
+    if p.mix_params is not None:
+        out.append(_np.asarray(
+            [*p.mix_params.mis, *p.mix_params.ins, *p.mix_params.dele], _np.float64))
+    if p.trans_error is not None:
+        out.append(_np.asarray(p.trans_error))
+    for k in ("kde_aligned", "kde_aligned_2d", "kde_ht", "kde_ht_ratio",
+              "kde_unaligned", "kde_gap"):
+        m = getattr(p, k, None)
+        if m is not None:
+            out += [_np.asarray(m.data), _np.asarray([m.bandwidth]),
+                    _np.asarray([1.0 if m.log_transform else 0.0])]
+    if p.base_quals is not None:
+        blob = repr(sorted((c, float(v["sd"]), float(v["mu"]))
+                           for c, v in p.base_quals.items()))
+        out.append(_np.frombuffer(blob.encode(), _np.uint8))
+    out.append(_np.asarray([p.strandness_rate], _np.float64))
+    return tuple(_np.ascontiguousarray(a) for a in out)
+
+
 class OverflowRescueWriter:
     """Writer shim: lanes whose walk overflowed the lean event budget
     (capacity_overflow) are re-run through a lazily-compiled full-budget
@@ -842,7 +870,14 @@ class GenomeSimulator:
             from . import aot
 
             ex_slots = jnp.arange(self.batch, dtype=jnp.int64)
-            afn = aot.maybe_aot(fn, BatchOut, (base, ex_slots))
+            g = self.genome_host
+            host_material = (
+                np.asarray(g.offsets), np.asarray(g.lengths),
+                np.asarray(g.circular), np.asarray(g.flat),
+                _profile_host_arrays(self.profile),
+            )
+            afn = aot.maybe_aot(fn, BatchOut, (base, ex_slots),
+                                host_material=host_material)
             if afn is not None:
                 fn = afn
 
