@@ -578,6 +578,11 @@ class ChimericGenomeSimulator:
         kmer_bias: Optional[int] = None,
     ):
         self.genome_host = genome
+        if circular_dna and not bool(np.all(genome.circular)):
+            raise ValueError(
+                "circular_dna=True but the genome was loaded as linear; "
+                'load it with PackedGenome.from_fasta(path, dna_type="circular")'
+            )
         self.profile = profile
         max_len = min(max_len, genome.max_chrom)
         self.fastq = fastq

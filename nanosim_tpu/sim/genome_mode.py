@@ -684,6 +684,13 @@ class GenomeSimulator:
         kmer_bias: Optional[int] = None,
     ):
         self.genome_host = genome
+        if circular_dna and not bool(np.all(genome.circular)):
+            # the wrap itself keys off the per-chromosome flags at gather
+            # time; a linear-loaded genome would silently clamp at the 3' end
+            raise ValueError(
+                "circular_dna=True but the genome was loaded as linear; "
+                'load it with PackedGenome.from_fasta(path, dna_type="circular")'
+            )
         self.profile = profile
         max_len = min(max_len, genome.max_chrom)
         self.max_len = max_len

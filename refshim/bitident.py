@@ -164,7 +164,7 @@ def _prereverse(read_bytes: bytes, rev: bool) -> bytes:
     return read_bytes[::-1].translate(_COMP) if rev else read_bytes
 
 
-def build_feed(records, profile, genome, seed: int) -> _Feed:
+def build_feed(records, profile, genome, seed: int, circular: bool = False) -> _Feed:
     """Build the primitive-draw feed for a list of accepted-read records.
 
     Each record: dict with slot, m_ref (walk input length), n_events,
@@ -220,24 +220,31 @@ def build_feed(records, profile, genome, seed: int) -> _Feed:
             feed.push("mix", (int(r["ev_type"][e]), int(r["ev_len"][e])))
             feed.push("random", U[i, e + 1, 2])  # next match
 
-        # extraction: global positions until one fits the accepted chromosome
+        # extraction: circular takes ONE unrejected draw (simulator.py:1753);
+        # linear retries global positions until one fits a chromosome
         m_ref_final = int(r["middle_ref"])
-        for rr in range(8):
-            gpos = min(int(upos[i, rr] * (glen + 1)), glen)
-            c = int(np.searchsorted(g_offsets, gpos, side="right")) - 1
-            c = min(max(c, 0), len(g_lengths) - 1)
-            lp = gpos - int(g_offsets[c])
-            fits = lp + m_ref_final <= int(g_lengths[c])
+        if circular:
+            gpos = min(int(upos[i, 0] * (glen + 1)), glen)
+            if gpos != int(r["pos"]) or int(r["chrom"]) != 0:
+                raise Desync(f"slot {r['slot']}: circular position replay mismatch")
             feed.push("randint", gpos)
-            if fits:
-                if c != int(r["chrom"]) or lp != int(r["pos"]):
-                    raise Desync(
-                        f"slot {r['slot']}: position replay ({c},{lp}) != recorded "
-                        f"({int(r['chrom'])},{int(r['pos'])})"
-                    )
-                break
         else:
-            raise Desync(f"slot {r['slot']}: no fitting position in 8 draws")
+            for rr in range(8):
+                gpos = min(int(upos[i, rr] * (glen + 1)), glen)
+                c = int(np.searchsorted(g_offsets, gpos, side="right")) - 1
+                c = min(max(c, 0), len(g_lengths) - 1)
+                lp = gpos - int(g_offsets[c])
+                fits = lp + m_ref_final <= int(g_lengths[c])
+                feed.push("randint", gpos)
+                if fits:
+                    if c != int(r["chrom"]) or lp != int(r["pos"]):
+                        raise Desync(
+                            f"slot {r['slot']}: position replay ({c},{lp}) != recorded "
+                            f"({int(r['chrom'])},{int(r['pos'])})"
+                        )
+                    break
+            else:
+                raise Desync(f"slot {r['slot']}: no fitting position in 8 draws")
 
         # mutate_read consumes substituted/inserted bases in REVERSE event
         # order; values are the bases our pipeline actually emitted
@@ -455,11 +462,12 @@ def hp_suppressed_np(ref_seg: bytes, events, k: int):
 
 
 def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
-                      seed: int, out_dir: str, n_reads: int, fastq: bool = False):
+                      seed: int, out_dir: str, n_reads: int, fastq: bool = False,
+                      circular: bool = False):
     """Run the reference's genome pipeline fed with our stream; returns paths
     (reads_file, error_file)."""
     sim = import_reference_simulator()
-    feed = build_feed(records, profile, genome, seed)
+    feed = build_feed(records, profile, genome, seed, circular=circular)
 
     import multiprocessing as mp
 
@@ -508,8 +516,8 @@ def run_reference_fed(model_prefix: str, ref_fa: str, records, profile, genome,
             out_dir, "ref_out_aligned_reads." + ("fastq" if fastq else "fasta"))
         out_error = os.path.join(out_dir, "ref_out_error_profile")
         sim.simulation_aligned_genome(
-            "linear", 50, float("inf"), None, None, out_reads, out_error,
-            None, fastq, len(records),
+            "circular" if circular else "linear", 50, float("inf"), None, None,
+            out_reads, out_error, None, fastq, len(records),
         )
         if feed.pos != len(feed.q):
             raise Desync(f"feed not fully consumed: {feed.pos}/{len(feed.q)}")

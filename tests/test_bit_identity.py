@@ -148,3 +148,47 @@ def test_bit_identity_genome_10k(setup):
     dedup-insertion chains, capacity rescue splicing) get dense sampling
     (VERDICT r2 weak-point 8)."""
     _run_bit_identity(setup, fastq=False, seed=3, n=10000)
+
+
+def test_bit_identity_genome_circular(tmp_path_factory, monkeypatch):
+    """Circular-DNA genome config: wraparound extraction (simulator.py:
+    1752-1760) byte-equal end to end (reads + error log, including
+    wrap-spanning events' logged ref bases)."""
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "0")  # capture needs compact path
+    d = tmp_path_factory.mktemp("bicirc")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=700, sd_read_len=250)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [9000], seed=31)  # single chromosome
+
+    n, seed = 150, 17
+    genome = PackedGenome.from_fasta(ref_fa, dna_type="circular")
+    prof = profile.load_profile(prefix, mode="genome")
+    sim = GenomeSimulator(genome, prof, batch=64, circular_dna=True)
+
+    ours_reads = str(d / "ours.fasta")
+    ours_err = str(d / "ours.err")
+    fw = out_mod.FastxWriter(ours_reads, False)
+    el = out_mod.ErrorLogWriter(ours_err)
+    w = RecordingWriter(fw, el)
+    got = sim.run(n, w, seed=seed)
+    fw.close()
+    el.close()
+    assert got == n and len(w.records) == n
+    # non-vacuity: some reads must wrap the origin
+    n_wrap = sum(1 for r in w.records
+                 if int(r["pos"]) + int(r["middle_ref"]) > 9000)
+    assert n_wrap >= 5, f"only {n_wrap} wrap-spanning reads"
+
+    from refshim.bitident import run_reference_fed
+
+    ref_reads, ref_err = run_reference_fed(
+        prefix, ref_fa, w.records, prof, genome, seed, str(d), n, circular=True,
+    )
+    ours_b = open(ours_reads, "rb").read()
+    ref_b = open(ref_reads, "rb").read()
+    if ours_b != ref_b:
+        for i, (x, y) in enumerate(zip(ours_b.split(b">"), ref_b.split(b">"))):
+            assert x == y, f"record {i} differs:\nOURS: {x[:300]}\nREF : {y[:300]}"
+    assert ours_b == ref_b
+    assert open(ours_err, "rb").read() == open(ref_err, "rb").read()
