@@ -46,7 +46,7 @@ class ChimericBatchOut(NamedTuple):
     chrom: jax.Array  # [B, S] int32
     local_pos: jax.Array  # [B, S] int64
     is_reversed: jax.Array  # [B]
-    ev_pos2x: jax.Array  # [B*S, E]
+    ev_pos2x: jax.Array  # [B*S, E] (dummy [1,1] in meta-only outputs)
     ev_type: jax.Array  # [B*S, E]
     ev_len: jax.Array  # [B*S, E]
     n_events: jax.Array  # [B, S]
@@ -65,6 +65,8 @@ class ChimericBatchOut(NamedTuple):
     gap_middle: jax.Array = None  # [B, S-1] int32 gap walk ref spans
     seg_cksum: jax.Array = None  # [B, S] uint32 event-word checksums
     gap_cksum: jax.Array = None  # [B, S-1] uint32 step-word checksums
+    packed_spill: jax.Array = None  # [] bool — packed lane capacity exceeded
+    # (host must re-run the batch through the unpacked program)
 
 
 def _geometric(u, p):
@@ -93,6 +95,7 @@ def _ev_checksum(px, ty, ln, n_ev):
         "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
         "metagenome", "n_chrom", "count_gap_in_total", "perfect",
         "kmer_bias", "hp_r_max", "median_len", "sd_len", "emit_reads",
+        "packed_walks",
     ),
 )
 def chimeric_batch(
@@ -123,6 +126,7 @@ def chimeric_batch(
     median_len: Optional[float] = None,
     sd_len: Optional[float] = None,
     emit_reads: bool = True,
+    packed_walks: bool = True,
 ) -> ChimericBatchOut:
     assert emit_reads or (kmer_bias is None and not perfect), (
         "meta-only chimeric program supports the plain aligned path"
@@ -138,12 +142,96 @@ def chimeric_batch(
     else:
         n_seg = jnp.ones(B, jnp.int32)
 
-    # per-(slot, segment) keys
-    seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
-    sk_seg = jnp.concatenate(seg_keys, axis=0)  # [S*B, 2] (segment-major)
+    SB = S * B
+    seg_active = (
+        jnp.repeat(jnp.arange(S, dtype=jnp.int32), B) < jnp.tile(n_seg, S)
+    )  # [S*B] segment-major
+
+    # Dense segment packing (meta-only program).  The flattened [S*B] layout
+    # spends a full walk lane on every POSSIBLE segment, but with the typical
+    # segment_mean ~1.3 only ~1.3*B pairs are real — most of the walk width
+    # is dead lanes that still pay every step.  Here only the ACTIVE
+    # (slot, segment) pairs are routed to a [K] lane block; per-lane keys are
+    # (slot, part)-addressed, so WHERE a pair computes cannot change its
+    # draws, and results scatter back into the [S*B] layout.  If the active
+    # count ever exceeds K (vanishingly unlikely at K=2B: mean ~1.33B,
+    # sd ~0.6*sqrt(B)), packed_spill is set and the host re-runs the batch
+    # through this same program unpacked — acceptance stays slot-pure.
+    packed = (
+        packed_walks and not emit_reads and not perfect and S > 1
+        and median_len is None
+    )
+    spill = jnp.zeros((), bool)
+    if packed:
+        # capacity = mean + 10 sigma of the active-pair count (sum of B
+        # truncated geometrics with mean segment_mean); spill is then a
+        # >10-sigma event, handled by the unpacked re-run
+        import math
+
+        mean_act = B * segment_mean
+        sd_act = math.sqrt(B) * segment_mean
+        k_cap = min(SB, -(-int(mean_act + 10 * sd_act + 64) // 128) * 128)
+        rank = jnp.cumsum(seg_active.astype(jnp.int32)) - 1
+        spill = jnp.sum(seg_active.astype(jnp.int32)) > k_cap
+        scat = jnp.where(seg_active & (rank < k_cap), rank, k_cap)
+        lane_src = (
+            jnp.full(k_cap + 1, SB, jnp.int32)
+            .at[scat].set(jnp.arange(SB, dtype=jnp.int32))[:k_cap]
+        )
+        seg_live = lane_src < SB
+        src_c = jnp.minimum(lane_src, SB - 1)  # dead lanes mirror a real pair
+        sk_seg = jax.vmap(jax.random.fold_in)(
+            sk[src_c % B], rng.PART_SEGMENT_BASE + src_c // B
+        )
+
+        def seg_unpack(xk, fill):
+            buf = jnp.full((SB + 1,), fill, xk.dtype)
+            return buf.at[lane_src].set(xk)[:SB]
+    else:
+        # per-(slot, segment) keys, all S*B pairs
+        seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
+        sk_seg = jnp.concatenate(seg_keys, axis=0)  # [S*B, 2] (segment-major)
+        seg_live = seg_active
+
+        def seg_unpack(xk, fill):
+            return xk
+
     if S > 1:
-        gap_keys = [rng.part_slot_keys(sk, rng.PART_GAP_BASE, s) for s in range(S - 1)]
-        sk_gap = jnp.concatenate(gap_keys, axis=0)  # [(S-1)*B, 2]
+        GB = (S - 1) * B
+        gap_active = (
+            jnp.repeat(jnp.arange(S - 1, dtype=jnp.int32), B)
+            < jnp.tile(n_seg - 1, S - 1)
+        )  # [(S-1)*B] gap-major
+        if packed:
+            # gaps: mean active = (segment_mean - 1) * B
+            import math
+
+            mean_g = B * (segment_mean - 1.0)
+            sd_g = math.sqrt(B) * segment_mean
+            kg_cap = min(GB, -(-int(mean_g + 10 * sd_g + 64) // 128) * 128)
+            grank = jnp.cumsum(gap_active.astype(jnp.int32)) - 1
+            spill = spill | (jnp.sum(gap_active.astype(jnp.int32)) > kg_cap)
+            gscat = jnp.where(gap_active & (grank < kg_cap), grank, kg_cap)
+            gap_lane_src = (
+                jnp.full(kg_cap + 1, GB, jnp.int32)
+                .at[gscat].set(jnp.arange(GB, dtype=jnp.int32))[:kg_cap]
+            )
+            gap_live = gap_lane_src < GB
+            gsrc_c = jnp.minimum(gap_lane_src, GB - 1)
+            sk_gap = jax.vmap(jax.random.fold_in)(
+                sk[gsrc_c % B], rng.PART_GAP_BASE + gsrc_c // B
+            )
+
+            def gap_unpack(xk, fill):
+                buf = jnp.full((GB + 1,), fill, xk.dtype)
+                return buf.at[gap_lane_src].set(xk)[:GB]
+        else:
+            gap_keys = [rng.part_slot_keys(sk, rng.PART_GAP_BASE, s) for s in range(S - 1)]
+            sk_gap = jnp.concatenate(gap_keys, axis=0)  # [(S-1)*B, 2]
+            gap_live = gap_active
+
+            def gap_unpack(xk, fill):
+                return xk
 
     # --- per-segment aligned lengths (iid conditional on the reference's
     # filter: (0, max] aligned, [min, max] perfect; simulator.py:832-850) ---
@@ -154,11 +242,9 @@ def chimeric_batch(
         ref_f, ref_ok = _first_valid(ref_c, (ref_c >= min_len) & (ref_c <= max_len))
     else:
         ref_f, ref_ok = _first_valid(ref_c, (ref_c > 0) & (ref_c <= max_len))
-    seg_active = (
-        jnp.repeat(jnp.arange(S, dtype=jnp.int32), B) < jnp.tile(n_seg, S)
-    )  # [S*B] segment-major
-    m_ref_flat = jnp.where(seg_active, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap), 0)
-    seg_len_ok = jnp.where(seg_active, ref_ok & (ref_f <= l_cap), True)
+    m_ref_lane = jnp.where(seg_live, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap), 0)
+    seg_len_ok = seg_unpack(jnp.where(seg_live, ref_ok & (ref_f <= l_cap), True), True)
+    m_ref_flat = seg_unpack(m_ref_lane, 0)
     seg_mref_init = m_ref_flat
 
     # --- head/tail (perfect reads have none; simulator.py:900-901) ---
@@ -181,6 +267,7 @@ def chimeric_batch(
         m_ref_flat = jnp.where(seg_active, jnp.clip(ln_f.astype(jnp.int32), 0, l_cap), 0)
         seg_len_ok = jnp.where(seg_active, ok_ln & (ln_f <= l_cap), True)
         seg_mref_init = m_ref_flat
+        m_ref_lane = m_ref_flat  # median path is never packed
 
     # --- segment error walks on the flattened batch ---
     if perfect:
@@ -201,27 +288,28 @@ def chimeric_batch(
         )
     else:
         walk = error_walk.error_walk(
-            sk_seg, m_ref_flat, tables.first_match, tables.match_markov,
+            sk_seg, m_ref_lane, tables.first_match, tables.match_markov,
             tables.mixtures, tables.trans, e_max,
         )
-    seg_mref = walk.middle_ref.reshape(S, B).T  # [B, S]
-    seg_lnew = jnp.where(seg_active, walk.l_new, 0).reshape(S, B).T
-    walk_ok = jnp.where(
-        seg_active, ~walk.overflow & (walk.middle_ref <= l_cap) & (walk.l_new <= l_cap), True
+    walk_mid_flat = seg_unpack(walk.middle_ref, 0)
+    seg_mref = walk_mid_flat.reshape(S, B).T  # [B, S]
+    seg_lnew = seg_unpack(jnp.where(seg_live, walk.l_new, 0), 0).reshape(S, B).T
+    walk_ok = seg_unpack(
+        jnp.where(seg_live,
+                  ~walk.overflow & (walk.middle_ref <= l_cap) & (walk.l_new <= l_cap),
+                  True),
+        True,
     ).reshape(S, B).T.all(axis=1)
 
     # --- gap lengths + gap synthesis (simulator.py:1298-1299, 1552-1568) ---
     if S > 1 and not perfect:
-        gap_active = (
-            jnp.repeat(jnp.arange(S - 1, dtype=jnp.int32), B) < jnp.tile(n_seg - 1, S - 1)
-        )
         gap_f = _kde_draw(sk_gap, rng.SITE_GAP, tables.kde_gap, 1)[:, 0]
-        gap_ref = jnp.where(gap_active, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
+        gap_ref = jnp.where(gap_live, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
         gap_ref = jnp.minimum(gap_ref, gap_cap)
         gwalk = error_walk.unaligned_walk(sk_gap, gap_ref, tables.mixtures, gap_steps)
-        gap_ok = jnp.where(gap_active, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True).reshape(
-            S - 1, B
-        ).T.all(axis=1)
+        gap_ok = gap_unpack(
+            jnp.where(gap_live, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True), True
+        ).reshape(S - 1, B).T.all(axis=1)
 
         # gap extraction + mutation; gap species is a UNIFORM random choice,
         # not abundance-driven (extract_read with s=None, simulator.py:1556,
@@ -239,7 +327,9 @@ def chimeric_batch(
             g_chrom, g_pos, g_pos_ok = extract.sample_genome_positions(
                 sk_gap, gwalk.middle_ref, genome, circular_dna
             )
-        gap_ok &= jnp.where(gap_active, g_pos_ok, True).reshape(S - 1, B).T.all(axis=1)
+        gap_ok &= gap_unpack(
+            jnp.where(gap_live, g_pos_ok, True), True
+        ).reshape(S - 1, B).T.all(axis=1)
         if emit_reads:
             gap_seg = extract.gather_segments(genome, g_chrom, g_pos, gwalk.middle_ref, gap_cap)
             gu_iupac, gu_mis = rng.uniform2_per_slot(sk_gap, rng.SITE_IUPAC, (gap_cap,))
@@ -264,18 +354,33 @@ def chimeric_batch(
                           gwalk.events_len, 0), axis=1)
             g_map_ov = (gwalk.middle_ref + g_tot_ins) > g_p_cap
             gap_read = jnp.zeros((1, 1), jnp.uint8)
-        gap_ok &= jnp.where(gap_active, ~g_map_ov, True).reshape(S - 1, B).T.all(axis=1)
-        gap_lens = jnp.where(gap_active, gwalk.l_new, 0).reshape(S - 1, B).T  # [B, S-1]
-        gap_mref_init = jnp.where(gap_active, gap_ref, 0).reshape(S - 1, B).T
-        gap_chrom = g_chrom.reshape(S - 1, B).T
-        gap_pos = g_pos.reshape(S - 1, B).T
-        gap_ev = (gwalk.events_pos2x, gwalk.events_type, gwalk.events_len)
-        gap_n_steps = jnp.where(gap_active, gwalk.n_events, 0).reshape(S - 1, B).T
-        gap_middle = jnp.where(gap_active, gwalk.middle_ref, 0).reshape(S - 1, B).T
-        gap_cksum = _ev_checksum(
-            gwalk.events_pos2x, gwalk.events_type, gwalk.events_len,
-            jnp.where(gap_active, gwalk.n_events, 0),
+        gap_ok &= gap_unpack(
+            jnp.where(gap_live, ~g_map_ov, True), True
+        ).reshape(S - 1, B).T.all(axis=1)
+        gap_lens = gap_unpack(
+            jnp.where(gap_live, gwalk.l_new, 0), 0
+        ).reshape(S - 1, B).T  # [B, S-1]
+        gap_mref_init = gap_unpack(
+            jnp.where(gap_live, gap_ref, 0), 0
         ).reshape(S - 1, B).T
+        gap_chrom = gap_unpack(
+            jnp.where(gap_live, g_chrom, 0), 0
+        ).reshape(S - 1, B).T
+        gap_pos = gap_unpack(jnp.where(gap_live, g_pos, 0), 0).reshape(S - 1, B).T
+        if emit_reads:
+            gap_ev = (gwalk.events_pos2x, gwalk.events_type, gwalk.events_len)
+        else:  # meta-only: the host replays gap walks from the meta row
+            gap_ev = tuple(jnp.zeros((1, 1), jnp.int32) for _ in range(3))
+        gap_n_steps = gap_unpack(
+            jnp.where(gap_live, gwalk.n_events, 0), 0
+        ).reshape(S - 1, B).T
+        gap_middle = gap_unpack(
+            jnp.where(gap_live, gwalk.middle_ref, 0), 0
+        ).reshape(S - 1, B).T
+        gap_cksum = gap_unpack(_ev_checksum(
+            gwalk.events_pos2x, gwalk.events_type, gwalk.events_len,
+            jnp.where(gap_live, gwalk.n_events, 0),
+        ), 0).reshape(S - 1, B).T
     else:
         gap_ok = jnp.ones(B, bool)
         gap_read = jnp.zeros((max(S - 1, 1) * B, gap_cap), jnp.uint8)
@@ -304,7 +409,10 @@ def chimeric_batch(
 
     # --- segment extraction ---
     if metagenome:
-        s_sp = jnp.concatenate([species[:, s] for s in range(S)], axis=0)
+        if packed:
+            s_sp = species[src_c % B, src_c // B]
+        else:
+            s_sp = jnp.concatenate([species[:, s] for s in range(S)], axis=0)
         chrom_f, pos_f, pos_ok = extract.sample_metagenome_positions(
             sk_seg, s_sp, walk.middle_ref, genome, n_chrom
         )
@@ -312,7 +420,13 @@ def chimeric_batch(
         chrom_f, pos_f, pos_ok = extract.sample_genome_positions(
             sk_seg, walk.middle_ref, genome, circular_dna
         )
-    valid &= jnp.where(seg_active, pos_ok, True).reshape(S, B).T.all(axis=1)
+    valid &= seg_unpack(
+        jnp.where(seg_live, pos_ok, True), True
+    ).reshape(S, B).T.all(axis=1)
+    # inactive lanes masked to 0 so packed and unpacked meta rows are
+    # byte-identical (dead-lane draws are meaningless either way)
+    chrom_flat = seg_unpack(jnp.where(seg_live, chrom_f, 0), 0)
+    pos_flat = seg_unpack(jnp.where(seg_live, pos_f, 0), 0)
 
     if not emit_reads:
         # Meta-only program (host reconstruction): no gathers, no gather map,
@@ -323,12 +437,12 @@ def chimeric_batch(
         )
         d_sum = jnp.sum(jnp.where(walk.events_valid & (walk.events_type == 2), eff, 0), axis=1)
         i_sum = jnp.sum(jnp.where(walk.events_valid & (walk.events_type == 1), eff, 0), axis=1)
-        lnew_flat = (walk.middle_ref - d_sum + i_sum).astype(jnp.int32)
-        seg_lnew = jnp.where(seg_active, lnew_flat, 0).reshape(S, B).T
-        seg_cksum = _ev_checksum(
+        lnew_lane = (walk.middle_ref - d_sum + i_sum).astype(jnp.int32)
+        seg_lnew = seg_unpack(jnp.where(seg_live, lnew_lane, 0), 0).reshape(S, B).T
+        seg_cksum = seg_unpack(_ev_checksum(
             walk.events_pos2x, walk.events_type, walk.events_len,
-            jnp.where(seg_active, walk.n_events, 0),
-        ).reshape(S, B).T
+            jnp.where(seg_live, walk.n_events, 0),
+        ), 0).reshape(S, B).T
 
         n_parts = 2 * S + 1
         part_len = jnp.zeros((B, n_parts), jnp.int32)
@@ -343,10 +457,12 @@ def chimeric_batch(
         )
         total = part_off[:, -1]
         valid &= (total >= min_len) & (total <= max_len) & (total <= l_out)
+        valid &= ~spill  # spilled batches re-run unpacked; never half-trust
         seg_offset = part_off[:, 1 : 1 + 2 * S : 2]
         u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
         is_rev = u_strand > tables.strandness_rate
         dummy = jnp.zeros((B, 4), jnp.uint8)
+        dummy_ev = jnp.zeros((1, 1), jnp.int32)
         return ChimericBatchOut(
             read=dummy,
             quals=dummy,
@@ -359,13 +475,15 @@ def chimeric_batch(
             seg_l_new=seg_lnew,
             seg_offset=seg_offset,
             gap_len=gap_lens,
-            chrom=chrom_f.reshape(S, B).T,
-            local_pos=pos_f.reshape(S, B).T,
+            chrom=chrom_flat.reshape(S, B).T,
+            local_pos=pos_flat.reshape(S, B).T,
             is_reversed=is_rev,
-            ev_pos2x=walk.events_pos2x,
-            ev_type=walk.events_type,
-            ev_len=walk.events_len,
-            n_events=jnp.where(seg_active, walk.n_events, 0).reshape(S, B).T,
+            ev_pos2x=dummy_ev,
+            ev_type=dummy_ev,
+            ev_len=dummy_ev,
+            n_events=seg_unpack(
+                jnp.where(seg_live, walk.n_events, 0), 0
+            ).reshape(S, B).T,
             seg_read_prehp=dummy,
             seg_mref_init=seg_mref_init.reshape(S, B).T,
             gap_mref_init=gap_mref_init,
@@ -378,6 +496,7 @@ def chimeric_batch(
             gap_middle=gap_middle,
             seg_cksum=seg_cksum,
             gap_cksum=gap_cksum,
+            packed_spill=spill,
         )
 
     ref_seg = extract.gather_segments(genome, chrom_f, pos_f, walk.middle_ref, l_cap)
@@ -511,7 +630,7 @@ def chimeric_batch(
     )
 
 
-CHI_META_SCALARS = 6  # valid, total, head, tail, n_seg, rev
+CHI_META_SCALARS = 7  # valid, total, head, tail, n_seg, rev, spill
 CHI_META_SEG = 8  # mref, lnew, off, chrom, pos, mref_init, n_ev, cksum
 CHI_META_GAP = 7  # len, mref_init, chrom, pos, n_steps, middle, cksum
 
@@ -520,7 +639,11 @@ CHI_META_GAP = 7  # len, mref_init, chrom, pos, n_steps, middle, cksum
 def pack_chimeric_meta(out: ChimericBatchOut) -> jax.Array:
     """ONE [B, K] int64 transfer with every per-lane scalar the recon writer
     needs (events stay on device; the host replays them)."""
-    scal = [out.valid, out.total_len, out.head, out.tail, out.n_seg, out.is_reversed]
+    sp = out.packed_spill
+    if sp is None:
+        sp = jnp.zeros((), bool)
+    scal = [out.valid, out.total_len, out.head, out.tail, out.n_seg,
+            out.is_reversed, jnp.broadcast_to(sp, out.valid.shape)]
     segs = [out.seg_middle_ref, out.seg_l_new, out.seg_offset, out.chrom,
             out.local_pos, out.seg_mref_init, out.n_events, out.seg_cksum]
     gaps = [out.gap_len, out.gap_mref_init, out.gap_chrom, out.gap_pos,
@@ -533,11 +656,12 @@ def pack_chimeric_meta(out: ChimericBatchOut) -> jax.Array:
 
 def decode_chimeric_meta(meta: np.ndarray, S: int) -> dict:
     d = {}
-    names = ["valid", "total", "head", "tail", "n_seg", "rev"]
+    names = ["valid", "total", "head", "tail", "n_seg", "rev", "spill"]
     for i, nm in enumerate(names):
         d[nm] = meta[:, i]
     d["valid"] = d["valid"].astype(bool)
     d["rev"] = d["rev"].astype(bool)
+    d["spill"] = d["spill"].astype(bool)
     off = CHI_META_SCALARS
     for nm in ("seg_mref", "seg_lnew", "seg_off", "chrom", "pos",
                "seg_mref_init", "n_events", "seg_cksum"):
@@ -554,11 +678,12 @@ def decode_chimeric_meta(meta: np.ndarray, S: int) -> dict:
 class ChimericReconHandle:
     """A dispatched meta-only chimeric batch."""
 
-    def __init__(self, meta_dev, slots, sim, seed):
+    def __init__(self, meta_dev, slots, sim, seed, species=None):
         self.meta_dev = meta_dev
         self.slots = slots
         self.sim = sim
         self.seed = seed
+        self.species = species  # [B, S] per-segment species (metagenome)
 
 
 class ChimericGenomeSimulator:
@@ -630,6 +755,25 @@ class ChimericGenomeSimulator:
             tables=self.tables,
             **self.kw,
         )
+
+    def chimeric_meta_unpacked(self, slots, seed, species=None):
+        """Spill fallback: re-run a batch through the UNPACKED meta program.
+        Only reachable when the batch's active segment count exceeded the
+        packed lane capacity (P ~ 0 at 2B); per-slot results are identical
+        because every draw is (slot, part)-addressed."""
+        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        B, S = self.batch, self.s_max
+        fn = functools.partial(
+            chimeric_batch,
+            species=jnp.zeros((B, S), jnp.int32),
+            genome=self.genome_dev,
+            tables=self.tables,
+            emit_reads=False,
+            packed_walks=False,
+            **self.kw,
+        )
+        out = fn(base, jnp.asarray(np.asarray(slots)))
+        return np.asarray(pack_chimeric_meta(out))
 
     def run(self, n_reads, writer, seed=0, max_batches=None):
         import os

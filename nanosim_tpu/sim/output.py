@@ -1302,6 +1302,11 @@ class ChimericBatchWriter:
         G = max(S - 1, 1)
         meta = np.asarray(h.meta_dev)
         d = decode_chimeric_meta(meta, S)
+        if d["spill"].any():
+            # packed lane capacity exceeded (vanishingly rare): identical
+            # per-slot results via the unpacked program
+            meta = sim.chimeric_meta_unpacked(h.slots, h.seed, h.species)
+            d = decode_chimeric_meta(meta, S)
         if lanes is None:
             lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
             start = accepted_so_far

@@ -253,6 +253,23 @@ class MetagenomeSimulator:
             sd_len=sd_len,
         )
 
+    def chimeric_meta_unpacked(self, slots, seed, species):
+        """Spill fallback: re-run a batch through the UNPACKED meta program
+        (see ChimericGenomeSimulator.chimeric_meta_unpacked)."""
+        from .chimeric_mode import pack_chimeric_meta
+
+        base = rng.base_key(seed, rng.STREAM_ALIGNED)
+        fn = functools.partial(
+            chimeric_batch,
+            genome=self.genome_dev,
+            tables=self.tables,
+            emit_reads=False,
+            packed_walks=False,
+            **self.kw,
+        )
+        out = fn(base, jnp.asarray(np.asarray(slots)), jnp.asarray(species))
+        return np.asarray(pack_chimeric_meta(out))
+
     def _phase_a(self, base, slots):
         """Host replay of the device's segment-count/length draws.
 
@@ -330,7 +347,8 @@ class MetagenomeSimulator:
             def dispatch(slots, species):
                 out = fn_meta(base, slots, jnp.asarray(species))
                 return ChimericReconHandle(
-                    pack_chimeric_meta(out), np.asarray(slots), self, seed)
+                    pack_chimeric_meta(out), np.asarray(slots), self, seed,
+                    species=np.asarray(species))
         else:
             fn = self.batch_fn()
 

@@ -158,3 +158,38 @@ def test_chimeric_writer_end_to_end(setup):
         int(fields[-1])
         int(fields[-3].split(";")[-1]) if ";" in fields[-3] else int(fields[-3])
     assert n_chim > 5
+
+
+def test_packed_meta_equals_unpacked_fallback(setup):
+    """The dense-packed meta program (segments routed to a [2B] lane block)
+    must produce byte-identical meta rows to the unpacked [S*B] program —
+    the spill-fallback path relies on this equivalence, and it proves lane
+    placement cannot change any (slot, part)-addressed draw."""
+    d, genome, prof = setup
+    sim = ChimericGenomeSimulator(genome, prof, batch=64)
+    import functools
+
+    from nanosim_tpu.sim.chimeric_mode import chimeric_batch, pack_chimeric_meta
+
+    seed = 41
+    base = rng.base_key(seed, rng.STREAM_ALIGNED)
+    slots = jnp.arange(0, 64, dtype=jnp.int64)
+    fn = functools.partial(
+        chimeric_batch,
+        species=jnp.zeros((64, sim.s_max), jnp.int32),
+        genome=sim.genome_dev,
+        tables=sim.tables,
+        emit_reads=False,
+        **sim.kw,
+    )
+    packed_meta = np.asarray(pack_chimeric_meta(fn(base, slots)))
+    unpacked_meta = sim.chimeric_meta_unpacked(np.asarray(slots), seed)
+    assert packed_meta.shape == unpacked_meta.shape
+    assert np.array_equal(packed_meta, unpacked_meta)
+    # non-vacuity: multi-segment reads present, and both runs accepted reads
+    from nanosim_tpu.sim.chimeric_mode import decode_chimeric_meta
+
+    dd = decode_chimeric_meta(packed_meta, sim.s_max)
+    assert (dd["n_seg"] > 1).sum() >= 10
+    assert dd["valid"].sum() >= 20
+    assert not dd["spill"].any()
