@@ -60,6 +60,20 @@ def get_lib():
     return _lib
 
 
+class PerfectReplayer:
+    """Stand-in replayer for --perfect reads (simulator.py:1316-1345 `per`
+    branch): no error walk ran, so every accepted lane must carry zero
+    events (empty-prefix checksum 0).  `replay` verifies that and writes
+    nothing; the reconstruction spec then degenerates to extraction +
+    IUPAC resolution + strand."""
+
+    available = True
+
+    def replay(self, slots, lane_do, m_ref, n_events, checksums, ev_out,
+               ev_off, part_ids=None):
+        return (np.asarray(n_events) == 0) & (np.asarray(checksums) == 0)
+
+
 class WalkReplayer:
     """Host-side replay of the aligned-read error walk (C++).
 

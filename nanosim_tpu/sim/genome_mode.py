@@ -312,8 +312,11 @@ def genome_batch(
         )
     # chunked path: fetch 256-byte rows and fold the intra-chunk offset into
     # the mutation gather (per-byte extraction gathers serialize on TPU);
-    # circular wrap and the hp run analysis need the aligned per-byte path
-    chunked = not circular_dna and kmer_bias is None and not perfect
+    # circular wrap and the hp run analysis need the aligned per-byte path.
+    # perfect reads ride the same chunked+fused path (zero events make it
+    # pure extraction), which keeps ONE draw-indexing scheme and lets the
+    # host reconstruction cover --perfect with the existing C++ spec
+    chunked = not circular_dna and kmer_bias is None
     if chunked:
         ref_seg, seg_off = extract.gather_segments_padded(genome, chrom, local_pos, l_cap)
         u_iupac, u_mis = rng.uniform2_per_slot(sk, rng.SITE_IUPAC, (l_cap + extract.CHUNK,))
@@ -326,7 +329,7 @@ def genome_batch(
         ref_seg = seqops.resolve_iupac(ref_seg, u_iupac)
 
     read_prehp = ref_seg
-    if not perfect and kmer_bias is None:
+    if kmer_bias is None:
         # fast path: mutation + head/tail assembly + strand flip fused into
         # one [B, l_out] pass over 2-bit packed codes (fused_read_v2);
         # substitution/insertion uniforms are indexed by output position and
@@ -840,11 +843,19 @@ class GenomeSimulator:
             # qualities reconstruct too: counter-addressed draws through the
             # exact QualDevice breakpoint table)
             want_recon = (
-                not self.perfect and not self.circular_dna
+                not self.circular_dna
                 and (not self.fastq or p.base_quals is not None)
                 and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
             )
-            if ((with_events or want_recon) and not self.perfect
+            if self.perfect:
+                # no walk ran: a stand-in replayer verifies zero events and
+                # the C++ recon spec degenerates to extraction + strand
+                if want_recon:
+                    from ..io.native import PerfectReplayer, get_lib
+
+                    if get_lib() is not None:
+                        replayer = PerfectReplayer()
+            elif ((with_events or want_recon)
                     and p.first_match is not None and p.match_markov is not None
                     and p.mix_params is not None and p.trans_error is not None):
                 from ..io.native import WalkReplayer, get_lib

@@ -371,3 +371,36 @@ def test_trx_recon_matches_device_ir(trx_setup, monkeypatch):
     assert a == b
     assert b"RetainedIntron" in a
     assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
+def _run_perfect(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch,
+                 fastq=False):
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq)
+    sim = GenomeSimulator(genome, prof, batch=64, fastq=fastq, perfect=True)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
+    fw = out_mod.FastxWriter(fa, fastq)
+    got = sim.run(n, out_mod.GenomeBatchWriter(fw, None, perfect=True), seed=seed)
+    fw.close()
+    assert got == n
+    return fa
+
+
+def test_perfect_recon_matches_device(setup, monkeypatch):
+    """--perfect through host reconstruction: zero-event degenerate case of
+    the recon spec (extraction + IUPAC + strand), byte-equal on an
+    ambiguity-code genome."""
+    d, prefix, _, iupac_fa = setup
+    fa0 = _run_perfect(d, "perf_dev", iupac_fa, prefix, 150, 13, False, monkeypatch)
+    fa1 = _run_perfect(d, "perf_rec", iupac_fa, prefix, 150, 13, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+
+
+def test_perfect_recon_matches_device_fastq(setup, monkeypatch):
+    d, prefix, ref_fa, _ = setup
+    fa0 = _run_perfect(d, "perfq_dev", ref_fa, prefix, 120, 23, False,
+                       monkeypatch, fastq=True)
+    fa1 = _run_perfect(d, "perfq_rec", ref_fa, prefix, 120, 23, True,
+                       monkeypatch, fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
