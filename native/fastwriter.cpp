@@ -15,6 +15,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 inline char* put_bytes(char* p, const void* src, int64_t n) {
@@ -241,6 +245,103 @@ inline uint32_t bits_at(walkreplay::Key k, uint32_t pos) {
   return y0 ^ y1;
 }
 
+// --- 8-wide threefry (AVX2, runtime-dispatched) ------------------------------
+//
+// Every threefry evaluation in this file has x0 = 0 and one of two shapes:
+// (a) one key with 8 consecutive counters (uniform streams, fold_in of
+// consecutive step indices) or (b) 8 distinct keys with one shared counter
+// (the per-step walk uniforms).  Both batch the 20 add/rot/xor rounds into
+// one AVX2 pass; the scalar loop keeps non-AVX2 hosts bit-identical.
+
+namespace walkreplay {
+
+#if defined(__x86_64__)
+__attribute__((target("avx2"))) inline void tf8_avx2(
+    const uint32_t* k0, const uint32_t* k1, const uint32_t* x1,
+    uint32_t* y0, uint32_t* y1) {
+  const __m256i K0 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(k0));
+  const __m256i K1 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(k1));
+  const __m256i KS2 =
+      _mm256_xor_si256(_mm256_xor_si256(K0, K1), _mm256_set1_epi32(0x1BD11BDA));
+  __m256i X0 = K0;  // x0 = 0 + ks[0]
+  __m256i X1 = _mm256_add_epi32(
+      _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x1)), K1);
+#define NTF_ROUND(RC)                                                        \
+  X0 = _mm256_add_epi32(X0, X1);                                             \
+  X1 = _mm256_or_si256(_mm256_slli_epi32(X1, RC),                            \
+                       _mm256_srli_epi32(X1, 32 - (RC)));                    \
+  X1 = _mm256_xor_si256(X1, X0);
+#define NTF_INJECT(KA, KB, CI)                                               \
+  X0 = _mm256_add_epi32(X0, KA);                                             \
+  X1 = _mm256_add_epi32(X1, _mm256_add_epi32(KB, _mm256_set1_epi32(CI)));
+  NTF_ROUND(13) NTF_ROUND(15) NTF_ROUND(26) NTF_ROUND(6)
+  NTF_INJECT(K1, KS2, 1)
+  NTF_ROUND(17) NTF_ROUND(29) NTF_ROUND(16) NTF_ROUND(24)
+  NTF_INJECT(KS2, K0, 2)
+  NTF_ROUND(13) NTF_ROUND(15) NTF_ROUND(26) NTF_ROUND(6)
+  NTF_INJECT(K0, K1, 3)
+  NTF_ROUND(17) NTF_ROUND(29) NTF_ROUND(16) NTF_ROUND(24)
+  NTF_INJECT(K1, KS2, 4)
+  NTF_ROUND(13) NTF_ROUND(15) NTF_ROUND(26) NTF_ROUND(6)
+  NTF_INJECT(KS2, K0, 5)
+#undef NTF_ROUND
+#undef NTF_INJECT
+  _mm256_storeu_si256(reinterpret_cast<__m256i*>(y0), X0);
+  _mm256_storeu_si256(reinterpret_cast<__m256i*>(y1), X1);
+}
+inline bool tf8_supported() {
+  static const bool ok = __builtin_cpu_supports("avx2");
+  return ok;
+}
+#else
+inline bool tf8_supported() { return false; }
+#endif
+
+inline void tf8(const uint32_t* k0, const uint32_t* k1, const uint32_t* x1,
+                uint32_t* y0, uint32_t* y1) {
+#if defined(__x86_64__)
+  if (tf8_supported()) {
+    tf8_avx2(k0, k1, x1, y0, y1);
+    return;
+  }
+#endif
+  for (int i = 0; i < 8; ++i) tf_block(k0[i], k1[i], 0u, x1[i], &y0[i], &y1[i]);
+}
+
+// (a) one key, counters pos0..pos0+7 -> 8 uniforms
+inline void uniform8_at(Key k, uint32_t pos0, float* out) {
+  uint32_t k0[8], k1[8], xs[8], y0[8], y1[8];
+  for (int i = 0; i < 8; ++i) {
+    k0[i] = k.k0;
+    k1[i] = k.k1;
+    xs[i] = pos0 + static_cast<uint32_t>(i);
+  }
+  tf8(k0, k1, xs, y0, y1);
+  for (int i = 0; i < 8; ++i) out[i] = bits_to_uniform(y0[i] ^ y1[i]);
+}
+
+// (b) fold_in of consecutive data d0..d0+7 -> 8 derived keys
+inline void fold8_in(Key k, uint32_t d0, uint32_t* ok0, uint32_t* ok1) {
+  uint32_t k0[8], k1[8], xs[8];
+  for (int i = 0; i < 8; ++i) {
+    k0[i] = k.k0;
+    k1[i] = k.k1;
+    xs[i] = d0 + static_cast<uint32_t>(i);
+  }
+  tf8(k0, k1, xs, ok0, ok1);
+}
+
+// (c) 8 distinct keys, one shared counter -> 8 uniforms
+inline void uniform8_keys(const uint32_t* k0, const uint32_t* k1, uint32_t pos,
+                          float* out) {
+  uint32_t xs[8], y0[8], y1[8];
+  for (int i = 0; i < 8; ++i) xs[i] = pos;
+  tf8(k0, k1, xs, y0, y1);
+  for (int i = 0; i < 8; ++i) out[i] = bits_to_uniform(y0[i] ^ y1[i]);
+}
+
+}  // namespace walkreplay
+
 // ops/rng.uniform2_per_slot: one u32 draw -> two 16-bit-resolution uniforms
 inline float u2_lo(uint32_t b) { return static_cast<float>(b & 0xFFFFu) * (1.0f / 65536.0f); }
 inline float u2_hi(uint32_t b) { return static_cast<float>(b >> 16) * (1.0f / 65536.0f); }
@@ -290,6 +391,39 @@ inline int resolve_code(uint8_t c, walkreplay::Key kiupac, int64_t bidx) {
 
 // random-base choice order (A, T, C, G) -> 2-bit code (seqops.random_bases)
 const int kChoiceCode[4] = {0, 3, 1, 2};
+
+// head/tail random bases from uniforms at consecutive pool counters under
+// one key (pool clipped at cap-1); the unclipped stretch batches 8 draws
+// per AVX2 threefry pass
+inline void fill_ht_bases(walkreplay::Key k, int64_t pool0, int64_t n,
+                          int64_t cap, char* dst) {
+  const int64_t cmax = cap - 1 < 0 ? 0 : cap - 1;
+  int64_t un = cmax - pool0 + 1;
+  if (un < 0) un = 0;
+  if (un > n) un = n;
+  int64_t i = 0;
+  float u8[8];
+  for (; i + 8 <= un; i += 8) {
+    walkreplay::uniform8_at(k, static_cast<uint32_t>(pool0 + i), u8);
+    for (int x = 0; x < 8; ++x) {
+      int c = static_cast<int>(u8[x] * 4.0f);
+      if (c > 3) c = 3;
+      dst[i + x] = kCode2Base[kChoiceCode[c]];
+    }
+  }
+  for (; i < un; ++i) {
+    float u = walkreplay::uniform_at(k, static_cast<uint32_t>(pool0 + i));
+    int c = static_cast<int>(u * 4.0f);
+    if (c > 3) c = 3;
+    dst[i] = kCode2Base[kChoiceCode[c]];
+  }
+  if (i < n) {  // clipped region: one pool index -> one repeated base
+    float u = walkreplay::uniform_at(k, static_cast<uint32_t>(cmax));
+    int c = static_cast<int>(u * 4.0f);
+    if (c > 3) c = 3;
+    std::memset(dst + i, kCode2Base[kChoiceCode[c]], n - i);
+  }
+}
 
 struct ReconArgs {
   int64_t seed, stream, site_iupac, site_mis, site_ht, ht_cap, chunk;
@@ -439,22 +573,8 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
     copy_match(i, i + (lnew - m), m);  // trailing matches
 
     // --- head/tail random bases -----------------------------------------
-    for (int64_t jj = 0; jj < head; ++jj) {
-      int64_t pool = jj > a.ht_cap - 1 ? a.ht_cap - 1 : jj;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(pool));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[jj] = kCode2Base[kChoiceCode[c]];
-    }
-    for (int64_t jj = head + lnew; jj < total; ++jj) {
-      int64_t pool = jj - lnew;
-      if (pool > a.ht_cap - 1) pool = a.ht_cap - 1;
-      if (pool < 0) pool = 0;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(pool));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[jj] = kCode2Base[kChoiceCode[c]];
-    }
+    fill_ht_bases(k_ht, 0, head, a.ht_cap, pre);
+    fill_ht_bases(k_ht, head, total - head - lnew, a.ht_cap, pre + head + lnew);
 
     // --- FASTA/FASTQ record ----------------------------------------------
     *fp++ = a.fastq ? '@' : '>';
@@ -472,16 +592,22 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
       *fp++ = '\n';
       // qual(j) = vals[c][count(breaks[c] <= u(j)) - 1] + 33, u(j) the
       // SITE_QUAL draw at OUTPUT position j (sentinel 0.0 => count >= 1)
-      for (int64_t j = 0; j < total; ++j) {
-        const int c = cls[rev ? total - 1 - j : j];
-        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(j));
-        const float* br = a.q_breaks + c * a.qK;
-        int64_t lo = 0, hi = a.qK;
-        while (lo < hi) {
-          const int64_t mid = (lo + hi) >> 1;
-          if (br[mid] <= u) lo = mid + 1; else hi = mid;
+      float u8[8];
+      for (int64_t j0 = 0; j0 < total; j0 += 8) {
+        walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), u8);
+        const int64_t jn = total - j0 < 8 ? total - j0 : 8;
+        for (int64_t x = 0; x < jn; ++x) {
+          const int64_t j = j0 + x;
+          const int c = cls[rev ? total - 1 - j : j];
+          const float u = u8[x];
+          const float* br = a.q_breaks + c * a.qK;
+          int64_t lo = 0, hi = a.qK;
+          while (lo < hi) {
+            const int64_t mid = (lo + hi) >> 1;
+            if (br[mid] <= u) lo = mid + 1; else hi = mid;
+          }
+          *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
         }
-        *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
       }
       *fp++ = '\n';
     }
@@ -731,15 +857,26 @@ int64_t replay_walk_batch(
       int64_t e = 0;
       uint32_t t = 1;
       bool fail = false;
+      // 8-step lookahead: fold_in(wk, t..t+7) + the three uniforms = 4 AVX2
+      // passes per 8 steps instead of 32 scalar threefry blocks
+      float ue8[8], ul8[8], um8[8];
+      int ti = 8;
       while (pos < mid) {
         if (e >= n_exp || e >= e_guard) {
           fail = true;
           break;
         }
-        Key kt = walkreplay::fold_in(wk, t);
-        float ue = walkreplay::uniform_at(kt, 0u);
-        float ul = walkreplay::uniform_at(kt, 1u);
-        float um = walkreplay::uniform_at(kt, 2u);
+        if (ti == 8) {
+          uint32_t tk0[8], tk1[8];
+          walkreplay::fold8_in(wk, t, tk0, tk1);
+          walkreplay::uniform8_keys(tk0, tk1, 0u, ue8);
+          walkreplay::uniform8_keys(tk0, tk1, 1u, ul8);
+          walkreplay::uniform8_keys(tk0, tk1, 2u, um8);
+          ti = 0;
+        }
+        float ue = ue8[ti];
+        float ul = ul8[ti];
+        float um = um8[ti];
         const float* cum = trans_cum + state * 3;
         int etype = (cum[0] <= ue) + (cum[1] <= ue) + (cum[2] <= ue);
         if (etype > 2) etype = 2;
@@ -766,6 +903,7 @@ int64_t replay_walk_batch(
         prev = mstep;
         pos = pos_after + mstep;
         ++t;
+        ++ti;
         ++e;
       }
       ok_out[b] = (!fail && e == n_exp && sum == checksums[b]) ? 1 : 0;
@@ -1241,14 +1379,22 @@ int64_t replay_unaligned_walk_batch(
       int64_t e = 0;
       bool fail = false;
       uint32_t t = 0;
+      float ut8[8], ul8[8];
+      int ti = 8;  // 8-step lookahead, 3 AVX2 passes per 8 steps
       while (pos < mid) {
         if (e >= n_exp || e >= e_guard) {
           fail = true;
           break;
         }
-        Key kt = walkreplay::fold_in(wk, t);
-        float u_type = walkreplay::uniform_at(kt, 0u);
-        float u_len = walkreplay::uniform_at(kt, 1u);
+        if (ti == 8) {
+          uint32_t tk0[8], tk1[8];
+          walkreplay::fold8_in(wk, t, tk0, tk1);
+          walkreplay::uniform8_keys(tk0, tk1, 0u, ut8);
+          walkreplay::uniform8_keys(tk0, tk1, 1u, ul8);
+          ti = 0;
+        }
+        float u_type = ut8[ti];
+        float u_len = ul8[ti];
         int kind = (u_type >= 0.4f) + (u_type >= 0.7f) + (u_type >= 0.85f);
         int etype = kind - 1;
         if (etype < 0) etype = 0;
@@ -1276,6 +1422,7 @@ int64_t replay_unaligned_walk_batch(
         sum += (word + 1u) * (2u * static_cast<uint32_t>(e) + 1u);
         pos = pos_after;
         ++t;
+        ++ti;
         ++e;
       }
       ok_out[b] = (!fail && e == n_exp && sum == checksums[b]) ? 1 : 0;
@@ -1426,14 +1573,19 @@ void recon_unaligned_range(const UnalReconArgs& a, int64_t r0, int64_t r1,
       // (unaligned_batch computes quals after the read flip)
       const float* br = a.q_breaks + 4 * a.qK;
       const int32_t* vl = a.q_vals + 4 * a.qK;
-      for (int64_t x = 0; x < lnew; ++x) {
-        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(x));
-        int64_t lo = 0, hi = a.qK;
-        while (lo < hi) {
-          const int64_t m = (lo + hi) >> 1;
-          if (br[m] <= u) lo = m + 1; else hi = m;
+      float u8[8];
+      for (int64_t x0 = 0; x0 < lnew; x0 += 8) {
+        walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(x0), u8);
+        const int64_t xn = lnew - x0 < 8 ? lnew - x0 : 8;
+        for (int64_t x = 0; x < xn; ++x) {
+          const float u = u8[x];
+          int64_t lo = 0, hi = a.qK;
+          while (lo < hi) {
+            const int64_t m = (lo + hi) >> 1;
+            if (br[m] <= u) lo = m + 1; else hi = m;
+          }
+          *fp++ = static_cast<char>(vl[lo - 1] + 33);
         }
-        *fp++ = static_cast<char>(vl[lo - 1] + 33);
       }
       *fp++ = '\n';
     }
@@ -1533,6 +1685,7 @@ void recon_trx_range(const TrxReconArgs& a, int64_t r0, int64_t r1,
   std::vector<char> pre_buf;
   std::vector<uint8_t> cls_buf;
   std::vector<int64_t> rpos_buf;
+  std::vector<float> uq_buf;
   char* fp = a.fastx_out + a.ubf[r0];
   char* ep = a.err_out + a.ube[r0];
   char* const fp0 = fp;
@@ -1570,21 +1723,8 @@ void recon_trx_range(const TrxReconArgs& a, int64_t r0, int64_t r1,
     }
 
     // head / tail random bases (pool index clipped)
-    for (int64_t jj = 0; jj < head; ++jj) {
-      int64_t idx = jj < a.ht_cap - 1 ? jj : a.ht_cap - 1;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[jj] = kCode2Base[kChoiceCode[c]];
-    }
-    for (int64_t x = 0; x < tail; ++x) {
-      int64_t idx = head + x;
-      if (idx > a.ht_cap - 1) idx = a.ht_cap - 1;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[head + lnew + pa + x] = kCode2Base[kChoiceCode[c]];
-    }
+    fill_ht_bases(k_ht, 0, head, a.ht_cap, pre);
+    fill_ht_bases(k_ht, head, tail, a.ht_cap, pre + head + lnew + pa);
     std::memset(pre + head + lnew, 'A', pa > 0 ? pa : 0);
 
     // mutated middle (middle-indexed draws, like the chimeric segments)
@@ -1665,10 +1805,15 @@ void recon_trx_range(const TrxReconArgs& a, int64_t r0, int64_t r1,
     if (a.fastq) {
       *fp++ = '+';
       *fp++ = '\n';
+      // uniforms live at counters 0..total-1; when rev they're consumed in
+      // descending order, so batch them into a scratch buffer first
+      if ((int64_t)uq_buf.size() < total) uq_buf.resize(total + 8);
+      for (int64_t j0 = 0; j0 < total; j0 += 8)
+        walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), &uq_buf[j0]);
       for (int64_t j = 0; j < total; ++j) {
         const int64_t jj = rev ? total - 1 - j : j;
         const int c = cls[jj];
-        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(jj));
+        const float u = uq_buf[jj];
         const float* br = a.q_breaks + c * a.qK;
         int64_t lo = 0, hi = a.qK;
         while (lo < hi) {
@@ -1917,6 +2062,7 @@ void recon_chimeric_range(const ChiReconArgs& a, int64_t r0, int64_t r1,
   std::vector<char> pre_buf;
   std::vector<uint8_t> cls_buf, gap_flags;
   std::vector<int64_t> rpos_buf;
+  std::vector<float> uq_buf;
   char* fp = a.fastx_out + a.ubf[r0];
   char* ep = a.err_out + a.ube[r0];
   char* const fp0 = fp;
@@ -1946,23 +2092,11 @@ void recon_chimeric_range(const ChiReconArgs& a, int64_t r0, int64_t r1,
     }
 
     // head / tail random bases (pool index clipped to ht_cap - 1)
-    for (int64_t jj = 0; jj < head; ++jj) {
-      int64_t idx = jj < a.ht_cap - 1 ? jj : a.ht_cap - 1;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[jj] = kCode2Base[kChoiceCode[c]];
-      if (cls) cls[jj] = 3;
-    }
-    for (int64_t x = 0; x < tail; ++x) {
-      const int64_t jj = total - tail + x;
-      int64_t idx = head + x;
-      if (idx > a.ht_cap - 1) idx = a.ht_cap - 1;
-      float u = walkreplay::uniform_at(k_ht, static_cast<uint32_t>(idx));
-      int c = static_cast<int>(u * 4.0f);
-      if (c > 3) c = 3;
-      pre[jj] = kCode2Base[kChoiceCode[c]];
-      if (cls) cls[jj] = 3;
+    fill_ht_bases(k_ht, 0, head, a.ht_cap, pre);
+    fill_ht_bases(k_ht, head, tail, a.ht_cap, pre + total - tail);
+    if (cls) {
+      std::memset(cls, 3, head > 0 ? head : 0);
+      if (tail > 0) std::memset(cls + total - tail, 3, tail);
     }
 
     // segments
@@ -2060,10 +2194,15 @@ void recon_chimeric_range(const ChiReconArgs& a, int64_t r0, int64_t r1,
     if (a.fastq) {
       *fp++ = '+';
       *fp++ = '\n';
+      // uniforms live at counters 0..total-1; when rev they're consumed in
+      // descending order, so batch them into a scratch buffer first
+      if ((int64_t)uq_buf.size() < total) uq_buf.resize(total + 8);
+      for (int64_t j0 = 0; j0 < total; j0 += 8)
+        walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), &uq_buf[j0]);
       for (int64_t j = 0; j < total; ++j) {
         const int64_t jj = rev ? total - 1 - j : j;
         const int c = cls[jj];
-        const float u = walkreplay::uniform_at(k_qual, static_cast<uint32_t>(jj));
+        const float u = uq_buf[jj];
         const float* br = a.q_breaks + c * a.qK;
         int64_t lo = 0, hi = a.qK;
         while (lo < hi) {
