@@ -128,8 +128,9 @@ def chimeric_batch(
     emit_reads: bool = True,
     packed_walks: bool = True,
 ) -> ChimericBatchOut:
-    assert emit_reads or (kmer_bias is None and not perfect), (
-        "meta-only chimeric program supports the plain aligned path"
+    assert emit_reads or kmer_bias is None, (
+        "meta-only chimeric program supports the plain aligned and perfect "
+        "paths (not -hp)"
     )
     B = slots.shape[0]
     S = s_max

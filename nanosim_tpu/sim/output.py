@@ -1318,6 +1318,7 @@ class ChimericBatchWriter:
         names_g = g.names
 
         names = []
+        kind = "perfect" if self.perfect else "aligned"
         for rank, b in enumerate(lanes):
             idx = start + rank
             ns = int(d["n_seg"][b])
@@ -1330,7 +1331,7 @@ class ChimericBatchWriter:
                 comps.append(comp)
                 if self.metagenome and s < ns - 1:
                     comps.append(f"gap_{d['gap_len'][b, s]}")
-            name = ";".join(comps) + f"_aligned_{idx}"
+            name = ";".join(comps) + f"_{kind}_{idx}"
             if ns > 1:
                 name += "_chimeric"
             name += "_R" if d["rev"][b] else "_F"

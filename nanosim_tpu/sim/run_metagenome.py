@@ -317,23 +317,30 @@ class MetagenomeSimulator:
         # meta-only device program + part-keyed C++ walk replays + C++
         # splice/emit — nothing wide crosses the link
         recon = (
-            self.kw["kmer_bias"] is None and not self.perfect
+            self.kw["kmer_bias"] is None
             and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
         )
         if recon:
-            from ..io.native import UnalignedWalkReplayer, WalkReplayer, get_lib
+            from ..io.native import (PerfectReplayer, UnalignedWalkReplayer,
+                                     WalkReplayer, get_lib)
 
             lib = get_lib()
             recon = lib is not None and hasattr(lib, "emit_chimeric_recon")
             if recon:
-                self._seg_replayer = WalkReplayer(
-                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
-                    e_guard=self.kw["e_max"],
-                )
-                self._gap_replayer = UnalignedWalkReplayer(
-                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_UNALIGNED_WALK,
-                    e_guard=self.kw["gap_steps"],
-                )
+                if self.perfect:
+                    # no walks ran: the stand-in verifies zero events per lane
+                    self._seg_replayer = PerfectReplayer()
+                    self._gap_replayer = PerfectReplayer()
+                else:
+                    self._seg_replayer = WalkReplayer(
+                        self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                        e_guard=self.kw["e_max"],
+                    )
+                    self._gap_replayer = UnalignedWalkReplayer(
+                        self.profile, seed, rng.STREAM_ALIGNED,
+                        rng.SITE_UNALIGNED_WALK,
+                        e_guard=self.kw["gap_steps"],
+                    )
                 recon = (self._seg_replayer.available
                          and self._gap_replayer.available)
         if recon:

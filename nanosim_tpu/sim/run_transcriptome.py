@@ -206,7 +206,7 @@ def _trx_recon_write(writer, sim, h, accepted_so_far: int, quota: int,
     names = []
     for rank, b in enumerate(lanes):
         idx = start + rank
-        kind = "aligned"
+        kind = "perfect" if getattr(writer, "perfect", False) else "aligned"
         name = f"{names_t[d['trx'][b]]}_{d['pos'][b]}_{kind}_{idx}"
         if d["n_ir"][b] > 0:
             name += "_RetainedIntron_"
@@ -402,21 +402,25 @@ class TranscriptomeSimulator:
         # C++ emit (head | middle | polyA | tail, IR interval sources
         # host-assembled).  ~130 B/lane crosses the link.
         recon = (
-            self.kmer_bias is None and not self.perfect
-            and self.profile.mix_params is not None
+            self.kmer_bias is None
+            and (self.perfect or self.profile.mix_params is not None)
             and (not self.fastq or self.profile.base_quals is not None)
             and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
         )
         if recon:
-            from ..io.native import WalkReplayer, get_lib
+            from ..io.native import PerfectReplayer, WalkReplayer, get_lib
 
             lib = get_lib()
             recon = lib is not None and hasattr(lib, "emit_trx_recon")
             if recon:
-                self._replayer = WalkReplayer(
-                    self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
-                    e_guard=self.e_max,
-                )
+                if self.perfect:
+                    # no walk ran: verify the zero-event invariant per lane
+                    self._replayer = PerfectReplayer()
+                else:
+                    self._replayer = WalkReplayer(
+                        self.profile, seed, rng.STREAM_ALIGNED, rng.SITE_WALK,
+                        e_guard=self.e_max,
+                    )
                 recon = self._replayer.available
         if recon:
             from .transcriptome_mode import TrxReconHandle, pack_trx_meta

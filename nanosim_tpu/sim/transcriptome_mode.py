@@ -124,7 +124,7 @@ def transcriptome_batch(
     exact_conditional: bool = False,
     emit_reads: bool = True,
 ) -> TrxBatchOut:
-    assert emit_reads or (kmer_bias is None and not perfect), (
+    assert emit_reads or kmer_bias is None, (
         "meta-only transcriptome program supports the plain aligned path"
     )
     B = slots.shape[0]

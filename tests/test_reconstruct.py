@@ -404,3 +404,78 @@ def test_perfect_recon_matches_device_fastq(setup, monkeypatch):
     fa1 = _run_perfect(d, "perfq_rec", ref_fa, prefix, 120, 23, True,
                        monkeypatch, fastq=True)
     assert open(fa0, "rb").read() == open(fa1, "rb").read()
+
+
+def test_metagenome_perfect_recon_matches_device(tmp_path, monkeypatch):
+    """Metagenome --perfect through host reconstruction: zero-event chimeric
+    recon (multi-segment extraction + strand), byte-equal to the device
+    path including the perfect naming and species quota accounting."""
+    from nanosim_tpu.profiles import error_model
+    from nanosim_tpu.sim.run_metagenome import simulate_metagenome
+
+    d = str(tmp_path)
+    prefix = os.path.join(d, "training")
+    fixtures.make_model_dir(prefix, mean_read_len=400, sd_read_len=130)
+    error_model.write_chimeric_info(prefix + "_chimeric_info", 1.5, 0.2)
+    species = ["Escherichia_coli", "Bacillus_subtilis"]
+    gl = os.path.join(d, "genome_list.tsv")
+    with open(gl, "w") as f:
+        for i, sp in enumerate(species):
+            p = os.path.join(d, f"{sp}.fa")
+            fixtures.make_reference_fasta(p, [30000], seed=40 + i, name_prefix=f"{sp[:3]}chr")
+            f.write(f"{sp}\t{p}\n")
+    dl = os.path.join(d, "dna_types.tsv")
+    with open(dl, "w") as f:
+        for sp in species:
+            f.write(f"{sp}\t{sp[:3]}chr1\tlinear\n")
+    abun = os.path.join(d, "abun.tsv")
+    with open(abun, "w") as f:
+        f.write("Species\t100\nEscherichia coli\t65\nBacillus subtilis\t35\n")
+
+    outs = {}
+    for tag, recon in (("dev", "0"), ("rec", "1")):
+        monkeypatch.setenv("NANOSIM_TPU_RECON", recon)
+        out = os.path.join(d, tag)
+        simulate_metagenome(gl, abun, dl, prefix, out, chimeric=True,
+                            perfect=True, seed=5, batch=64)
+        outs[tag] = out
+    a = open(outs["dev"] + "_sample0_aligned_reads.fasta", "rb").read()
+    b = open(outs["rec"] + "_sample0_aligned_reads.fasta", "rb").read()
+    if a != b:
+        ar, br = a.split(b">"), b.split(b">")
+        for i, (x, y) in enumerate(zip(ar, br)):
+            assert x == y, f"record {i} differs:\nDEV: {x[:400]}\nREC: {y[:400]}"
+    assert a == b
+    assert b.count(b"_perfect_") >= 50
+
+
+def test_trx_perfect_recon_matches_device(trx_setup, monkeypatch):
+    """Transcriptome --perfect through host reconstruction (zero-event
+    middle + polyA retention + strand), byte-equal to the device path."""
+    from nanosim_tpu.sim.run_transcriptome import TranscriptomeSimulator, TrxBatchWriter
+
+    d = trx_setup
+    outs = {}
+    for tag, recon in (("pdev", False), ("prec", True)):
+        monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+        trx = PackedGenome.from_fasta(str(d / "trx.fa"))
+        seq_len = dict(zip(trx.names, (int(x) for x in trx.lengths)))
+        prof = profile.load_profile(str(d / "training"), mode="transcriptome",
+                                    model_ir=False, polya_path=str(d / "polya.txt"))
+        expression = profile.load_expression(str(d / "exp.tsv"), seq_len)
+        sim = TranscriptomeSimulator(trx, prof, expression, model_ir=False,
+                                     batch=64, polya_scale=4.168299657168961,
+                                     perfect=True)
+        fa = str(d / f"{tag}.fasta")
+        fw = out_mod.FastxWriter(fa, False)
+        got = sim.run(100, TrxBatchWriter(fw, None, perfect=True), seed=13)
+        fw.close()
+        assert got == 100
+        outs[tag] = fa
+    a = open(outs["pdev"], "rb").read()
+    b = open(outs["prec"], "rb").read()
+    if a != b:
+        for i, (x, y) in enumerate(zip(a.split(b">"), b.split(b">"))):
+            assert x == y, f"record {i} differs:\nDEV: {x[:300]}\nREC: {y[:300]}"
+    assert a == b
+    assert a.count(b"_perfect_") == 100
