@@ -116,10 +116,8 @@ def resize_homopolymers(
     read_mid: jax.Array,  # [B, L] pass-1 mutated read
     qclass_mid: jax.Array,  # [B, L] pass-1 classes
     l_new: jax.Array,  # [B] pass-1 read length
-    hp_mu_at: jax.Array,  # scalar params: const, alpha1, beta1, breakpoint1 (AT)
-    hp_mu_cg: jax.Array,
-    hp_sd_at: jax.Array,  # intercept, slope (AT)
-    hp_sd_cg: jax.Array,
+    hp_breaks: jax.Array,  # [2*(M+1), N] f32 exact u-space breakpoints
+    hp_vals: jax.Array,  # [2*(M+1), N] i32 new-size values
     hp_mis_rate: float,
     k: int,
     r_max: int,
@@ -127,8 +125,15 @@ def resize_homopolymers(
 ):
     """mutate_homo as a second gather-map pass.
 
+    The new run size is an exact inverse-CDF table lookup on a per-run
+    uniform (ops/tables.build_hp_breakpoints defines the step function in
+    f64; pure f32 comparisons here make it bit-identical across TPU / CPU /
+    the C++ and numpy host reconstructions).  Run lengths beyond the table
+    use its last row.
+
     Returns (read [B, L], qclass [B, L], new_len [B], ok [B]).
-    ok is False when a lane exceeds the run-table capacity.
+    ok is False when a lane exceeds the run-table capacity (callers treat it
+    as capacity overflow and re-run through a bigger-r_max program).
     """
     B, L = read_mid.shape
     run_start, run_len, is_start = run_info(read_mid, l_new)
@@ -144,21 +149,15 @@ def resize_homopolymers(
     m_r = jnp.where(has_run, jnp.take_along_axis(run_len, s_rc, axis=1), 0)
     c_r = jnp.take_along_axis(read_mid, s_rc, axis=1)  # run base ASCII
 
-    # Normal(mu(len), sigma(len)) pooled AT vs CG (get_nd_par,
+    # new size = table(pool, run length, u) pooled AT vs CG (get_nd_par,
     # model_homopolymer_lengths.py:246-260; sampling simulator.py:639-665)
     is_at = (c_r == jnp.uint8(ord("A"))) | (c_r == jnp.uint8(ord("T")))
-    mf = m_r.astype(jnp.float32)
-
-    def mu_of(par):
-        return par[0] + par[1] * mf + par[2] * jnp.maximum(mf - par[3], 0.0)
-
-    mu = jnp.where(is_at, mu_of(hp_mu_at), mu_of(hp_mu_cg))
-    sd = jnp.where(
-        is_at, hp_sd_at[0] + hp_sd_at[1] * mf, hp_sd_cg[0] + hp_sd_cg[1] * mf
-    )
-    hp_keys = rng.site_keys(sk, rng.SITE_HOMOPOLYMER)
-    z = jax.vmap(lambda kk: jax.random.normal(kk, (r_max,), dtype=jnp.float32))(hp_keys)
-    n_r = jnp.round(jnp.maximum(mu + sd * z, 0.0)).astype(jnp.int32)
+    M = hp_breaks.shape[0] // 2 - 1
+    u = rng.uniform_per_slot(sk, rng.SITE_HOMOPOLYMER, (r_max,))  # [B, R]
+    row = jnp.where(is_at, 0, M + 1) + jnp.minimum(m_r, M)
+    rows_b = hp_breaks[row]  # [B, R, N]
+    cnt = jnp.sum((rows_b <= u[:, :, None]).astype(jnp.int32), axis=-1)
+    n_r = jnp.take_along_axis(hp_vals[row], (cnt - 1)[..., None], axis=-1)[..., 0]
     n_r = jnp.where(has_run, jnp.minimum(n_r, l_cap // 2), m_r)
 
     # del/ins events in pass-1 read coordinates

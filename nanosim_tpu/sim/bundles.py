@@ -34,6 +34,11 @@ class SimTables(NamedTuple):
     hp_sd_at: Optional[jnp.ndarray] = None
     hp_sd_cg: Optional[jnp.ndarray] = None
     hp_mis_rate: float = 0.0
+    # exact f32 u-space inverse-CDF resize tables ([2*(M+1), N] rows AT then
+    # CG; ops/tables.build_hp_breakpoints) — the platform-exact replacement
+    # for the f32-erfinv resize normals
+    hp_breaks: Optional[jnp.ndarray] = None
+    hp_vals: Optional[jnp.ndarray] = None
 
 
 def build_tables(p: ReadProfile) -> SimTables:
@@ -49,6 +54,9 @@ def build_tables(p: ReadProfile) -> SimTables:
                 [d["const"], d["alpha1"], d[betas[0]], d[bps[0]]], jnp.float32
             )
 
+        from ..ops.tables import build_hp_breakpoints
+
+        hp_br, hp_vl = build_hp_breakpoints(p.hp_params)
         hp_kw = dict(
             hp_mu_at=pw_vec(p.hp_params.pw["AT"]),
             hp_mu_cg=pw_vec(p.hp_params.pw["CG"]),
@@ -59,6 +67,8 @@ def build_tables(p: ReadProfile) -> SimTables:
                 [p.hp_params.lr["CG"]["intercept"], p.hp_params.lr["CG"]["slope"]], jnp.float32
             ),
             hp_mis_rate=float(p.hp_params.mis_rate),
+            hp_breaks=jnp.asarray(hp_br),
+            hp_vals=jnp.asarray(hp_vl),
         )
     return SimTables(
         first_match=opt(EcdfDevice.from_table, p.first_match),

@@ -524,7 +524,7 @@ def chimeric_batch(
     if kmer_bias is not None and not perfect:
         seg_read, seg_qcls2, seg_len2, hp_ok = homopolymer.resize_homopolymers(
             sk_seg, seg_read, gm.qclass, gm.read_len,
-            tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+            tables.hp_breaks, tables.hp_vals,
             tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
         )
         gm = gm._replace(qclass=seg_qcls2, read_len=seg_len2)

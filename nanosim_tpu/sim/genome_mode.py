@@ -285,7 +285,11 @@ def genome_batch(
         total = head + l_new2 + tail
         u_strand = rng.uniform_per_slot(sk, rng.SITE_STRAND)
         is_rev = u_strand > tables.strandness_rate
-        valid &= (total >= min_len) & (total <= max_len)
+        if kmer_bias is None:
+            valid &= (total >= min_len) & (total <= max_len)
+        # -hp: the reference's min/max filter runs ONLY on error_list's
+        # pre-mutation total (simulator.py:1367-1368), already applied above
+        # on total0; suppression/resize happen host-side in the recon path.
         cap_over |= total > l_out
         valid &= ~cap_over
         dummy = jnp.zeros((B, 4), jnp.uint8)
@@ -408,10 +412,16 @@ def genome_batch(
             # simulator.py:618-705)
             read_mid, qclass_mid, l_new, hp_ok = homopolymer.resize_homopolymers(
                 sk, read_mid, qclass_mid, l_new,
-                tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+                tables.hp_breaks, tables.hp_vals,
                 tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
             )
-            valid &= hp_ok
+            # run-table overflow (and post-resize middles beyond the l_cap
+            # buffer) are CAPACITY conditions, not statistical rejections:
+            # the reference has no such limits, so the lane is re-run through
+            # the rescue program (whose r_max = l_cap//k can never overflow)
+            # to keep read numbering reference-exact
+            cap_over |= ~hp_ok | (l_new > l_cap)
+            valid &= hp_ok & (l_new <= l_cap)
 
     read, quals, total, is_rev = assemble_read(
         read_mid, qclass_mid, l_new, head, tail, sk, tables, l_out, ht_cap, fastq
@@ -474,6 +484,10 @@ def _profile_host_arrays(p):
         blob = repr(sorted((c, float(v["sd"]), float(v["mu"]))
                            for c, v in p.base_quals.items()))
         out.append(_np.frombuffer(blob.encode(), _np.uint8))
+    if getattr(p, "hp_params", None) is not None:
+        hp = p.hp_params
+        blob = repr((float(hp.mis_rate), sorted(hp.pw.items()), sorted(hp.lr.items())))
+        out.append(_np.frombuffer(blob.encode(), _np.uint8))
     out.append(_np.asarray([p.strandness_rate], _np.float64))
     return tuple(_np.ascontiguousarray(a) for a in out)
 
@@ -527,7 +541,11 @@ class OverflowRescueWriter:
                 median_len=sim.median_len,
                 sd_len=sim.sd_len,
                 kmer_bias=sim.kmer_bias,
-                hp_r_max=max(128, sim.l_cap // 32),
+                # rescue-grade run capacity: a length-l_cap read holds at most
+                # l_cap//k runs of length >= k, so this program cannot hit the
+                # hp_ok overflow the primary program treats as cap_over
+                hp_r_max=(sim.l_cap // max(sim.kmer_bias, 1) + 1)
+                if sim.kmer_bias else max(128, sim.l_cap // 32),
                 use_pallas_gather=False,  # rescue must not re-trigger window overflow
             )
             self._fetcher = self.make_fetcher()
@@ -825,13 +843,9 @@ class GenomeSimulator:
         from .output import CompactFetcher, PipelinedFetcher
 
         with_events = getattr(writer, "error_log", None) is not None and not self.perfect
-        hp_mode = with_events and self.kmer_bias is not None
+        hp_mode = self.kmer_bias is not None and not self.perfect
         recon_mode = False
-        if hp_mode:
-            # -hp needs the pre-resize middle buffer for the ground-truth log
-            make_fetcher = lambda replay=False: PipelinedFetcher(
-                self.fastq, with_events, with_prehp=True)
-        else:
+        if True:  # recon probe (hp falls back to the padded fetch below)
             from .bundles import FULL_EVENT_SLACK, estimate_mean_aligned, estimate_mean_match
 
             est_bases = estimate_mean_aligned(self.profile) * 1.1 + 64
@@ -841,10 +855,13 @@ class GenomeSimulator:
             # the walk replayer elides the event transfer (error log) and is
             # the prerequisite for full host read RECONSTRUCTION (FASTQ
             # qualities reconstruct too: counter-addressed draws through the
-            # exact QualDevice breakpoint table)
+            # exact QualDevice breakpoint table).  -hp reconstructs as well:
+            # suppression, pass-1 mutation and the exact-table run resizing
+            # all replay host-side (sim/reconstruct.reconstruct_hp_lane)
             want_recon = (
                 not self.circular_dna
                 and (not self.fastq or p.base_quals is not None)
+                and (not hp_mode or p.hp_params is not None)
                 and os.environ.get("NANOSIM_TPU_RECON", "1") != "0"
             )
             if self.perfect:
@@ -867,13 +884,19 @@ class GenomeSimulator:
                                                   slack=FULL_EVENT_SLACK),
                     )
             recon_mode = want_recon and replayer is not None
-            make_fetcher = lambda replay=False: CompactFetcher(
-                self.fastq, with_events, self.batch, est_bases, est_events,
-                replayer=replayer if replay else None,
-                with_reads=not (recon_mode and replay),
-                recon_info=(seed, rng.STREAM_ALIGNED, self.ht_cap),
-                lazy_replay=replay,
-            )
+            if hp_mode and not recon_mode:
+                # -hp without reconstruction needs the pre-resize middle
+                # buffer (ground-truth log) and the device-materialized read
+                make_fetcher = lambda replay=False: PipelinedFetcher(
+                    self.fastq, with_events, with_prehp=True)
+            else:
+                make_fetcher = lambda replay=False: CompactFetcher(
+                    self.fastq, with_events, self.batch, est_bases, est_events,
+                    replayer=replayer if replay else None,
+                    with_reads=not (recon_mode and replay),
+                    recon_info=(seed, rng.STREAM_ALIGNED, self.ht_cap),
+                    lazy_replay=replay,
+                )
         fn = self.batch_fn(emit_reads=not recon_mode)
         if bucketed and len(buckets) > 1:
             return self._run_bucketed(n_reads, writer, base, buckets, make_fetcher,
@@ -881,7 +904,13 @@ class GenomeSimulator:
                                       max_blocks=max_batches)
 
         fetcher = make_fetcher(replay=True)
-        wrapped = OverflowRescueWriter(self, writer, base, make_fetcher)
+        rescue_fetcher = make_fetcher
+        if hp_mode and recon_mode:
+            # rescued -hp lanes materialize on device and must carry the
+            # pre-resize middle buffer so the dict write path logs them
+            rescue_fetcher = lambda replay=False: PipelinedFetcher(
+                self.fastq, with_events, with_prehp=True)
+        wrapped = OverflowRescueWriter(self, writer, base, rescue_fetcher)
 
         if recon_mode:
             # warm starts: a stored jax.export artifact skips trace+lower
@@ -945,7 +974,8 @@ class GenomeSimulator:
             median_len=self.median_len,
             sd_len=self.sd_len,
             kmer_bias=self.kmer_bias,
-            hp_r_max=max(128, big // 32),
+            hp_r_max=(big // max(self.kmer_bias, 1) + 1)
+            if self.kmer_bias else max(128, big // 32),
             use_pallas_gather=False,  # rescue must not re-trigger window overflow
         )
         thresh = (small - self.BUCKET_PAD) / self.BUCKET_MARGIN
@@ -954,7 +984,13 @@ class GenomeSimulator:
         # primary buckets (caps lock per bucket), plain events transfer for
         # the rare rescue program
         fetchers = {lc: make_fetcher(replay=True) for lc in buckets}
-        fetchers[RESCUE] = make_fetcher(replay=False)
+        if self.kmer_bias is not None and not self.perfect:
+            from .output import PipelinedFetcher
+
+            with_ev = getattr(writer, "error_log", None) is not None
+            fetchers[RESCUE] = PipelinedFetcher(self.fastq, with_ev, with_prehp=True)
+        else:
+            fetchers[RESCUE] = make_fetcher(replay=False)
 
         @jax.jit
         def draw_lengths(slots):

@@ -456,6 +456,9 @@ class GenomeBatchWriter:
         fin = getattr(cb, "finish", None)
         if fin is not None:
             fin()  # lazy walk replay (idempotent), in the emission worker
+        if (cb.reads_flat is None and getattr(sim, "kmer_bias", None) is not None
+                and not getattr(sim, "perfect", False)):
+            return self._write_flat_hp(sim, cb, lanes, accepted_so_far, with_events)
         g = sim.genome_host
         names = self._lane_names(sim, cb, lanes, accepted_so_far)
         chrom = cb.chrom[lanes]
@@ -547,6 +550,85 @@ class GenomeBatchWriter:
                     int(cb.pos[b]), seq,
                     np.ones(ne, bool), ev_type[0], ev_len[0], keys[0], rpos[0],
                 )
+        return len(lanes)
+
+    def _write_flat_hp(self, sim, cb, lanes, accepted_so_far: int,
+                       with_events: bool) -> int:
+        """Emit a meta-only -hp batch: suppression, pass-1 mutation, exact
+        run resizing and the pre-resize ground-truth log all replay host-side
+        (sim/reconstruct.reconstruct_hp_lane is the spec; the native
+        emit_batch_recon_hp mirrors it)."""
+        g = sim.genome_host
+        names = self._lane_names(sim, cb, lanes, accepted_so_far)
+        seed, stream, ht_cap = cb.recon
+        qt = None
+        if sim.fastq:
+            qd = sim.tables.qual
+            qt = (np.asarray(qd.breaks), np.asarray(qd.vals))
+        hp_tab = (np.asarray(sim.tables.hp_breaks), np.asarray(sim.tables.hp_vals))
+        write_errors = with_events and self.error_log is not None
+        chrom = cb.chrom[lanes]
+
+        if self._emitter.available and getattr(self._emitter, "recon_hp_available", False):
+            fastx_mv, err_mv = self._emitter.emit_recon_hp(
+                cb, np.asarray(lanes, np.int64), names,
+                g_off=g.offsets[chrom], g_len=g.lengths[chrom],
+                genome_flat=g.flat, fastq=sim.fastq,
+                write_errors=write_errors, k=sim.kmer_bias,
+                hp_tab=hp_tab, hp_mis_rate=sim.tables.hp_mis_rate,
+                l_cap=sim.l_cap, qual_table=qt,
+            )
+            io = getattr(self, "io_pool", None)
+            if io is not None:
+                fdata = bytes(fastx_mv)
+                edata = bytes(err_mv) if write_errors else None
+
+                def do_io(fdata=fdata, edata=edata):
+                    self.fastx.flush()
+                    self.fastx.f.write(fdata)
+                    if edata is not None:
+                        self.error_log.write_bytes(edata)
+
+                io.submit(do_io)
+                return len(lanes)
+            self.fastx.flush()
+            self.fastx.f.write(fastx_mv)
+            if write_errors:
+                self.error_log.write_bytes(err_mv)
+            return len(lanes)
+
+        from .reconstruct import reconstruct_hp_batch
+
+        io = getattr(self, "io_pool", None)
+        if io is not None:
+            io.drain()
+        recs = reconstruct_hp_batch(
+            cb, lanes, g, seed, stream, ht_cap, sim.kmer_bias, hp_tab,
+            sim.tables.hp_mis_rate, sim.l_cap, qual_table=qt,
+        )
+        for rank, b in enumerate(lanes):
+            r = recs[rank]
+            self.fastx.write(names[rank], r["read"],
+                             r["quals"] if sim.fastq else None)
+            if not write_errors:
+                continue
+            lk, lt_, ll, lr = r["log"]
+            if len(lk) == 0:
+                continue
+            mid1 = r["mid1"]
+            goff = g.offsets[cb.chrom[b]]
+            spos = int(cb.pos[b])
+            refs, seqs, tnames = [], [], []
+            for kk, t, ln, rp in zip(lk, lt_, ll, lr):
+                if t == 1:
+                    refs.append("-" * ln)
+                    seqs.append(mid1[rp : rp + ln].tobytes().decode())
+                else:
+                    st = spos + kk
+                    refs.append(g.flat[goff + st : goff + st + ln].tobytes().decode())
+                    seqs.append(mid1[rp : rp + ln].tobytes().decode() if t == 0 else "-" * ln)
+                tnames.append(_ETYPE_NAMES[t])
+            self.error_log.write_read_events(names[rank], lk, tnames, ll, refs, seqs)
         return len(lanes)
 
     def _log_hp_batch(self, sim, d, lanes, accepted_so_far: int):

@@ -317,7 +317,7 @@ def transcriptome_batch(
 
             read_mid, qclass_mid, l_new, hp_ok = homopolymer.resize_homopolymers(
                 sk, read_mid, qclass_mid, l_new,
-                tables.hp_mu_at, tables.hp_mu_cg, tables.hp_sd_at, tables.hp_sd_cg,
+                tables.hp_breaks, tables.hp_vals,
                 tables.hp_mis_rate, kmer_bias, hp_r_max, l_cap,
             )
             valid &= hp_ok

@@ -554,8 +554,11 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
     import jax.numpy as jnp
 
     from nanosim_tpu.ops import rng
+    from nanosim_tpu.ops.tables import hp_resize_lookup
     from nanosim_tpu.sim.output import effective_lens_np, event_read_positions
-    from nanosim_tpu.sim.reconstruct import key_root, uniform_at
+    from nanosim_tpu.sim.reconstruct import (
+        key_root, reconstruct_segment, uniform_at,
+    )
 
     feed = _Feed()
     base = rng.base_key(seed, rng.STREAM_ALIGNED)
@@ -595,15 +598,15 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
     g_offsets = np.asarray(genome.offsets)
     g_lengths = np.asarray(genome.lengths)
 
-    # our per-run size normals (device resize_homopolymers stream)
-    r_max = max(128, sim.l_cap // 32)
-    hp_keys = rng.site_keys(sk, rng.SITE_HOMOPOLYMER)
-    Z = np.asarray(jax.vmap(
-        lambda kk: jax.random.normal(kk, (r_max,), dtype=jnp.float32))(hp_keys))
+    # our per-run resize table (device resize_homopolymers draws a uniform
+    # per run and inverts the exact u-space breakpoint table)
     t_hp = sim.tables
-    mu_at = np.asarray(t_hp.hp_mu_at); mu_cg = np.asarray(t_hp.hp_mu_cg)
-    sd_at = np.asarray(t_hp.hp_sd_at); sd_cg = np.asarray(t_hp.hp_sd_cg)
+    hp_breaks = np.asarray(t_hp.hp_breaks)
+    hp_vals = np.asarray(t_hp.hp_vals)
     rate32 = np.float32(t_hp.hp_mis_rate)
+    if fastq:
+        q_breaks = np.asarray(t_hp.qual.breaks)
+        q_vals = np.asarray(t_hp.qual.vals)
 
     pattern = ("A{" + str(k) + ",}|C{" + str(k) + ",}|G{" + str(k) + ",}|T{"
                + str(k) + ",}")
@@ -651,30 +654,34 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
             np.ones((1, max(ne, 1)), bool), dedup_ins=False,
         ) if ne else (np.zeros((1, 1), np.int64),) * 3
 
-        # pass-1 mid (pre-resize mutated read) and its length
+        # --- pass-1 mid computed FORWARD from our counter stream -----------
+        # reconstruct_segment is the genome -hp pass-1 materialization spec
+        # (iupac lo @ ref idx, mis hi @ middle idx, ins lo @ middle idx);
+        # the device's prehp buffer only CROSS-CHECKS it
         del_s = int(surv_len[(ev_t[0, :ne] == 2)].sum()) if ne else 0
         ins_s = int(surv_len[(ev_t[0, :ne] == 1)].sum()) if ne else 0
         pass1_lnew = m_ref_final - del_s + ins_s
-        mid1 = bytes(r["prehp"][:pass1_lnew])
+        keys_seg = {
+            "iupac": key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_IUPAC),
+            "ins": key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_INS_BASE),
+        }
+        mid1_a, cls1 = reconstruct_segment(
+            genome.flat, goff, int(r["pos"]),
+            (ev_p[0, :ne], ev_t[0, :ne], surv_len), pass1_lnew, keys_seg,
+        )
+        mid1 = mid1_a.tobytes()
+        if mid1 != bytes(r["prehp"][:pass1_lnew]):
+            raise Desync(f"slot {slot}: forward pass-1 middle != device prehp")
 
-        # --- mutate_homo replay: runs, our sizes, final layout -------------
+        # --- mutate_homo replay: runs, table sizes, final layout -----------
         runs = [(m.start(), m.end(), m.group()[0]) for m in _re.finditer(pattern, mid1.decode())]
-        if len(runs) > r_max:
-            raise Desync(f"slot {slot}: {len(runs)} runs > r_max")
-        sizes = []
-        for ridx, (s0, e0, letter) in enumerate(runs):
-            m_run = e0 - s0
-            mf = np.float32(m_run)
-            if letter in "AT":
-                mu = np.float32(mu_at[0]) + np.float32(mu_at[1]) * mf + np.float32(mu_at[2]) * max(mf - np.float32(mu_at[3]), np.float32(0.0))
-                sd = np.float32(sd_at[0]) + np.float32(sd_at[1]) * mf
-            else:
-                mu = np.float32(mu_cg[0]) + np.float32(mu_cg[1]) * mf + np.float32(mu_cg[2]) * max(mf - np.float32(mu_cg[3]), np.float32(0.0))
-                sd = np.float32(sd_cg[0]) + np.float32(sd_cg[1]) * mf
-            val = np.float32(mu + sd * np.float32(Z[i, ridx]))
-            nsz = int(np.round(np.maximum(val, np.float32(0.0))))
-            nsz = min(nsz, sim.l_cap // 2)
-            sizes.append(nsz)
+        k_hp = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HOMOPOLYMER)
+        u_hp = uniform_at(k_hp, np.arange(max(len(runs), 1)))
+        sizes = [
+            min(hp_resize_lookup(hp_breaks, hp_vals, letter in "AT", e0 - s0,
+                                 u_hp[ridx]), sim.l_cap // 2)
+            for ridx, (s0, e0, letter) in enumerate(runs)
+        ]
 
         final_lnew = int(r["l_new"])
         if pass1_lnew + sum(nsz - (e0 - s0) for (s0, e0, _), nsz in zip(runs, sizes)) != final_lnew:
@@ -682,23 +689,92 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
 
         pre = _prereverse(r["read"].tobytes(), bool(r["rev"]))
         head, total = int(r["head"]), int(r["total"])
-        mid_final = pre[head : head + final_lnew]
-        if fastq:
-            q = r["quals"]
-            preq = bytes(q[::-1]) if r["rev"] else bytes(q)
-            midq_final = [int(x) - 33 for x in preq[head : head + final_lnew]]
 
-        # final start of each run + back-map pass-1 -> final positions
+        # final start of each run
         s_fin = []
         change = 0
         for (s0, e0, _), nsz in zip(runs, sizes):
             s_fin.append(s0 + change)
             change += nsz - (e0 - s0)
 
+        # forward final-middle layout: kept prefixes copy pass-1 bases AND
+        # classes (device gather map: del at s+n / ins before s+m with
+        # left-source extension), extensions replicate the run base as
+        # ins-class; then in-run mismatch overrides at rate32
+        midf = bytearray(final_lnew)
+        clsf = bytearray(final_lnew)
+        run_ptr = 0
+        p = 0
+        q = 0
+        while p < pass1_lnew:
+            if run_ptr < len(runs) and p == runs[run_ptr][0]:
+                s0, e0, letter = runs[run_ptr]
+                nsz = sizes[run_ptr]
+                m_run = e0 - s0
+                kept = min(nsz, m_run)
+                for j in range(nsz):
+                    if j < kept:
+                        midf[q + j] = mid1[s0 + j]
+                        clsf[q + j] = cls1[s0 + j]
+                    else:
+                        midf[q + j] = ord(letter)
+                        clsf[q + j] = 2
+                q += nsz
+                p = e0
+                run_ptr += 1
+            else:
+                midf[q] = mid1[p]
+                clsf[q] = cls1[p]
+                q += 1
+                p += 1
+
+        qk = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HP_QUAL)
+        mk = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HP_MIS_BASE)
+        run_u = []
+        run_mis = []  # per run: list of in-run mismatch offsets
+        _CODEB = {65: 0, 67: 1, 71: 2, 84: 3}
+        _BASEB = b"ACGT"
+        for ridx, ((s0, e0, letter), nsz) in enumerate(zip(runs, sizes)):
+            sfin = s_fin[ridx]
+            u_p = uniform_at(qk, np.arange(sfin, sfin + nsz)) if nsz else np.zeros(0, np.float32)
+            run_u.append(u_p)
+            mis_pos = []
+            for j in range(nsz):
+                u_j = np.float32(u_p[j])
+                if 0.0 < u_j <= rate32:
+                    mis_pos.append(j)
+                    u2 = np.float32(uniform_at(mk, np.asarray([sfin + j]))[0])
+                    off = 1 + min(int(u2 * np.float32(3.0)), 2)
+                    midf[sfin + j] = _BASEB[(_CODEB[midf[sfin + j]] + off) % 4]
+                    clsf[sfin + j] = 1
+            run_mis.append(mis_pos)
+        if bytes(midf) != pre[head : head + final_lnew]:
+            raise Desync(f"slot {slot}: forward final middle != device read")
+        mid_final = bytes(midf)
+
         if fastq:
+            # final qualities FORWARD: class + SITE_QUAL draw at the OUTPUT
+            # position, inverted through the exact breakpoint table
+            rev = bool(r["rev"])
+            xs = np.arange(final_lnew, dtype=np.int64)
+            out_pos = (total - 1 - (head + xs)) if rev else (head + xs)
+            kqual = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_QUAL)
+            u_q = uniform_at(kqual, out_pos)
+            midq_final = [
+                int(q_vals[c, np.searchsorted(q_breaks[c], np.float32(u),
+                                              side="right") - 1])
+                for c, u in zip(clsf, u_q)
+            ]
+            preq = bytes(r["quals"][::-1]) if rev else bytes(r["quals"])
+            if bytes(v + 33 for v in midq_final) != preq[head : head + final_lnew]:
+                raise Desync(f"slot {slot}: forward middle quals != device quals")
+
+            # back-map pass-1 pool values through the reference's resize
+            # index arithmetic (shrink keeps the LAST n entries) — the
+            # VALUES are forward-computed above, only the mapping is the
+            # reference's
             pass1q = [1] * pass1_lnew
             run_ptr = 0
-            change = 0
             p = 0
             while p < pass1_lnew:
                 if run_ptr < len(runs) and p == runs[run_ptr][0]:
@@ -707,9 +783,6 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
                     m_run = e0 - s0
                     diff = nsz - m_run
                     if diff < 0:
-                        # reference pops the FIRST -diff pass-1 entries of the
-                        # run; retained pass-1 p in [s0-diff, e0) -> final
-                        # s_fin + (p - s0 + diff)
                         for pp in range(s0 - diff, e0):
                             pass1q[pp] = midq_final[s_fin[run_ptr] + (pp - s0 + diff)]
                     else:
@@ -718,8 +791,6 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
                     p = e0
                     run_ptr += 1
                 else:
-                    # non-run position: shifts by the cumulative change of
-                    # preceding runs
                     cshift = sum(sizes[j] - (runs[j][1] - runs[j][0])
                                  for j in range(run_ptr))
                     pass1q[p] = midq_final[p + cshift]
@@ -744,7 +815,9 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
 
         # --- mutate_homo feeds ---------------------------------------------
         # normal pools: lengths in first-appearance order, letters A,T,C,G;
-        # reference pops from the END, so arrays are reverse processing order
+        # reference pops from the END, so arrays are reverse processing
+        # order; feeding float(n) makes the reference's round(max(., 0))
+        # reproduce our table size exactly
         groups = {}
         for (s0, e0, letter), nsz in zip(runs, sizes):
             groups.setdefault(e0 - s0, {}).setdefault(letter, []).append(nsz)
@@ -753,18 +826,14 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
                 if letter in groups[length]:
                     feed.push("normal", [float(x) for x in reversed(groups[length][letter])])
 
-        qk = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HP_QUAL)
         for ridx, ((s0, e0, letter), nsz) in enumerate(zip(runs, sizes)):
             m_run = e0 - s0
             sfin = s_fin[ridx]
-            mis_pos = []
-            if nsz:
-                u_p = uniform_at(qk, np.arange(sfin, sfin + nsz))
+            u_p = run_u[ridx]
+            mis_pos = run_mis[ridx]
             for j in range(nsz):
-                u_j = np.float32(u_p[j])
-                feed.push("random", float(u_j))
-                if 0.0 < u_j <= rate32:
-                    mis_pos.append(j)
+                feed.push("random", float(np.float32(u_p[j])))
+                if j in mis_pos:
                     feed.push("choice", chr(mid_final[sfin + j]))
             if fastq:
                 diff = nsz - m_run
@@ -773,11 +842,38 @@ def build_hp_feed(records, profile, genome, seed: int, sim, k: int,
                 if mis_pos:
                     feed.push("quals", [midq_final[sfin + mis_pos[0]]])
 
+        # head/tail quals and bases FORWARD from the counter stream
+        ht_n = total - head - final_lnew
         if fastq:
-            ht = [int(x) - 33 for x in preq[:head] + preq[head + final_lnew : total]]
+            ht_pos = np.concatenate([np.arange(head, dtype=np.int64),
+                                     np.arange(head + final_lnew, total, dtype=np.int64)])
+            out_ht = (total - 1 - ht_pos) if bool(r["rev"]) else ht_pos
+            u_h = uniform_at(kqual, out_ht) if len(ht_pos) else np.zeros(0, np.float32)
+            ht = [
+                int(q_vals[3, np.searchsorted(q_breaks[3], np.float32(u),
+                                              side="right") - 1])
+                for u in u_h
+            ]
+            if bytes(v + 33 for v in ht) != preq[:head] + preq[head + final_lnew : total]:
+                raise Desync(f"slot {slot}: forward ht quals != device quals")
             feed.push("quals", ht)
-        feed.push("npchoice", pre[:head].decode())
-        feed.push("npchoice", pre[head + final_lnew : total].decode())
+        kht = key_root(seed, rng.STREAM_ALIGNED, slot, rng.SITE_HEAD_TAIL)
+
+        def _ht_bases(pool0, nl):
+            if nl <= 0:
+                return ""
+            u = uniform_at(kht, np.clip(np.arange(pool0, pool0 + nl), 0,
+                                        sim.ht_cap - 1))
+            return "".join(
+                "ATCG"[min(int(np.float32(x) * np.float32(4.0)), 3)] for x in u
+            )
+
+        hb = _ht_bases(0, head)
+        tb = _ht_bases(head, ht_n)
+        if hb.encode() != pre[:head] or tb.encode() != pre[head + final_lnew : total]:
+            raise Desync(f"slot {slot}: forward head/tail bases != device read")
+        feed.push("npchoice", hb)
+        feed.push("npchoice", tb)
     return feed
 
 

@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "refshim"))
 
 import jax.numpy as jnp
 
-from nanosim_tpu.ops import homopolymer, rng
+from nanosim_tpu.ops import homopolymer, rng, tables
 from nanosim_tpu.profiles import error_model, fixtures, profile
 from nanosim_tpu.io import PackedGenome
 
@@ -42,12 +42,13 @@ def test_resize_deterministic_shrink_grow():
     seq, ln = _pad(s, L)
     cls = jnp.zeros((1, L), jnp.int32)
     sk = rng.slot_keys(rng.base_key(0), jnp.arange(1, dtype=jnp.int64))
+    br, vl = tables.build_hp_breakpoints_from_vecs(
+        [0.0, 0.8, 0.0, 99.0], [0.0, 1.2, 0.0, 99.0], [0.0, 0.0], [0.0, 0.0],
+        m_tab=32,
+    )
     read, qcls, new_len, ok = homopolymer.resize_homopolymers(
         sk, seq, cls, ln,
-        hp_mu_at=jnp.asarray([0.0, 0.8, 0.0, 99.0], jnp.float32),
-        hp_mu_cg=jnp.asarray([0.0, 1.2, 0.0, 99.0], jnp.float32),
-        hp_sd_at=jnp.asarray([0.0, 0.0], jnp.float32),
-        hp_sd_cg=jnp.asarray([0.0, 0.0], jnp.float32),
+        jnp.asarray(br), jnp.asarray(vl),
         hp_mis_rate=0.0,
         k=5,
         r_max=8,
@@ -70,12 +71,13 @@ def test_resize_mismatch_rate():
     seq, ln = _pad(s, L)
     cls = jnp.zeros((1, L), jnp.int32)
     sk = rng.slot_keys(rng.base_key(3), jnp.arange(1, dtype=jnp.int64))
+    br, vl = tables.build_hp_breakpoints_from_vecs(
+        [0.0, 1.0, 0.0, 999.0], [0.0, 1.0, 0.0, 999.0], [0.0, 0.0], [0.0, 0.0],
+        m_tab=256,
+    )
     read, qcls, new_len, ok = homopolymer.resize_homopolymers(
         sk, seq, cls, ln,
-        hp_mu_at=jnp.asarray([0.0, 1.0, 0.0, 999.0], jnp.float32),
-        hp_mu_cg=jnp.asarray([0.0, 1.0, 0.0, 999.0], jnp.float32),
-        hp_sd_at=jnp.asarray([0.0, 0.0], jnp.float32),
-        hp_sd_cg=jnp.asarray([0.0, 0.0], jnp.float32),
+        jnp.asarray(br), jnp.asarray(vl),
         hp_mis_rate=0.3,
         k=5,
         r_max=8,

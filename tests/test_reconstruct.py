@@ -131,6 +131,54 @@ def test_recon_python_equals_native(setup, monkeypatch):
 # --- unaligned pass reconstruction ------------------------------------------
 
 
+def _run_hp(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, fastq=False,
+            k=5):
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "1" if recon else "0")
+    genome = PackedGenome.from_fasta(ref_fa)
+    prof = profile.load_profile(prefix, mode="genome", fastq=fastq,
+                                homopolymer=True)
+    sim = GenomeSimulator(genome, prof, batch=64, fastq=fastq, kmer_bias=k)
+    fa = str(d / (f"{tag}.fastq" if fastq else f"{tag}.fasta"))
+    er = str(d / f"{tag}.err")
+    fw = out_mod.FastxWriter(fa, fastq)
+    el = out_mod.ErrorLogWriter(er)
+    got = sim.run(n, out_mod.GenomeBatchWriter(fw, el), seed=seed)
+    fw.close()
+    el.close()
+    assert got == n
+    return fa, er
+
+
+@pytest.fixture(scope="module")
+def hp_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("reconhp")
+    prefix = str(d / "training")
+    fixtures.make_model_dir(prefix, mean_read_len=600, sd_read_len=200)
+    ref_fa = str(d / "ref.fa")
+    fixtures.make_reference_fasta(ref_fa, [40000, 20000], seed=19, hp_bias=0.6)
+    return d, prefix, ref_fa
+
+
+def test_hp_recon_matches_device(hp_setup, monkeypatch):
+    d, prefix, ref_fa = hp_setup
+    fa0, er0 = _run_hp(d, "hdev", ref_fa, prefix, 120, 11, False, monkeypatch)
+    fa1, er1 = _run_hp(d, "hrec", ref_fa, prefix, 120, 11, True, monkeypatch)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+    # non-vacuity: the -hp machinery must have fired
+    assert os.path.getsize(er0) > 0
+
+
+def test_hp_recon_matches_device_fastq(hp_setup, monkeypatch):
+    d, prefix, ref_fa = hp_setup
+    fa0, er0 = _run_hp(d, "hdevq", ref_fa, prefix, 120, 13, False, monkeypatch,
+                       fastq=True)
+    fa1, er1 = _run_hp(d, "hrecq", ref_fa, prefix, 120, 13, True, monkeypatch,
+                       fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
 def _run_unaligned(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, fastq=False):
     from nanosim_tpu.sim.unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
 
