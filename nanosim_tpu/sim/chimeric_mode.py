@@ -19,6 +19,7 @@ clamped draws are counted).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -95,7 +96,7 @@ def _ev_checksum(px, ty, ln, n_ev):
         "fastq", "circular_dna", "min_len", "max_len", "segment_mean",
         "metagenome", "n_chrom", "count_gap_in_total", "perfect",
         "kmer_bias", "hp_r_max", "median_len", "sd_len", "emit_reads",
-        "packed_walks",
+        "packed_walks", "packed_cap",
     ),
 )
 def chimeric_batch(
@@ -127,6 +128,9 @@ def chimeric_batch(
     sd_len: Optional[float] = None,
     emit_reads: bool = True,
     packed_walks: bool = True,
+    # test/override clamp on the packed lane-block capacities (forces the
+    # spill->unpacked-re-run path deterministically; None = mean+10-sigma)
+    packed_cap: Optional[int] = None,
 ) -> ChimericBatchOut:
     assert emit_reads or kmer_bias is None, (
         "meta-only chimeric program supports the plain aligned and perfect "
@@ -172,6 +176,8 @@ def chimeric_batch(
         mean_act = B * segment_mean
         sd_act = math.sqrt(B) * segment_mean
         k_cap = min(SB, -(-int(mean_act + 10 * sd_act + 64) // 128) * 128)
+        if packed_cap is not None:
+            k_cap = min(k_cap, max(int(packed_cap), 1))
         rank = jnp.cumsum(seg_active.astype(jnp.int32)) - 1
         spill = jnp.sum(seg_active.astype(jnp.int32)) > k_cap
         scat = jnp.where(seg_active & (rank < k_cap), rank, k_cap)
@@ -210,6 +216,8 @@ def chimeric_batch(
             mean_g = B * (segment_mean - 1.0)
             sd_g = math.sqrt(B) * segment_mean
             kg_cap = min(GB, -(-int(mean_g + 10 * sd_g + 64) // 128) * 128)
+            if packed_cap is not None:
+                kg_cap = min(kg_cap, max(int(packed_cap), 1))
             grank = jnp.cumsum(gap_active.astype(jnp.int32)) - 1
             spill = spill | (jnp.sum(gap_active.astype(jnp.int32)) > kg_cap)
             gscat = jnp.where(gap_active & (grank < kg_cap), grank, kg_cap)
@@ -742,6 +750,8 @@ class ChimericGenomeSimulator:
             metagenome=False,
             n_chrom=genome.n_chrom,
             count_gap_in_total=False,  # genome-mode quirk (simulator.py:1354-1368)
+            packed_cap=(int(os.environ["NANOSIM_TPU_PACKED_CAP"])
+                        if os.environ.get("NANOSIM_TPU_PACKED_CAP") else None),
             kmer_bias=kmer_bias,
             hp_r_max=max(128, self.l_cap // 32),
         )

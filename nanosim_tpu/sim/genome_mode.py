@@ -574,6 +574,9 @@ class OverflowRescueWriter:
             return self.inner.write_run(sim, d, lanes, accepted_so_far)
 
         slots = handle.slots
+        from .output import RUN_STATS
+
+        RUN_STATS.overflow_rescue_lanes += int(cap.sum())
         rescued = self._rescue(slots[cap])
         # interleave in slot order: runs of primary lanes + rescued singletons
         n = 0
@@ -1059,6 +1062,9 @@ class GenomeSimulator:
             # path's OverflowRescueWriter (rare: routing and the lean event
             # budget both carry slack)
             if rerun_slots:
+                from .output import RUN_STATS
+
+                RUN_STATS.overflow_rescue_lanes += len(rerun_slots)
                 for h, ch, n_real, lc in dispatch_chunks(
                     np.asarray(rerun_slots, np.int64), RESCUE
                 ):

@@ -14,6 +14,8 @@ Naming and file layout match the reference exactly:
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 _COMP_LUT = np.arange(256, dtype=np.uint8)
@@ -21,6 +23,40 @@ for _a, _b in ((ord("A"), ord("T")), (ord("C"), ord("G"))):
     _COMP_LUT[_a], _COMP_LUT[_b] = _b, _a
 
 _ETYPE_NAMES = np.array(["mis", "ins", "del"])
+
+
+class RunStats:
+    """Process-wide capacity-event counters (observability for the rescue
+    machinery): a production workload that spills or rescues every batch is
+    silently ~2x slower — these make it attributable.  Printed by the run
+    orchestrators' stage logs and by bench.py on stderr."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        # packed chimeric meta batches whose active (slot, segment) count
+        # exceeded the mean+10-sigma lane block -> whole-batch unpacked re-run
+        self.packed_spills = 0
+        # lanes re-run through a full-budget rescue program (walk-budget /
+        # width / hp run-table overflow)
+        self.overflow_rescue_lanes = 0
+
+    def summary(self) -> str:
+        return (f"capacity events: packed_spills={self.packed_spills} "
+                f"overflow_rescue_lanes={self.overflow_rescue_lanes}")
+
+    def report(self, log=None) -> None:
+        """Emit the counters when any fired (log: callable or None=stderr)."""
+        if not (self.packed_spills or self.overflow_rescue_lanes):
+            return
+        if log is None:
+            print("[nanosim-tpu] " + self.summary(), file=sys.stderr)
+        else:
+            log(self.summary())
+
+
+RUN_STATS = RunStats()
 
 
 def report_progress(prev: int, now: int) -> None:
@@ -1387,6 +1423,7 @@ class ChimericBatchWriter:
         if d["spill"].any():
             # packed lane capacity exceeded (vanishingly rare): identical
             # per-slot results via the unpacked program
+            RUN_STATS.packed_spills += 1
             meta = sim.chimeric_meta_unpacked(h.slots, h.seed, h.species)
             d = decode_chimeric_meta(meta, S)
         if lanes is None:

@@ -173,6 +173,7 @@ def simulate_genome(
             usim.run(n_unaligned, UnalignedBatchWriter(ufw), seed=seed)
         ufw.close()
 
+    output.RUN_STATS.report(_log)
     _log("Finished!")
     return {"aligned": n_aligned, "unaligned": 0 if perfect else n_unaligned}
 

@@ -19,6 +19,7 @@ way.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 from time import strftime
 from typing import Optional
@@ -246,6 +247,8 @@ class MetagenomeSimulator:
             metagenome=True,
             n_chrom=self.genome_host.n_chrom,
             count_gap_in_total=True,  # metagenome includes gaps (simulator.py:935-946)
+            packed_cap=(int(os.environ["NANOSIM_TPU_PACKED_CAP"])
+                        if os.environ.get("NANOSIM_TPU_PACKED_CAP") else None),
             perfect=perfect,
             kmer_bias=kmer_bias,
             hp_r_max=max(128, self.l_cap // 32),
@@ -537,5 +540,7 @@ def simulate_metagenome(
             with open(done_marker, "w") as f:
                 f.write("done\n")
         totals[sample] = got
+    from . import output as _out
+    _out.RUN_STATS.report(_log)
     _log("Finished!")
     return totals

@@ -585,5 +585,7 @@ def simulate_transcriptome(
                  resume_state=ustate if resume else None)
         ufw.close()
 
+    from . import output as _out
+    _out.RUN_STATS.report(_log)
     _log("Finished!")
     return {"aligned": n_aligned[0], "unaligned": 0 if perfect else n_unaligned[0]}

@@ -650,6 +650,373 @@ void recon_range(const ReconArgs& a, int64_t r0, int64_t r1,
   *ew = ep - ep0;
 }
 
+// --- -hp host reconstruction ------------------------------------------------
+//
+// Genome `-hp -k` pipeline (sim/reconstruct.reconstruct_hp_lane is the numpy
+// spec; reference semantics: mutate_read suppression simulator.py:1920-1950 +
+// mutate_homo simulator.py:618-705): IUPAC-resolve the extracted segment,
+// drop events overlapping >= k homopolymer runs, pass-1 mutation with
+// MIDDLE-indexed draws, resize >= k runs of the mutated read via the exact
+// u-space table, in-run mismatches, head/tail/strand/quals.  The error log
+// uses PASS-1 coordinates and bases (the reference logs before mutate_homo).
+
+inline int base2code(uint8_t c) {
+  switch (c) {
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    default: return 0;
+  }
+}
+
+struct HpReconArgs {
+  int64_t seed, stream;
+  int64_t site_iupac, site_ins, site_hp, site_hp_qual, site_hp_mis;
+  int64_t site_ht, site_qual;
+  int64_t ht_cap, k, l_cap;
+  float hp_mis_rate;
+  const int64_t* slots;
+  const char* names_buf;
+  const int64_t* name_off;
+  const int64_t* middle_ref;
+  const int64_t* head;
+  const int64_t* tail;
+  const uint8_t* rev;
+  const uint32_t* ev_flat;
+  const int64_t* ev_off;
+  const int64_t* n_events;
+  const uint8_t* genome_flat;
+  const int64_t* g_off;
+  const int64_t* start_pos;
+  const int64_t* ubf;
+  const int64_t* ube;
+  char* fastx_out;
+  char* err_out;
+  int write_errors;
+  int fastq;
+  // resize table: rows [AT m=0..M | CG m=0..M], width tabN
+  const float* hp_breaks;
+  const int32_t* hp_vals;
+  int64_t tabM, tabN;
+  // base-quality table (FASTQ)
+  const float* q_breaks;
+  const int32_t* q_vals;
+  int64_t qK;
+};
+
+// returns 0 ok, 1 fastx overflow (caller grows the per-lane pad and retries)
+int recon_hp_range(const HpReconArgs& a, int64_t r0, int64_t r1,
+                   int64_t* fw, int64_t* ew) {
+  using walkreplay::Key;
+  Key seed_key{static_cast<uint32_t>(static_cast<uint64_t>(a.seed) >> 32),
+               static_cast<uint32_t>(static_cast<uint64_t>(a.seed) & 0xFFFFFFFFu)};
+  Key base = walkreplay::fold_in(seed_key, static_cast<uint32_t>(a.stream));
+
+  std::vector<uint8_t> res_buf, in_hp, mid1, cls1, midf, clsf, pre, clsp;
+  std::vector<int32_t> cum;
+  std::vector<int64_t> rpos_buf, surv, eff, run_s, run_m, run_sz, out_s;
+  char* fp = a.fastx_out + a.ubf[r0];
+  char* ep = a.err_out + a.ube[r0];
+  char* const fp0 = fp;
+  char* const ep0 = ep;
+  char* const fend = a.fastx_out + a.ubf[r1];
+
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t mref = a.middle_ref[r];
+    const int64_t head = a.head[r];
+    const int64_t tail = a.tail[r];
+    const bool rev = a.rev[r] != 0;
+    const char* name = a.names_buf + a.name_off[r];
+    const int64_t name_len = a.name_off[r + 1] - a.name_off[r];
+    const int64_t ne = a.n_events[r];
+    const uint32_t* ev = a.ev_flat + a.ev_off[r];
+    const int64_t goff = a.g_off[r];
+    const int64_t spos = a.start_pos[r];
+    const uint8_t* gseq = a.genome_flat + goff + spos;
+
+    Key ks = walkreplay::fold_in(base, static_cast<uint32_t>(a.slots[r]));
+    Key k_iupac = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_iupac));
+    Key k_ins = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ins));
+    Key k_hp = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_hp));
+    Key k_hpq = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_hp_qual));
+    Key k_hpm = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_hp_mis));
+    Key k_ht = walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_ht));
+    Key k_qual = a.fastq
+        ? walkreplay::fold_in(ks, static_cast<uint32_t>(a.site_qual))
+        : ks;
+
+    // --- 1. resolved segment + run coverage for suppression --------------
+    if ((int64_t)res_buf.size() < mref + 1) res_buf.resize(mref + 1);
+    std::memcpy(res_buf.data(), gseq, static_cast<size_t>(mref));
+    for (int64_t i = 0; i < mref; ++i) {
+      const uint8_t c = res_buf[i];
+      if (c != 'A' && c != 'C' && c != 'G' && c != 'T')
+        res_buf[i] = kCode2Base[resolve_code(c, k_iupac, i)];
+    }
+    if ((int64_t)in_hp.size() < mref + 1) in_hp.resize(mref + 1);
+    if ((int64_t)cum.size() < mref + 1) cum.resize(mref + 1);
+    {
+      int64_t i = 0;
+      while (i < mref) {
+        int64_t j = i + 1;
+        while (j < mref && res_buf[j] == res_buf[i]) ++j;
+        const uint8_t big = (j - i) >= a.k ? 1 : 0;
+        std::memset(in_hp.data() + i, big, static_cast<size_t>(j - i));
+        i = j;
+      }
+      int32_t c = 0;
+      for (int64_t p = 0; p < mref; ++p) {
+        c += in_hp[p];
+        cum[p] = c;
+      }
+    }
+
+    // --- 2. suppression + dedup ------------------------------------------
+    if ((int64_t)surv.size() < (ne ? ne : 1)) {
+      surv.resize(ne ? ne : 1);
+      eff.resize(ne ? ne : 1);
+      rpos_buf.resize(ne ? ne : 1);
+    }
+    if ((int64_t)rpos_buf.size() < (ne ? ne : 1)) rpos_buf.resize(ne ? ne : 1);
+    for (int64_t e = 0; e < ne; ++e) {
+      const uint32_t w = ev[e];
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t len = (w >> 17) & 0x1FFF;
+      const int64_t p = (px + 1) / 2;
+      const int64_t lo = (t == 1) ? p - 1 : px / 2;
+      const int64_t hi = (t == 1) ? p + len - 1 : px / 2 + len - 1;
+      int64_t lo_c = lo < 0 ? 0 : (lo > mref - 1 ? mref - 1 : lo);
+      int64_t hi_c = hi < 0 ? 0 : (hi > mref - 1 ? mref - 1 : hi);
+      bool covered = mref > 0 && (cum[hi_c] - cum[lo_c]) > 0;
+      covered = covered || (mref > 0 && in_hp[lo_c] && lo >= 0);
+      surv[e] = covered ? 0 : len;
+    }
+    int64_t dels = 0, inss = 0;
+    for (int64_t e = 0; e < ne; ++e) {
+      eff[e] = surv[e];
+      if ((ev[e] >> 30) == 1 && e + 1 < ne && (ev[e + 1] >> 30) == 1 &&
+          (ev[e + 1] & 0x1FFFF) == (ev[e] & 0x1FFFF))
+        eff[e] = 0;
+      if ((ev[e] >> 30) == 1) inss += eff[e];
+      else if ((ev[e] >> 30) == 2) dels += eff[e];
+    }
+    const int64_t l_new1 = mref - dels + inss;
+
+    // --- 3. pass-1 mutation (MIDDLE-indexed draws) -----------------------
+    if ((int64_t)mid1.size() < l_new1 + 1) mid1.resize(l_new1 + 1);
+    if ((int64_t)cls1.size() < l_new1 + 1) cls1.resize(l_new1 + 1);
+    {
+      int64_t i = 0, m = 0;
+      for (int64_t e = 0; e < ne; ++e) {
+        const uint32_t w = ev[e];
+        const int64_t px = w & 0x1FFFF;
+        const int32_t t = w >> 30;
+        const int64_t len = eff[e];
+        const int64_t key = (px + 1) / 2;
+        const int64_t ref_start = (t == 1) ? key : px / 2;
+        rpos_buf[e] = m + (ref_start - i);
+        if (ref_start > i) {
+          std::memcpy(mid1.data() + m, res_buf.data() + i,
+                      static_cast<size_t>(ref_start - i));
+          std::memset(cls1.data() + m, 0, static_cast<size_t>(ref_start - i));
+          m += ref_start - i;
+          i = ref_start;
+        }
+        if (len == 0) continue;
+        if (t == 0) {  // mis: iupac-hi @ middle idx
+          for (int64_t x = 0; x < len; ++x, ++i, ++m) {
+            int off = 1 + static_cast<int>(u2_hi(bits_at(k_iupac, (uint32_t)m)) * 3.0f);
+            if (off > 3) off = 3;
+            mid1[m] = kCode2Base[(base2code(res_buf[i]) + off) & 3];
+            cls1[m] = 1;
+          }
+        } else if (t == 1) {  // ins: SITE_INS_BASE lo @ middle idx
+          for (int64_t x = 0; x < len; ++x, ++m) {
+            int code = static_cast<int>(u2_lo(bits_at(k_ins, (uint32_t)m)) * 4.0f);
+            if (code > 3) code = 3;
+            mid1[m] = kCode2Base[code];
+            cls1[m] = 2;
+          }
+        } else {
+          i += len;
+        }
+      }
+      if (l_new1 > m) {
+        std::memcpy(mid1.data() + m, res_buf.data() + i,
+                    static_cast<size_t>(l_new1 - m));
+        std::memset(cls1.data() + m, 0, static_cast<size_t>(l_new1 - m));
+      }
+    }
+
+    // --- 4. runs of the pass-1 read + exact-table sizes ------------------
+    run_s.clear();
+    run_m.clear();
+    run_sz.clear();
+    {
+      int64_t i = 0;
+      while (i < l_new1) {
+        int64_t j = i + 1;
+        while (j < l_new1 && mid1[j] == mid1[i]) ++j;
+        if (j - i >= a.k) {
+          run_s.push_back(i);
+          run_m.push_back(j - i);
+        }
+        i = j;
+      }
+      for (size_t ri = 0; ri < run_s.size(); ++ri) {
+        const uint8_t c = mid1[run_s[ri]];
+        const bool is_at = c == 'A' || c == 'T';
+        int64_t m = run_m[ri] < a.tabM ? run_m[ri] : a.tabM;
+        const int64_t row = (is_at ? 0 : a.tabM + 1) + m;
+        const float u = walkreplay::uniform_at(k_hp, (uint32_t)ri);
+        const float* br = a.hp_breaks + row * a.tabN;
+        int64_t lo = 0, hi = a.tabN;
+        while (lo < hi) {
+          const int64_t mid = (lo + hi) >> 1;
+          if (br[mid] <= u) lo = mid + 1; else hi = mid;
+        }
+        int64_t n = a.hp_vals[row * a.tabN + lo - 1];
+        if (n > a.l_cap / 2) n = a.l_cap / 2;
+        run_sz.push_back(n);
+      }
+    }
+
+    // --- 5. final middle layout + in-run mismatches ----------------------
+    int64_t l_new2 = l_new1;
+    for (size_t ri = 0; ri < run_s.size(); ++ri) l_new2 += run_sz[ri] - run_m[ri];
+    if ((int64_t)midf.size() < l_new2 + 1) midf.resize(l_new2 + 1);
+    if ((int64_t)clsf.size() < l_new2 + 1) clsf.resize(l_new2 + 1);
+    out_s.clear();
+    {
+      size_t ri = 0;
+      int64_t p = 0, q = 0;
+      while (p < l_new1) {
+        if (ri < run_s.size() && p == run_s[ri]) {
+          const int64_t m = run_m[ri];
+          const int64_t n = run_sz[ri];
+          const int64_t kept = n < m ? n : m;
+          std::memcpy(midf.data() + q, mid1.data() + p, (size_t)kept);
+          std::memcpy(clsf.data() + q, cls1.data() + p, (size_t)kept);
+          if (n > m) {
+            std::memset(midf.data() + q + m, mid1[p], (size_t)(n - m));
+            std::memset(clsf.data() + q + m, 2, (size_t)(n - m));
+          }
+          out_s.push_back(q);
+          q += n;
+          p += m;
+          ++ri;
+        } else {
+          midf[q] = mid1[p];
+          clsf[q] = cls1[p];
+          ++q;
+          ++p;
+        }
+      }
+    }
+    for (size_t ri = 0; ri < run_s.size(); ++ri) {
+      const int64_t sfin = out_s[ri];
+      const int64_t n = run_sz[ri];
+      for (int64_t j = 0; j < n; ++j) {
+        const float u = walkreplay::uniform_at(k_hpq, (uint32_t)(sfin + j));
+        if (u > 0.0f && u <= a.hp_mis_rate) {
+          const float u2 = walkreplay::uniform_at(k_hpm, (uint32_t)(sfin + j));
+          int off = 1 + static_cast<int>(u2 * 3.0f);
+          if (off > 3) off = 3;
+          midf[sfin + j] = kCode2Base[(base2code(midf[sfin + j]) + off) & 3];
+          clsf[sfin + j] = 1;
+        }
+      }
+    }
+
+    // --- 6. assembly + record --------------------------------------------
+    const int64_t total = head + l_new2 + tail;
+    if ((int64_t)pre.size() < total + 4) pre.resize(total + 4);
+    std::memcpy(pre.data() + head, midf.data(), (size_t)l_new2);
+    fill_ht_bases(k_ht, 0, head, a.ht_cap, (char*)pre.data());
+    fill_ht_bases(k_ht, head, tail, a.ht_cap, (char*)pre.data() + head + l_new2);
+
+    const int64_t rec_bytes =
+        1 + name_len + 1 + total + 1 + (a.fastq ? 2 + total + 1 : 0);
+    if (fp + rec_bytes > fend) {  // per-lane pad too small: caller retries
+      *fw = 0;
+      *ew = 0;
+      return 1;
+    }
+    *fp++ = a.fastq ? '@' : '>';
+    fp = put_bytes(fp, name, name_len);
+    *fp++ = '\n';
+    if (rev) {
+      for (int64_t j = 0; j < total; ++j)
+        *fp++ = g_comp[pre[total - 1 - j]];
+    } else {
+      fp = put_bytes(fp, (const char*)pre.data(), total);
+    }
+    *fp++ = '\n';
+    if (a.fastq) {
+      *fp++ = '+';
+      *fp++ = '\n';
+      if ((int64_t)clsp.size() < total + 4) clsp.resize(total + 4);
+      std::memset(clsp.data(), 3, (size_t)total);
+      std::memcpy(clsp.data() + head, clsf.data(), (size_t)l_new2);
+      float u8[8];
+      for (int64_t j0 = 0; j0 < total; j0 += 8) {
+        walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), u8);
+        const int64_t jn = total - j0 < 8 ? total - j0 : 8;
+        for (int64_t x = 0; x < jn; ++x) {
+          const int64_t j = j0 + x;
+          const int c = clsp[rev ? total - 1 - j : j];
+          const float u = u8[x];
+          const float* br = a.q_breaks + c * a.qK;
+          int64_t lo = 0, hi = a.qK;
+          while (lo < hi) {
+            const int64_t mid = (lo + hi) >> 1;
+            if (br[mid] <= u) lo = mid + 1; else hi = mid;
+          }
+          *fp++ = static_cast<char>(a.q_vals[c * a.qK + lo - 1] + 33);
+        }
+      }
+      *fp++ = '\n';
+    }
+
+    // --- 7. ground-truth error log (pass-1 coordinates, reverse order) ---
+    if (!a.write_errors) continue;
+    for (int64_t e = ne - 1; e >= 0; --e) {
+      const int64_t len = eff[e];
+      if (len == 0) continue;
+      const uint32_t w = ev[e];
+      const int64_t px = w & 0x1FFFF;
+      const int32_t t = w >> 30;
+      const int64_t key = (px + 1) / 2;
+      ep = put_bytes(ep, name, name_len);
+      *ep++ = '\t';
+      ep = put_i64(ep, key);
+      *ep++ = '\t';
+      ep = put_bytes(ep, kTypeNames[t], 3);
+      *ep++ = '\t';
+      ep = put_i64(ep, len);
+      *ep++ = '\t';
+      if (t == 1) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, gseq + key, len);
+      }
+      *ep++ = '\t';
+      if (t == 2) {
+        std::memset(ep, '-', len);
+        ep += len;
+      } else {
+        ep = put_bytes(ep, (const char*)mid1.data() + rpos_buf[e], len);
+      }
+      *ep++ = '\n';
+    }
+  }
+  *fw = fp - fp0;
+  *ew = ep - ep0;
+  return 0;
+}
+
 struct FlatArgs {
   const uint8_t* reads_packed;
   const int64_t* read_off;  // [k] byte offsets into reads_packed
@@ -1032,6 +1399,73 @@ int64_t emit_batch_recon(
       threads.emplace_back([&, t]() { recon_range(a, r0s[t], r0s[t + 1], &fws[t], &ews[t]); });
     for (auto& th : threads) th.join();
   }
+
+  int64_t fpos = fws[0], epos = ews[0];
+  for (int t = 1; t < T; ++t) {
+    std::memmove(fastx_out + fpos, fastx_out + a.ubf[r0s[t]], fws[t]);
+    fpos += fws[t];
+    std::memmove(err_out + epos, err_out + a.ube[r0s[t]], ews[t]);
+    epos += ews[t];
+  }
+  *fastx_written = fpos;
+  *err_written = epos;
+  return 0;
+}
+
+// -hp reconstruction emitter (recon_hp_range).  ubf entries are per-lane
+// upper bounds including a growth pad for the resized middles; returns 1 if
+// any range ran out of pad (caller grows and retries), else 0.
+int64_t emit_batch_recon_hp(
+    int64_t seed, int64_t stream,
+    int64_t site_iupac, int64_t site_ins, int64_t site_hp,
+    int64_t site_hp_qual, int64_t site_hp_mis,
+    int64_t site_ht, int64_t site_qual,
+    int64_t ht_cap, int64_t hp_k, int64_t l_cap, double hp_mis_rate,
+    int64_t k, const int64_t* slots,
+    const char* names_buf, const int64_t* name_off,
+    const int64_t* middle_ref, const int64_t* head, const int64_t* tail,
+    const uint8_t* rev,
+    const uint32_t* ev_flat, const int64_t* ev_off, const int64_t* n_events,
+    const uint8_t* genome_flat, const int64_t* g_off,
+    const int64_t* start_pos,
+    const int64_t* ubf, const int64_t* ube,
+    char* fastx_out, int64_t* fastx_written,
+    char* err_out, int64_t* err_written,
+    int32_t fastq, int32_t write_errors,
+    const float* hp_breaks, const int32_t* hp_vals, int64_t tabM, int64_t tabN,
+    const float* q_breaks, const int32_t* q_vals, int64_t qK,
+    int32_t n_threads) {
+  init_comp();
+  init_dec();
+  HpReconArgs a{seed, stream, site_iupac, site_ins, site_hp, site_hp_qual,
+                site_hp_mis, site_ht, site_qual, ht_cap, hp_k, l_cap,
+                static_cast<float>(hp_mis_rate),
+                slots, names_buf, name_off, middle_ref, head, tail, rev,
+                ev_flat, ev_off, n_events, genome_flat, g_off, start_pos,
+                ubf, ube, fastx_out, err_out,
+                static_cast<int>(write_errors), static_cast<int>(fastq),
+                hp_breaks, hp_vals, tabM, tabN, q_breaks, q_vals, qK};
+
+  int T = n_threads < 1 ? 1 : static_cast<int>(n_threads);
+  if (T > k) T = static_cast<int>(k < 1 ? 1 : k);
+  std::vector<int64_t> r0s(T + 1);
+  for (int t = 0; t <= T; ++t) r0s[t] = k * t / T;
+  std::vector<int64_t> fws(T, 0), ews(T, 0);
+  std::vector<int> rcs(T, 0);
+
+  if (T == 1) {
+    rcs[0] = recon_hp_range(a, 0, k, &fws[0], &ews[0]);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(T);
+    for (int t = 0; t < T; ++t)
+      threads.emplace_back([&, t]() {
+        rcs[t] = recon_hp_range(a, r0s[t], r0s[t + 1], &fws[t], &ews[t]);
+      });
+    for (auto& th : threads) th.join();
+  }
+  for (int t = 0; t < T; ++t)
+    if (rcs[t] != 0) return rcs[t];
 
   int64_t fpos = fws[0], epos = ews[0];
   for (int t = 1; t < T; ++t) {

@@ -61,15 +61,24 @@ def setup(tmp_path_factory):
     return d, prefix, ref_fa
 
 
-@pytest.mark.parametrize("fastq", [False, True])
-def test_bit_identity_genome_hp(setup, fastq):
+@pytest.mark.parametrize("fastq,n,batch", [
+    (False, 100, 64),
+    (True, 100, 64),
+    # dense sampling of run-boundary / suppression / resize interactions —
+    # the chimeric-scaling lesson (n=1000 flushed real bugs there)
+    (True, 1000, 256),
+])
+def test_bit_identity_genome_hp(setup, fastq, n, batch, monkeypatch):
     d, prefix, ref_fa = setup
-    n, seed, k = 100, 3, 5
+    seed, k = 3, 5
+    # the capture needs the device-materializing dict path (prehp buffer);
+    # device==recon equality is separately enforced by test_reconstruct
+    monkeypatch.setenv("NANOSIM_TPU_RECON", "0")
     genome = PackedGenome.from_fasta(ref_fa)
     prof = profile.load_profile(prefix, mode="genome", fastq=fastq, homopolymer=True)
-    sim = GenomeSimulator(genome, prof, batch=64, fastq=fastq, kmer_bias=k)
+    sim = GenomeSimulator(genome, prof, batch=batch, fastq=fastq, kmer_bias=k)
 
-    tag = "q" if fastq else "a"
+    tag = ("q" if fastq else "a") + str(n)
     ours_reads = str(d / f"ours{tag}.{'fastq' if fastq else 'fasta'}")
     ours_err = str(d / f"ours{tag}.err")
     fw = out_mod.FastxWriter(ours_reads, fastq)

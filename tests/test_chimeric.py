@@ -193,3 +193,34 @@ def test_packed_meta_equals_unpacked_fallback(setup):
     assert (dd["n_seg"] > 1).sum() >= 10
     assert dd["valid"].sum() >= 20
     assert not dd["spill"].any()
+
+def test_spill_counter_and_unpacked_rerun(setup, monkeypatch):
+    """Forcing a tiny packed lane capacity makes every batch spill: the run
+    must (a) report it through RUN_STATS (observability for a workload that
+    silently spills every batch) and (b) still produce byte-identical output
+    via the unpacked re-run (segment_mean=1.9 fixture)."""
+    d, genome, prof = setup
+    from nanosim_tpu.sim.output import RUN_STATS
+
+    def run(tag):
+        fw = out_mod.FastxWriter(str(d / f"{tag}.fasta"), False)
+        el = out_mod.ErrorLogWriter(str(d / f"{tag}.err"))
+        sim = ChimericGenomeSimulator(genome, prof, batch=64)
+        got = sim.run(40, out_mod.ChimericBatchWriter(fw, el), seed=9)
+        fw.close()
+        el.close()
+        assert got == 40
+        return open(str(d / f"{tag}.fasta"), "rb").read(), open(
+            str(d / f"{tag}.err"), "rb").read()
+
+    RUN_STATS.reset()
+    base_fa, base_err = run("spill_base")
+    assert RUN_STATS.packed_spills == 0
+
+    monkeypatch.setenv("NANOSIM_TPU_PACKED_CAP", "8")
+    RUN_STATS.reset()
+    forced_fa, forced_err = run("spill_forced")
+    assert RUN_STATS.packed_spills >= 1, "forced cap must trip the spill path"
+    assert "packed_spills" in RUN_STATS.summary()
+    assert forced_fa == base_fa
+    assert forced_err == base_err

@@ -179,6 +179,25 @@ def test_hp_recon_matches_device_fastq(hp_setup, monkeypatch):
     assert open(er0, "rb").read() == open(er1, "rb").read()
 
 
+def test_hp_recon_python_equals_native(hp_setup, monkeypatch):
+    """The numpy reconstruct_hp_lane spec and the C++ emit_batch_recon_hp
+    mirror must produce identical files (records + logs)."""
+    from nanosim_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    d, prefix, ref_fa = hp_setup
+    fa0, er0 = _run_hp(d, "hnat", ref_fa, prefix, 100, 17, True, monkeypatch,
+                       fastq=True)
+    monkeypatch.setattr(
+        native.NativeEmitter, "recon_hp_available", property(lambda self: False)
+    )
+    fa1, er1 = _run_hp(d, "hpy", ref_fa, prefix, 100, 17, True, monkeypatch,
+                       fastq=True)
+    assert open(fa0, "rb").read() == open(fa1, "rb").read()
+    assert open(er0, "rb").read() == open(er1, "rb").read()
+
+
 def _run_unaligned(d, tag, ref_fa, prefix, n, seed, recon, monkeypatch, fastq=False):
     from nanosim_tpu.sim.unaligned_mode import UnalignedBatchWriter, UnalignedSimulator
 
