@@ -217,3 +217,41 @@ def test_fixture_reference_fasta(tmp_path):
     assert g.total_len == 1500
     assert g.max_chrom == 1000
     assert set(np.unique(g.flat)) <= set(b"ACGT")
+
+
+def test_sklearn_0221_pickle_fixture():
+    """A checked-in KDE pickle with scikit-learn 0.22.1's exact object
+    layout (the version the reference pins, README.md:41) must round-trip
+    through the tolerant loader even though CURRENT sklearn cannot unpickle
+    it at all (sklearn.neighbors._dist_metrics was removed in 1.3)."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    path = os.path.join(fixdir, "kde_sklearn_0221.pkl")
+    sys.path.insert(0, fixdir)
+    try:
+        from gen_sklearn022_kde import BANDWIDTH, fixture_data
+    finally:
+        sys.path.remove(fixdir)
+
+    import joblib
+
+    with pytest.raises(Exception):
+        joblib.load(path)  # the modern-sklearn failure mode for 0.22 models
+
+    from nanosim_tpu.profiles import kde
+
+    m = kde.load_kde(path)
+    np.testing.assert_array_equal(m.data, fixture_data())
+    assert m.bandwidth == BANDWIDTH
+    # usable end to end: device table + draw
+    from nanosim_tpu.ops.tables import KdeDevice
+
+    dev = KdeDevice.from_model(m)
+    import jax.numpy as jnp
+
+    s = np.asarray(dev.sample(jnp.asarray([0.3, 0.9]), jnp.asarray([0.0, 1.0])))
+    assert np.isfinite(s).all()
