@@ -616,38 +616,45 @@ class OverflowRescueWriter:
 
 
 def run_prefetched(make_batch, batch_size: int, quota: int, writer, sim,
-                   max_batches=None, state=None) -> int:
-    """Double-buffered accept loop: batch N+1 is dispatched (JAX async)
-    before batch N's host-side writing blocks on its transfers, overlapping
-    device compute with host formatting/IO.
+                   max_batches=None, state=None, depth: Optional[int] = None) -> int:
+    """Pipelined accept loop: up to `depth` batches are dispatched (JAX
+    async) ahead of the host consumer, so the fixed per-dispatch cost
+    (tunnel RTT + program launch, ~25-30 ms on a remote TPU) overlaps both
+    device compute AND the host's formatting/IO of earlier batches.  Depth 1
+    is the old double-buffered behavior; the default 4 keeps the device
+    stream saturated even when a single host emit stalls on the memory
+    throttle (NANOSIM_TPU_PIPELINE_DEPTH overrides).
 
     `state` (optional ResumeState): loads (slot cursor, accepted count) on
     entry and checkpoints them after every emitted batch, enabling a
     kill-and-restart to reproduce the exact remaining output (slot-keyed
-    draws make the mapping deterministic).
+    draws make the mapping deterministic).  The checkpointed cursor is the
+    first UNCONSUMED batch's slot start — in-flight dispatches beyond it are
+    recomputed on resume.
     """
+    from collections import deque
+
+    if depth is None:
+        depth = max(1, int(os.environ.get("NANOSIM_TPU_PIPELINE_DEPTH", "4")))
     accepted = state.accepted if state else 0
     slot_start = state.slot_start if state else 0
-    batches = 0
-    pending = make_batch(slot_start)
-    slot_start += batch_size
+    dispatched = 0
+    q = deque()
     while accepted < quota:
-        batches += 1
-        nxt = None
-        if max_batches is None or batches < max_batches:
-            nxt = make_batch(slot_start)
+        while len(q) < depth and (max_batches is None or dispatched < max_batches):
+            q.append(make_batch(slot_start))
             slot_start += batch_size
+            dispatched += 1
+        if not q:
+            break
+        pending = q.popleft()
         prev = accepted
         accepted += writer.write_batch(sim, pending, accepted, quota)
         from .output import report_progress
 
         report_progress(prev, accepted)
         if state is not None:
-            state.checkpoint(writer, slot_start - (batch_size if nxt is not None else 0),
-                             accepted)
-        if nxt is None:
-            break
-        pending = nxt
+            state.checkpoint(writer, slot_start - batch_size * len(q), accepted)
     return accepted
 
 
