@@ -30,6 +30,7 @@ insertion keys (`pos + 0.1` -> 2*pos + 1 for the unaligned walk).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,22 @@ import jax.numpy as jnp
 
 from . import rng
 from .tables import EcdfDevice, MixtureDevice, TransErrorDevice
+
+
+def use_pallas_walk() -> bool:
+    """Route the walks through the Pallas TPU kernels?
+
+    Default: yes on a real TPU backend (where the XLA while-loop walks are
+    launch-overhead-bound — see ops/walk_pallas.py), no elsewhere (the CPU
+    interpreter is only for tests).  `NANOSIM_TPU_PALLAS_WALK=0/1` overrides.
+    """
+    env = os.environ.get("NANOSIM_TPU_PALLAS_WALK")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 STATE_START = 0
 E_MIS, E_INS, E_DEL = 0, 1, 2
@@ -86,6 +103,32 @@ def _bulk_uniforms(walk_keys, n_steps, n):
             )
         )(walk_keys)
     )(ts)
+
+
+def error_walk_auto(slot_keys, m_ref, first_match, match_markov, mixtures,
+                    trans, max_events: int) -> "WalkResult":
+    """`error_walk`, routed through the Pallas kernel on TPU backends
+    (bit-identical; ops/walk_pallas.py)."""
+    if use_pallas_walk():
+        from .walk_pallas import error_walk_pallas
+
+        return error_walk_pallas(
+            slot_keys, m_ref, first_match, match_markov, mixtures, trans,
+            max_events,
+        )
+    return error_walk(
+        slot_keys, m_ref, first_match, match_markov, mixtures, trans,
+        max_events,
+    )
+
+
+def unaligned_walk_auto(slot_keys, m_ref, mixtures, max_steps: int) -> "WalkResult":
+    """`unaligned_walk`, routed through the Pallas kernel on TPU backends."""
+    if use_pallas_walk():
+        from .walk_pallas import unaligned_walk_pallas
+
+        return unaligned_walk_pallas(slot_keys, m_ref, mixtures, max_steps)
+    return unaligned_walk(slot_keys, m_ref, mixtures, max_steps)
 
 
 @functools.partial(jax.jit, static_argnames=("max_events",))

@@ -296,7 +296,7 @@ def chimeric_batch(
             ecnt_match=m_ref_flat,
         )
     else:
-        walk = error_walk.error_walk(
+        walk = error_walk.error_walk_auto(
             sk_seg, m_ref_lane, tables.first_match, tables.match_markov,
             tables.mixtures, tables.trans, e_max,
         )
@@ -315,7 +315,7 @@ def chimeric_batch(
         gap_f = _kde_draw(sk_gap, rng.SITE_GAP, tables.kde_gap, 1)[:, 0]
         gap_ref = jnp.where(gap_live, jnp.maximum(gap_f, 0).astype(jnp.int32), 0)
         gap_ref = jnp.minimum(gap_ref, gap_cap)
-        gwalk = error_walk.unaligned_walk(sk_gap, gap_ref, tables.mixtures, gap_steps)
+        gwalk = error_walk.unaligned_walk_auto(sk_gap, gap_ref, tables.mixtures, gap_steps)
         gap_ok = gap_unpack(
             jnp.where(gap_live, ~gwalk.overflow & (gwalk.l_new <= gap_cap), True), True
         ).reshape(S - 1, B).T.all(axis=1)

@@ -241,7 +241,7 @@ def genome_batch(
         valid = ht_ok & (ref_len_f > 0) & (ref_len_f <= max_len) & (ref_len_f <= l_cap)
         m_ref = jnp.clip(ref_len_f.astype(jnp.int32), 0, l_cap)
 
-        walk = error_walk.error_walk(
+        walk = error_walk.error_walk_auto(
             sk, m_ref, tables.first_match, tables.match_markov, tables.mixtures, tables.trans, e_max
         )
         middle_ref, l_new = walk.middle_ref, walk.l_new

@@ -181,7 +181,7 @@ def transcriptome_batch(
         head = jnp.zeros(B, jnp.int32)
         tail = jnp.zeros(B, jnp.int32)
     else:
-        walk = error_walk.error_walk(
+        walk = error_walk.error_walk_auto(
             sk, aligned, tables.first_match, tables.match_markov, tables.mixtures,
             tables.trans, e_max,
         )

@@ -68,7 +68,7 @@ def unaligned_batch(
     m_ref = jnp.maximum(ref_len_f.astype(jnp.int32), 0)
     valid = (ref_len_f > 0) & (m_ref <= l_cap)
 
-    walk = error_walk.unaligned_walk(sk, jnp.minimum(m_ref, l_cap), tables.mixtures, e_max)
+    walk = error_walk.unaligned_walk_auto(sk, jnp.minimum(m_ref, l_cap), tables.mixtures, e_max)
     middle_ref, l_new = walk.middle_ref, walk.l_new
     cap_over = walk.overflow | (m_ref > l_cap) | (middle_ref > l_cap) | (l_new > l_cap)
     # length filter on middle_ref (simulator.py:1503-1504)
