@@ -390,6 +390,12 @@ def _table_spec(shape):
     )
 
 
+def _permute(res: WalkResult, inv: jax.Array) -> WalkResult:
+    """Undo a lane permutation on every WalkResult field (rows for the
+    event buffers, elements for the per-lane state)."""
+    return WalkResult(*(f[inv] for f in res))
+
+
 def _finish(ev, pos, mid, lnew, nev, B, E, aligned: bool):
     """[G, E, BLK] events + [G, BLK] state -> WalkResult ([B, E] layout)."""
     ev = jnp.transpose(ev, (0, 2, 1)).reshape(-1, E)[:B]
@@ -458,9 +464,22 @@ def error_walk_pallas(
     BLK = _block_of(B, block)
     G = -(-B // BLK)
     B_pad = G * BLK
+    m_ref = m_ref.astype(jnp.int32)
+    # With several lane blocks, sort lanes by m_ref (descending) so each
+    # block's early exit fires at ITS max instead of the global one (the sum
+    # of sorted block maxima tracks the mean walk length, not the tail).
+    # Free semantically: draws are (slot, site)-key-addressed, so placement
+    # cannot change them, and the permutation is undone on every output.
+    inv = None
+    if G > 1:
+        order = jnp.argsort(-m_ref)
+        inv = jnp.argsort(order)
+        walk_keys = walk_keys[order]
+        m_ref = m_ref[order]
+        prev_match = prev_match[order]
     wk0 = _pad_block(walk_keys[:, 0].astype(jnp.uint32), B_pad, G, BLK)
     wk1 = _pad_block(walk_keys[:, 1].astype(jnp.uint32), B_pad, G, BLK)
-    mref_b = _pad_block(m_ref.astype(jnp.int32), B_pad, G, BLK)
+    mref_b = _pad_block(m_ref, B_pad, G, BLK)
     pm_b = _pad_block(prev_match.astype(jnp.int32), B_pad, G, BLK, fill=2)
 
     mix_t = mixtures.cdf_t.T  # (n_t, 3)
@@ -499,7 +518,8 @@ def error_walk_pallas(
         ],
         interpret=interpret,
     )(wk0, wk1, mref_b, pm_b, mix_t, binlo, mm_comb_t, cum_t)
-    return _finish(ev, pos, mid, lnew, nev, B, E, aligned=True)
+    res = _finish(ev, pos, mid, lnew, nev, B, E, aligned=True)
+    return _permute(res, inv) if inv is not None else res
 
 
 @functools.partial(
@@ -522,9 +542,16 @@ def unaligned_walk_pallas(
     BLK = _block_of(B, block)
     G = -(-B // BLK)
     B_pad = G * BLK
+    m_ref = m_ref.astype(jnp.int32)
+    inv = None
+    if G > 1:  # sorted lane blocks — see error_walk_pallas
+        order = jnp.argsort(-m_ref)
+        inv = jnp.argsort(order)
+        walk_keys = walk_keys[order]
+        m_ref = m_ref[order]
     wk0 = _pad_block(walk_keys[:, 0].astype(jnp.uint32), B_pad, G, BLK)
     wk1 = _pad_block(walk_keys[:, 1].astype(jnp.uint32), B_pad, G, BLK)
-    mref_b = _pad_block(m_ref.astype(jnp.int32), B_pad, G, BLK)
+    mref_b = _pad_block(m_ref, B_pad, G, BLK)
     mix_t = mixtures.cdf_t.T  # (n_t, 3)
 
     kernel = _make_unaligned_kernel(E, BLK)
@@ -546,4 +573,5 @@ def unaligned_walk_pallas(
         ],
         interpret=interpret,
     )(wk0, wk1, mref_b, mix_t)
-    return _finish(ev, pos, mid, lnew, nev, B, E, aligned=False)
+    res = _finish(ev, pos, mid, lnew, nev, B, E, aligned=False)
+    return _permute(res, inv) if inv is not None else res

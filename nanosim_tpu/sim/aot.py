@@ -38,7 +38,8 @@ def _code_fingerprint() -> str:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
         for rel in (
-            "ops/rng.py", "ops/error_walk.py", "ops/apply_errors.py",
+            "ops/rng.py", "ops/error_walk.py", "ops/walk_pallas.py",
+            "ops/apply_errors.py",
             "ops/tables.py", "ops/seqops.py", "ops/homopolymer.py",
             "sim/genome_mode.py", "sim/extract.py", "sim/bundles.py",
         ):

@@ -2241,7 +2241,7 @@ void recon_trx_range(const TrxReconArgs& a, int64_t r0, int64_t r1,
       *fp++ = '\n';
       // uniforms live at counters 0..total-1; when rev they're consumed in
       // descending order, so batch them into a scratch buffer first
-      if ((int64_t)uq_buf.size() < total) uq_buf.resize(total + 8);
+      if ((int64_t)uq_buf.size() < total + 8) uq_buf.resize(total + 8);
       for (int64_t j0 = 0; j0 < total; j0 += 8)
         walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), &uq_buf[j0]);
       for (int64_t j = 0; j < total; ++j) {
@@ -2630,7 +2630,7 @@ void recon_chimeric_range(const ChiReconArgs& a, int64_t r0, int64_t r1,
       *fp++ = '\n';
       // uniforms live at counters 0..total-1; when rev they're consumed in
       // descending order, so batch them into a scratch buffer first
-      if ((int64_t)uq_buf.size() < total) uq_buf.resize(total + 8);
+      if ((int64_t)uq_buf.size() < total + 8) uq_buf.resize(total + 8);
       for (int64_t j0 = 0; j0 < total; j0 += 8)
         walkreplay::uniform8_at(k_qual, static_cast<uint32_t>(j0), &uq_buf[j0]);
       for (int64_t j = 0; j < total; ++j) {

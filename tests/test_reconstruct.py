@@ -546,3 +546,42 @@ def test_trx_perfect_recon_matches_device(trx_setup, monkeypatch):
             assert x == y, f"record {i} differs:\nDEV: {x[:300]}\nREC: {y[:300]}"
     assert a == b
     assert a.count(b"_perfect_") == 100
+
+
+def test_trx_emitter_qual_scratch_boundary():
+    """Regression: the FASTQ quality-uniform scratch in the trx/unaligned
+    recon emitters is filled in 8-wide threefry passes (up to total+7
+    floats), but its resize guard only covered `total`.  A record slightly
+    shorter than the previous one while crossing an 8-boundary (999 then
+    1007 with a 1007-float buffer) overwrote the heap by up to 7 floats —
+    seen as `double free or corruption` in the dRNA bench config."""
+    import numpy as np
+
+    from nanosim_tpu.io import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native emitter unavailable")
+    em = native.NativeEmitter()
+    totals = np.array([999, 1007], np.int64)
+    zeros = np.zeros(2, np.int64)
+    src = np.frombuffer(b"ACGT" * 300, np.uint8).copy()
+    qb = np.zeros((5, 2), np.float32)
+    qb[:, 1] = 0.5
+    qv = np.full((5, 2), 30, np.int32)
+    fastx, err = em.emit_trx_recon(
+        seed=1, stream=0, ht_cap=64,
+        slots=np.array([0, 1], np.int64), names=["r0", "r1"],
+        total=totals, head=zeros, tail=zeros, pa_len=zeros,
+        l_new=totals, middle_ref=totals, rev=np.zeros(2, np.uint8),
+        ev_flat=np.zeros(1, np.uint32), ev_off=zeros,
+        n_events=zeros,
+        src_a=np.tile(src, 2)[: 2048], src_b=np.zeros(1, np.uint8),
+        use_b=np.zeros(2, np.uint8), src_off=np.array([0, 0], np.int64),
+        fastq=True, uracil=False, write_errors=False,
+        qual_table=(qb, qv), n_threads=1,
+    )
+    lines = bytes(fastx).split(b"\n")
+    assert lines[0] == b"@r0" and len(lines[1]) == 999 and len(lines[3]) == 999
+    assert lines[4] == b"@r1" and len(lines[5]) == 1007 and len(lines[7]) == 1007
