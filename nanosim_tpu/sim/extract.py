@@ -79,7 +79,11 @@ class GenomeDevice:
         c4[:n] = codes
         c4 = c4.reshape(-1, 4)
         packed = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6)).astype(np.uint8)
-        is_plain = np.isin(flat_np, np.frombuffer(b"ACGT", np.uint8))
+        # 256-entry LUT, not np.isin: isin's sort path costs ~9 s on a
+        # 48 MB genome and dominated per-run startup
+        plain_lut = np.zeros(256, bool)
+        plain_lut[np.frombuffer(b"ACGT", np.uint8)] = True
+        is_plain = plain_lut[flat_np]
         exc_idx = np.nonzero(~is_plain)[0]
         exc_val = flat_np[exc_idx]
         et = max(256, 1 << int(np.ceil(np.log2(max(len(exc_idx), 1) + 1))))

@@ -1408,8 +1408,38 @@ class ChimericBatchWriter:
 
         self._emitter = NativeEmitter()
 
+    def prepare_recon_chimeric(self, sim, h, accepted_so_far: int, quota: int):
+        """Decode a meta-only chimeric batch, select its accepted lanes, and
+        advance the species-quota feedback — the cheap sequential head of a
+        batch.  The expensive replay+emit (`_write_recon_chimeric` with
+        `prepared=`) can then run AFTER the next batch has been assigned and
+        dispatched, overlapping host emission with device compute."""
+        from .chimeric_mode import decode_chimeric_meta
+
+        S = sim.s_max
+        meta = np.asarray(h.meta_dev)
+        d = decode_chimeric_meta(meta, S)
+        if d["spill"].any():
+            RUN_STATS.packed_spills += 1
+            meta = sim.chimeric_meta_unpacked(h.slots, h.seed, h.species)
+            d = decode_chimeric_meta(meta, S)
+        lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
+        self._advance_species_quota(d, lanes)
+        return {"d": d, "lanes": lanes, "start": accepted_so_far}
+
+    def _advance_species_quota(self, d, lanes):
+        if self.species_bases is None or len(lanes) == 0:
+            return
+        S = d["chrom"].shape[1]
+        n_seg_l = d["n_seg"][lanes]
+        chrom_l = d["chrom"][lanes]
+        sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
+        seg_mask = np.arange(S)[None, :] < n_seg_l[:, None]
+        np.add.at(self.species_bases, sp_rs[seg_mask],
+                  d["seg_mref"][lanes][seg_mask])
+
     def _write_recon_chimeric(self, sim, h, accepted_so_far: int, quota: int,
-                              lanes=None, start=None) -> int:
+                              lanes=None, start=None, prepared=None) -> int:
         """Host-reconstruct + emit a meta-only chimeric batch (genome mode):
         part-keyed C++ walk replays (checksum-verified) + C++ splicing of
         head | segments | gaps | tail."""
@@ -1418,14 +1448,20 @@ class ChimericBatchWriter:
 
         S = sim.s_max
         G = max(S - 1, 1)
-        meta = np.asarray(h.meta_dev)
-        d = decode_chimeric_meta(meta, S)
-        if d["spill"].any():
-            # packed lane capacity exceeded (vanishingly rare): identical
-            # per-slot results via the unpacked program
-            RUN_STATS.packed_spills += 1
-            meta = sim.chimeric_meta_unpacked(h.slots, h.seed, h.species)
+        quota_done = prepared is not None
+        if prepared is not None:
+            d = prepared["d"]
+            lanes = prepared["lanes"]
+            start = prepared["start"]
+        else:
+            meta = np.asarray(h.meta_dev)
             d = decode_chimeric_meta(meta, S)
+            if d["spill"].any():
+                # packed lane capacity exceeded (vanishingly rare): identical
+                # per-slot results via the unpacked program
+                RUN_STATS.packed_spills += 1
+                meta = sim.chimeric_meta_unpacked(h.slots, h.seed, h.species)
+                d = decode_chimeric_meta(meta, S)
         if lanes is None:
             lanes = np.nonzero(d["valid"])[0][: quota - accepted_so_far]
             start = accepted_so_far
@@ -1578,7 +1614,7 @@ class ChimericBatchWriter:
                     # write_read_events reverses; feed in ascending order
                     self.error_log.write_read_events(
                         names[rank], ks[::-1], tn[::-1], lv[::-1], rf[::-1], sq[::-1])
-            if self.species_bases is not None:
+            if self.species_bases is not None and not quota_done:
                 chrom_l = d["chrom"][lanes]
                 sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
                 seg_mask = np.arange(S)[None, :] < n_seg_l[:, None]
@@ -1612,7 +1648,7 @@ class ChimericBatchWriter:
         self.fastx.f.write(fastx_mv)
         if with_events and self.error_log is not None:
             self.error_log.write_bytes(err_mv)
-        if self.species_bases is not None:
+        if self.species_bases is not None and not quota_done:
             # metagenome quota feedback (same accounting as the padded path)
             chrom_l = d["chrom"][lanes]
             sp_rs = np.asarray(self.species_of_chrom)[chrom_l]
@@ -1622,12 +1658,12 @@ class ChimericBatchWriter:
         return k
 
     def write_batch(self, sim, out, accepted_so_far: int, quota: int,
-                    lanes=None, start=None) -> int:
+                    lanes=None, start=None, prepared=None) -> int:
         from .chimeric_mode import ChimericReconHandle
 
         if isinstance(out, ChimericReconHandle):
             return self._write_recon_chimeric(sim, out, accepted_so_far, quota,
-                                              lanes, start)
+                                              lanes, start, prepared=prepared)
         if lanes is None:
             valid = np.asarray(out.valid)
             lanes = np.nonzero(valid)[0][: quota - accepted_so_far]

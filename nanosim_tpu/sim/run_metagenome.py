@@ -24,6 +24,7 @@ import sys
 from time import strftime
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,6 +119,27 @@ def inflate_abun(original_dict: dict, inflated_species: str, abun_inflation: flo
     """Chimeric same-species continuation probability (simulator.py:2018-2022)."""
     rest = (1 - original_dict[inflated_species]) * abun_inflation
     return 1 - rest
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S", "min_len", "max_len", "l_cap", "perfect")
+)
+def _phase_a_program(base, slots, kde_aligned, *, S, min_len, max_len, l_cap,
+                     perfect):
+    """Fused device half of phase A: the SITE_SEGMENTS uniforms and the
+    per-(slot, segment) aligned-length KDE draws, one dispatch."""
+    from .genome_mode import _first_valid, _kde_draw
+
+    sk = rng.slot_keys(base, slots)
+    u_seg = rng.uniform_per_slot(sk, rng.SITE_SEGMENTS)
+    seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
+    sk_seg = jnp.concatenate(seg_keys, axis=0)
+    ref_c = _kde_draw(sk_seg, rng.SITE_REF_LENGTH, kde_aligned, 2)
+    if perfect:
+        ref_f, _ = _first_valid(ref_c, (ref_c >= min_len) & (ref_c <= max_len))
+    else:
+        ref_f, _ = _first_valid(ref_c, (ref_c > 0) & (ref_c <= max_len))
+    return u_seg, jnp.clip(ref_f.astype(jnp.int32), 0, l_cap)
 
 
 def assign_species_batch(
@@ -273,38 +295,49 @@ class MetagenomeSimulator:
         out = fn(base, jnp.asarray(np.asarray(slots)), jnp.asarray(species))
         return np.asarray(pack_chimeric_meta(out))
 
+    def _phase_a_dispatch(self, base, slots):
+        """Dispatch the segment-count/length draws as ONE device program.
+
+        Returns an async (u_seg, m_ref_flat) device handle; the host-side
+        finish (`_phase_a_fetch`) keeps the original numpy f64 geometric
+        arithmetic so draws stay bit-identical to the pre-fused path.  The
+        synchronous loop had issued these as several separate eager
+        dispatches — ~85 ms of serialized tunnel RTTs per batch.
+        """
+        return _phase_a_program(
+            base, slots, self.tables.kde_aligned,
+            S=self.s_max,
+            min_len=self.kw["min_len"],
+            max_len=self.max_len,
+            l_cap=self.l_cap,
+            perfect=self.perfect,
+        )
+
+    def _phase_a_fetch(self, handle, B):
+        u_seg, m_ref_flat = handle
+        S = self.s_max
+        if self.kw["segment_mean"] > 1.0 and S > 1:
+            n_seg = np.minimum(
+                np.ceil(np.log1p(-np.asarray(u_seg))
+                        / np.log1p(-1.0 / self.kw["segment_mean"])),
+                S,
+            ).astype(np.int32)
+        else:
+            n_seg = np.ones(B, np.int32)
+        m_ref = np.asarray(m_ref_flat).reshape(S, B).T
+        seg_idx = np.arange(S)[None, :]
+        m_ref = np.where(seg_idx < n_seg[:, None], m_ref, 0)
+        return n_seg, m_ref
+
     def _phase_a(self, base, slots):
         """Host replay of the device's segment-count/length draws.
 
         Uses the same slot/part/site keys as chimeric_batch so phase B's
         device draws match exactly.
         """
-        import jax
-
-        B = slots.shape[0]
-        S = self.s_max
-        sk = rng.slot_keys(base, slots)
-        if self.kw["segment_mean"] > 1.0 and S > 1:
-            u_seg = rng.uniform_per_slot(sk, rng.SITE_SEGMENTS)
-            n_seg = np.minimum(
-                np.ceil(np.log1p(-np.asarray(u_seg)) / np.log1p(-1.0 / self.kw["segment_mean"])),
-                S,
-            ).astype(np.int32)
-        else:
-            n_seg = np.ones(B, np.int32)
-        from .genome_mode import _first_valid, _kde_draw
-
-        seg_keys = [rng.part_slot_keys(sk, rng.PART_SEGMENT_BASE, s) for s in range(S)]
-        sk_seg = jnp.concatenate(seg_keys, axis=0)
-        ref_c = _kde_draw(sk_seg, rng.SITE_REF_LENGTH, self.tables.kde_aligned, 2)
-        if self.perfect:
-            ref_f, _ = _first_valid(ref_c, (ref_c >= self.kw["min_len"]) & (ref_c <= self.max_len))
-        else:
-            ref_f, _ = _first_valid(ref_c, (ref_c > 0) & (ref_c <= self.max_len))
-        m_ref = np.asarray(jnp.clip(ref_f.astype(jnp.int32), 0, self.l_cap)).reshape(S, B).T
-        seg_idx = np.arange(S)[None, :]
-        m_ref = np.where(seg_idx < n_seg[:, None], m_ref, 0)
-        return n_seg, m_ref
+        return self._phase_a_fetch(
+            self._phase_a_dispatch(base, slots), slots.shape[0]
+        )
 
     def batch_fn(self):
         return functools.partial(
@@ -375,25 +408,78 @@ class MetagenomeSimulator:
             rng_py.bit_generator.state = state.rng_state
         writer.species_bases = self.current_bases
         batches = 0
+        can_pipeline = recon and hasattr(writer, "prepare_recon_chimeric")
+
+        # Pipelined loop (recon path): per batch, the only SEQUENTIAL state
+        # is the species-quota feedback, which needs just the meta rows —
+        # so the expensive C++ replay+emit of batch i is deferred until
+        # batch i+1's species are assigned and its device program (and the
+        # next phase-A draws) are dispatched.  Host emission then overlaps
+        # device compute instead of serializing with it, and phase A's
+        # draws are always one batch ahead of the consumer.  Output bytes,
+        # read numbering, quota arithmetic, and host-RNG consumption are
+        # order-identical to the synchronous loop.
+        pending = None  # (handle, prepared, checkpoint_snapshot)
+        # the deferred emits run on a single ordered worker so the main
+        # thread never blocks on throttled file writes at all; batch order
+        # (and therefore output bytes) is preserved by the queue
+        emit_io = output._OrderedIO(depth=2) if can_pipeline else None
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            h, prep, snap = pending
+            pending = None
+
+            def do_emit(h=h, prep=prep, snap=snap):
+                writer.write_batch(self, h, snap[1], n_reads, prepared=prep)
+                # checkpoint only after the batch's bytes are on disk, so
+                # the state never outruns the files
+                if state is not None:
+                    state.write(*snap[0], snap[2], snap[3])
+
+            if emit_io is not None:
+                emit_io.submit(do_emit)
+            else:
+                do_emit()
+
+        pa = self._phase_a_dispatch(
+            base, jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64))
         while accepted < n_reads:
             if max_batches is not None and batches >= max_batches:
                 break
             batches += 1
             slots = jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64)
-            n_seg, m_ref = self._phase_a(base, slots)
+            n_seg, m_ref = self._phase_a_fetch(pa, self.batch)
             species = assign_species_batch(
                 m_ref, n_seg, self.current_bases, self.abun, self.abun_inflated, rng_py
             )
             out = dispatch(slots, species)
-            prev = accepted
-            accepted += writer.write_batch(self, out, accepted, n_reads)
-            output.report_progress(prev, accepted)
             slot_start += self.batch
-            # the writer advances self.current_bases (quota feedback) before
-            # the checkpoint is written, so the state never outruns the files
-            if state is not None:
-                state.write(slot_start, accepted, self.current_bases,
-                            rng_py.bit_generator.state)
+            pa = self._phase_a_dispatch(
+                base, jnp.arange(slot_start, slot_start + self.batch, dtype=jnp.int64))
+            if can_pipeline:
+                # previous batch's emit overlaps this batch's device program
+                flush_pending()
+                prep = writer.prepare_recon_chimeric(self, out, accepted, n_reads)
+                prev = accepted
+                accepted += len(prep["lanes"])
+                output.report_progress(prev, accepted)
+                pending = (out, prep, (
+                    (slot_start, accepted), prev,
+                    np.array(self.current_bases), rng_py.bit_generator.state,
+                ))
+            else:
+                prev = accepted
+                accepted += writer.write_batch(self, out, accepted, n_reads)
+                output.report_progress(prev, accepted)
+                if state is not None:
+                    state.write(slot_start, accepted, self.current_bases,
+                                rng_py.bit_generator.state)
+        flush_pending()
+        if emit_io is not None:
+            emit_io.close()
         return accepted
 
 
@@ -528,6 +614,7 @@ def simulate_metagenome(
                 min_len=min_len,
                 max_len=max_len,
                 batch=batch,
+                genome_dev=sim.genome_dev,
             )
             u_state = prefix + "_unaligned.resume.json"
             u_resuming = resume and _os.path.exists(u_state)

@@ -301,6 +301,7 @@ class UnalignedSimulator:
         l_cap=None,
         uracil=False,
         transcriptome_mode=False,
+        genome_dev=None,
     ):
         from .bundles import build_tables
 
@@ -326,7 +327,10 @@ class UnalignedSimulator:
         # in the length cap.
         self.e_max = -(-(int(l_cap * 1.25) + 64) // 8) * 8
         self.tables = build_tables(profile)
-        self.genome_dev = extract.GenomeDevice.from_packed(genome)
+        # reuse an already-uploaded GenomeDevice (the metagenome runner
+        # shares its 48+ MB upload instead of paying it twice per run)
+        self.genome_dev = (genome_dev if genome_dev is not None
+                           else extract.GenomeDevice.from_packed(genome))
         self.kw = dict(
             l_cap=l_cap,
             e_max=self.e_max,
