@@ -192,7 +192,8 @@ def run_device_ceiling(prefix, ref_fa):
     chained = int(os.environ.get("BENCH_DEVICE_CALLS", "20"))
     out = {"batches": {}, "reads_per_sec": 0.0, "accept_rate": None}
     base = rng.base_key(0, rng.STREAM_ALIGNED)
-    for B in (1024, 2048, 8192):
+    trials = int(os.environ.get("BENCH_DEVICE_TRIALS", "3"))
+    for B in (1024, 2048, 8192, 16384):
         sim = GenomeSimulator(genome, prof, batch=B)
         fn = sim.batch_fn(emit_reads=False)
         import jax.numpy as jnp
@@ -201,22 +202,28 @@ def run_device_ceiling(prefix, ref_fa):
         t0 = time.time()
         jax.block_until_ready(fn(base, slots0).valid)  # compile + warm
         log(f"device ceiling B={B}: warmup {time.time() - t0:.1f}s")
-        valids = []
-        t0 = time.time()
-        for c in range(chained):
-            o = fn(base, jnp.arange(c * B, (c + 1) * B, dtype=jnp.int64))
-            valids.append(o.valid)
-        jax.block_until_ready(valids[-1])
-        dt = time.time() - t0
-        acc = float(np.mean([np.asarray(v).mean() for v in valids]))
-        ms = dt / chained * 1e3
-        rps = B * chained * acc / dt
-        log(f"device ceiling B={B}: {ms:.1f} ms/call x{chained}, accept "
-            f"{acc:.3f} -> {rps:.0f} accepted reads/s")
-        out["batches"][str(B)] = round(ms, 2)
+        best_ms, best_rps, acc = None, 0.0, 0.0
+        # best of N chains: the first chain often pays host-side dispatch
+        # warm-up (allocator, tunnel), which is not device time
+        for trial in range(trials):
+            valids = []
+            t0 = time.time()
+            for c in range(chained):
+                o = fn(base, jnp.arange(c * B, (c + 1) * B, dtype=jnp.int64))
+                valids.append(o.valid)
+            jax.block_until_ready(valids[-1])
+            dt = time.time() - t0
+            acc = float(np.mean([np.asarray(v).mean() for v in valids]))
+            ms = dt / chained * 1e3
+            rps = B * chained * acc / dt
+            log(f"device ceiling B={B} trial {trial}: {ms:.1f} ms/call "
+                f"x{chained}, accept {acc:.3f} -> {rps:.0f} accepted reads/s")
+            if best_ms is None or ms < best_ms:
+                best_ms, best_rps = ms, rps
+        out["batches"][str(B)] = round(best_ms, 2)
         out["accept_rate"] = round(acc, 4)
-        if rps > out["reads_per_sec"]:
-            out["reads_per_sec"] = round(rps, 1)
+        if best_rps > out["reads_per_sec"]:
+            out["reads_per_sec"] = round(best_rps, 1)
     return out
 
 
