@@ -7,7 +7,13 @@ tested via CPU device-count spoofing).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NANOSIM_TPU_TEST_TPU=1 keeps the session's real backend (single real
+# chip) so targeted tests — e.g. the reference bit-identity proofs — can be
+# executed against the TPU compute path (Pallas walks included); the
+# default stays the 8-device virtual CPU mesh the suite is designed for.
+_REAL_TPU = os.environ.get("NANOSIM_TPU_TEST_TPU") == "1"
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # tests must not pollute the repo-local prebuilt cache (.xla_cache ships the
 # bench shapes); route their compile cache to the user cache instead
 os.environ.setdefault(
@@ -21,7 +27,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # force CPU through the config API before any backend initialization.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -11,6 +11,18 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _no_compilation_cache():
+    """Compile the interpret-mode kernels fresh: deserializing their cached
+    CPU executables inside a long pytest process segfaults in
+    jax's compilation-cache read path (reproducibly at the multi-block
+    variant, only after ~150 prior tests; standalone loads are fine).
+    Recompiling costs a few seconds and avoids the fragile path."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
 from nanosim_tpu.ops import error_walk, rng
 from nanosim_tpu.ops.walk_pallas import error_walk_pallas, unaligned_walk_pallas
 from nanosim_tpu.profiles import fixtures, profile
