@@ -18,10 +18,18 @@ def _no_compilation_cache():
     CPU executables inside a long pytest process segfaults in
     jax's compilation-cache read path (reproducibly at the multi-block
     variant, only after ~150 prior tests; standalone loads are fine).
-    Recompiling costs a few seconds and avoids the fragile path."""
-    jax.config.update("jax_enable_compilation_cache", False)
+    Recompiling costs a few seconds and avoids the fragile path.
+
+    jax memoizes `is_cache_used` per process, so flipping the flag alone
+    is a no-op mid-run; the memo must be reset around the change."""
+    from jax._src import compilation_cache as _cc
+
+    old = jax.config.jax_compilation_cache_dir
+    _cc.reset_cache()
+    jax.config.update("jax_compilation_cache_dir", None)
     yield
-    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", old)
+    _cc.reset_cache()
 
 from nanosim_tpu.ops import error_walk, rng
 from nanosim_tpu.ops.walk_pallas import error_walk_pallas, unaligned_walk_pallas
