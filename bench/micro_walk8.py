@@ -87,7 +87,8 @@ def make(variant):
                     lane = jnp.clip(jnp.sum((binlo_t <= pmatch).astype(jnp.int32),
                                             axis=0, keepdims=True, dtype=jnp.int32) - c1,
                                     c0, jnp.int32(nb - 1))
-                    rows_bv = wp._onehot_rows(mm_bv, lane, nb)
+                    rows_bv = wp._onehot_rows_limbs(
+                        wp._limb_planes3(mm_bv), lane, nb, 2 * K)
                     rows_b = rows_bv[:K]
                     rows_v = rows_bv[K:]
                     hit = rows_b <= u_match

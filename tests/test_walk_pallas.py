@@ -21,12 +21,23 @@ def _no_compilation_cache():
     Recompiling costs a few seconds and avoids the fragile path.
 
     jax memoizes `is_cache_used` per process, so flipping the flag alone
-    is a no-op mid-run; the memo must be reset around the change."""
+    is a no-op mid-run; the memo must be reset around the change.
+
+    Bypassing the cache-read path was not enough: the very same compile can
+    also segfault inside backend_compile_and_load when the process carries
+    ~150 tests' worth of live compiled executables (XLA CPU JIT code-page
+    pressure).  Dropping every cached executable first (jax.clear_caches)
+    removes that state; the later tests that re-need programs simply
+    recompile."""
+    import gc
+
     from jax._src import compilation_cache as _cc
 
     old = jax.config.jax_compilation_cache_dir
     _cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", None)
+    jax.clear_caches()
+    gc.collect()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
     _cc.reset_cache()
