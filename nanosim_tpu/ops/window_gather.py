@@ -37,15 +37,18 @@ WINDOW_CODES = W8 * 128 * 4
 
 
 def _kernel(ws_ref, parts_ref, idx_ref, out_ref):
-    # ws_ref is scalar-prefetch (SMEM): dynamic per-(lane, tile) scalar reads
+    # ws_ref is a per-block SMEM operand holding this block's ROWS of window
+    # starts for EVERY tile (tiny: ROWS x n_tiles i32).  A whole-array
+    # scalar-prefetch here would pin [B, n_tiles] in SMEM, which overflows
+    # the ~1 MB SMEM budget at B >= ~8k lanes (observed as a Mosaic
+    # "would exceed memory (space=smem)" compile failure).
     P = parts_ref.shape[1]
-    blk = pl.program_id(0)
     t = pl.program_id(1)
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (W8, P), 1)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (TILE, W8), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
     for r in range(ROWS):
-        ws = ws_ref[blk * ROWS + r, t]  # window start, codes (512-aligned)
+        ws = ws_ref[r, t]  # window start, codes (512-aligned)
         wb = ws >> 9  # window start subrow (128 bytes = 512 codes)
         coarse = ((wb + jax.lax.broadcasted_iota(jnp.int32, (W8, P), 0)) == iota_p).astype(
             jnp.float32
@@ -72,21 +75,20 @@ def _kernel(ws_ref, parts_ref, idx_ref, out_ref):
 def _gather_windowed_i32(parts3d, idx, ws, interpret=False):
     B, P, _ = parts3d.shape
     L = idx.shape[1]
+    n_tiles = ws.shape[1]
     with jax.enable_x64(False):
         from jax.experimental.pallas import tpu as pltpu
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B // ROWS, L // TILE),
-            in_specs=[
-                pl.BlockSpec((ROWS, P, 128), lambda b, t, ws: (b, 0, 0)),
-                pl.BlockSpec((ROWS, TILE), lambda b, t, ws: (b, t)),
-            ],
-            out_specs=pl.BlockSpec((ROWS, TILE), lambda b, t, ws: (b, t)),
-        )
         return pl.pallas_call(
             _kernel,
-            grid_spec=grid_spec,
+            grid=(B // ROWS, L // TILE),
+            in_specs=[
+                pl.BlockSpec((ROWS, n_tiles), lambda b, t: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((ROWS, P, 128), lambda b, t: (b, 0, 0)),
+                pl.BlockSpec((ROWS, TILE), lambda b, t: (b, t)),
+            ],
+            out_specs=pl.BlockSpec((ROWS, TILE), lambda b, t: (b, t)),
             out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
             interpret=interpret,
         )(ws, parts3d, idx)
