@@ -53,3 +53,36 @@ def test_gather_codes_matches_take_along_axis():
         )
         exp = np.take_along_axis(codes, idx, axis=1)
         np.testing.assert_array_equal(out, exp, err_msg=f"{(B, W, L)}")
+
+
+def test_window_gather_multiblock_multitile():
+    """gather_bytes_windowed at several ROW blocks x several tiles, with
+    per-(block, tile) window starts (regression: the window-start operand is
+    block-indexed SMEM — a whole-array scalar prefetch overflowed SMEM at
+    B >= ~8k, and per-block indexing must still address the right rows)."""
+    from nanosim_tpu.ops import window_gather as wg
+
+    rng = np.random.default_rng(11)
+    B = 4 * wg.ROWS  # 4 lane blocks
+    n_tiles = 3
+    L = n_tiles * wg.TILE
+    PB = 4096  # 16384 codes
+    packed = rng.integers(0, 256, (B, PB)).astype(np.uint8)
+    # per-tile index runs confined to DIFFERENT 512-aligned windows per
+    # (lane, tile) so wrong ws addressing cannot silently match
+    idx = np.empty((B, L), np.int32)
+    ws = np.empty((B, n_tiles), np.int32)
+    for b in range(B):
+        for t in range(n_tiles):
+            start = int(rng.integers(0, (4 * PB - wg.WINDOW_CODES) // 512)) * 512
+            ws[b, t] = start
+            lo = rng.integers(start, start + wg.WINDOW_CODES, wg.TILE)
+            lo.sort()
+            idx[b, t * wg.TILE : (t + 1) * wg.TILE] = lo
+    out = np.asarray(
+        wg.gather_bytes_windowed(
+            jnp.asarray(packed), jnp.asarray(idx), jnp.asarray(ws), interpret=True
+        )
+    )
+    want = packed[np.arange(B)[:, None], idx >> 2]
+    np.testing.assert_array_equal(out, want)
